@@ -1,0 +1,148 @@
+"""Distribution-drift detection: KS / PSI per time partition vs a baseline
+snapshot (north_star: "distribution-drift detection (KS/PSI on ... quantile
+sketches per warc_ts partition vs a baseline snapshot)").
+
+Mechanics: one pass computes a per-day mergeable sketch —
+percentile_approx quantiles for numeric signals, category frequencies for
+categoricals. The KS statistic is evaluated driver-side on the (tiny)
+per-day sketch rows: at 10^12 rows the sketches are still O(days ×
+quantiles) — bytes, not data — so the driver-side step is free and the
+heavy lifting stays in partial+final aggregation on executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PROBS = [i / 20 for i in range(21)]  # 0.0, 0.05, ..., 1.0
+
+
+def daily_numeric_sketch(df: DataFrame, value_col,
+                         ts_col: str = "warc_ts",
+                         probs: list[float] | None = None,
+                         accuracy: int = 10000) -> DataFrame:
+    """(day, quantiles array, n) per day — a single groupBy over the scan."""
+    probs = probs or DEFAULT_PROBS
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (df
+            .select(F.to_date(F.col(ts_col)).alias("day"),
+                    value.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy("day")
+            .agg(F.percentile_approx("_v", probs, accuracy).alias("quantiles"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def daily_category_freqs(df: DataFrame, cat_col: str,
+                         ts_col: str = "warc_ts") -> DataFrame:
+    """(day, map<category, relative_freq>) per day."""
+    counts = (df
+              .select(F.to_date(F.col(ts_col)).alias("day"),
+                      F.coalesce(F.col(cat_col), F.lit("__null__"))
+                       .alias("cat"))
+              .groupBy("day", "cat")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (counts
+            .groupBy("day")
+            .agg(F.map_from_entries(
+                     F.collect_list(F.struct("cat", "n"))).alias("counts"),
+                 F.sum("n").alias("total")))
+
+
+def ks_from_quantiles(base_q: list[float], cur_q: list[float],
+                      probs: list[float] | None = None) -> float:
+    """KS statistic from two equi-probability quantile sketches: for every
+    quantile value, the CDF gap is bounded by the difference of the
+    probability levels at which that value appears in the two sketches."""
+    probs = probs or DEFAULT_PROBS
+    if not base_q or not cur_q:
+        return float("nan")
+
+    def cdf(q: list[float], x: float) -> float:
+        # step-interpolated CDF from the sketch
+        lo = 0.0
+        for p, v in zip(probs, q):
+            if v <= x:
+                lo = p
+            else:
+                break
+        return lo
+
+    xs = sorted(set(base_q) | set(cur_q))
+    return max(abs(cdf(base_q, x) - cdf(cur_q, x)) for x in xs)
+
+
+def psi(base_freqs: dict[str, float], cur_freqs: dict[str, float],
+        eps: float = 1e-6) -> float:
+    """Population Stability Index over category frequency maps."""
+    cats = set(base_freqs) | set(cur_freqs)
+    total = 0.0
+    for c in cats:
+        p = max(base_freqs.get(c, 0.0), eps)
+        q = max(cur_freqs.get(c, 0.0), eps)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def drift_report(df: DataFrame,
+                 numeric_col,
+                 cat_col: str,
+                 ts_col: str = "warc_ts",
+                 baseline_days: int | None = None,
+                 ks_threshold: float = 0.1,
+                 psi_threshold: float = 0.2) -> list[dict]:
+    """Per-day drift verdicts vs a baseline built from the earliest
+    ``baseline_days`` days (default: first 80% of days).
+
+    Returns driver-side list of dicts: one per day with ks / psi values and
+    boolean drift flags. Two Spark jobs (numeric + categorical sketches),
+    each a single scan + tiny shuffle.
+    """
+    num = daily_numeric_sketch(df, numeric_col, ts_col).collect()
+    cat = daily_category_freqs(df, cat_col, ts_col).collect()
+    if not num:
+        return []
+    days = sorted(r["day"] for r in num)
+    if baseline_days is None:
+        baseline_days = max(1, int(len(days) * 0.8))
+    base_set = set(days[:baseline_days])
+
+    # merged baseline: weighted average of per-day quantiles (approximation:
+    # quantile-of-quantiles; adequate for drift flagging) and summed counts
+    base_rows = [r for r in num if r["day"] in base_set]
+    n_probs = len(DEFAULT_PROBS)
+    base_q = [
+        sum(r["quantiles"][i] * r["n"] for r in base_rows)
+        / max(1, sum(r["n"] for r in base_rows))
+        for i in range(n_probs)
+    ]
+    base_counts: dict[str, float] = {}
+    base_total = 0
+    for r in cat:
+        if r["day"] in base_set:
+            for k, v in r["counts"].items():
+                base_counts[k] = base_counts.get(k, 0) + v
+            base_total += r["total"]
+    base_freqs = {k: v / max(1, base_total) for k, v in base_counts.items()}
+
+    cat_by_day = {r["day"]: r for r in cat}
+    report = []
+    for r in sorted(num, key=lambda x: x["day"]):
+        day = r["day"]
+        ks = ks_from_quantiles(base_q, list(r["quantiles"]))
+        c = cat_by_day.get(day)
+        day_freqs = ({k: v / max(1, c["total"]) for k, v in c["counts"].items()}
+                     if c else {})
+        p = psi(base_freqs, day_freqs)
+        report.append({
+            "day": day,
+            "in_baseline": day in base_set,
+            "ks": ks,
+            "psi": p,
+            "ks_drift": bool(ks > ks_threshold and day not in base_set),
+            "psi_drift": bool(p > psi_threshold and day not in base_set),
+        })
+    return report

@@ -1,0 +1,78 @@
+"""Table-level checks: uniqueness, referential, stats, drift."""
+
+from pyspark.sql import functions as F
+
+from json_schema_spark.checks import (
+    column_profile,
+    drift_report,
+    duplicate_keys,
+    length_histogram,
+    referential_violations,
+    uniqueness_violations,
+)
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [("u1",), ("u2",), ("u1",), ("u3",), ("u1",)], "url string")
+    got = {(r["url"], r["dup_count"])
+           for r in duplicate_keys(df, ["url"]).collect()}
+    assert got == {("u1", 3)}
+    # explicit salted two-phase produces the same counts
+    got2 = {(r["url"], r["dup_count"])
+            for r in duplicate_keys(df, ["url"], salt_buckets=4).collect()}
+    assert got2 == got
+
+
+def test_uniqueness_violations_reports_every_dup_row(spark):
+    df = spark.createDataFrame([("u1",), ("u2",), ("u1",)], "url string")
+    rows = uniqueness_violations(df, ["url"]).collect()
+    assert len(rows) == 2
+    assert all(r["constraint_id"] == "url.unique" for r in rows)
+
+
+def test_referential_list_and_df(spark):
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", "xx"), ("c", None)], "url string, lang string")
+    got = referential_violations(df, "lang", ["en", "de"], id_col="url").collect()
+    assert [(r["url"], r["observed_value"]) for r in got] == [("b", "xx")]
+    dim = spark.createDataFrame([("en",), ("de",)], "lang string")
+    got = referential_violations(df, "lang", dim, id_col="url").collect()
+    assert [(r["url"], r["observed_value"]) for r in got] == [("b", "xx")]
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame(
+        [("aa", 1.0), ("bbbb", 3.0), (None, None)], "s string, v double")
+    prof = {r["column"]: r for r in column_profile(df).collect()}
+    assert abs(prof["s"]["null_rate"] - 1 / 3) < 1e-9
+    assert prof["s"]["min"] == "2" and prof["s"]["max"] == "4"  # lengths
+    assert prof["v"]["min"] == "1.0" and prof["v"]["max"] == "3.0"
+    assert prof["s"]["n_rows"] == 3
+
+
+def test_length_histogram(spark):
+    df = spark.createDataFrame([("a" * 5,), ("a" * 150,), ("a" * 160,)],
+                               "s string")
+    got = {r["bucket_start"]: r["n"] for r in
+           length_histogram(df, "s", bucket_width=100).collect()}
+    assert got == {0: 1, 100: 2}
+
+
+def test_drift_detects_shifted_window(spark):
+    # 10 days; last 2 days: numeric scale x10 and category flip
+    rows = []
+    for day in range(10):
+        for i in range(200):
+            drifted = day >= 8
+            v = float((i % 50) * (10 if drifted else 1))
+            cat = ("b" if drifted else "a") if i % 3 else "c"
+            rows.append((f"2024-03-{day+1:02d} 12:00:00", v, cat))
+    df = (spark.createDataFrame(rows, "ts string, v double, cat string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    rep = drift_report(df, "v", "cat", ts_col="ts", baseline_days=8)
+    by_day = {str(r["day"]): r for r in rep}
+    assert not by_day["2024-03-05"]["ks_drift"]
+    assert by_day["2024-03-09"]["ks_drift"]
+    assert by_day["2024-03-09"]["psi_drift"]
+    assert not by_day["2024-03-05"]["psi_drift"]
