@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs every `queries()` entry from `__spark_entry__` at
+`$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1) on
+`local[$SPARK_GRAFT_CPUS]` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced through a `noop` sink so the full plan executes
+(count() alone would let Catalyst prune most of the work). A flagship
+webtext-validation throughput number (docs/sec over a generated
+Common-Crawl-style table) is included under "docs_per_sec" — that is the
+metric BASELINE.json names. Scaling-efficiency runs (local[8] vs local[32])
+live in scripts/bench_scaling.py and are reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# webtext rows for the flagship throughput number: 1M at sf0.1
+WEBTEXT_ROWS = int(os.environ.get("BENCH_WEBTEXT_ROWS", "1000000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from json_schema_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+
+    # JVM warm-up so q1 doesn't pay session-start cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship: constraint-validation throughput over generated webtext
+    from json_schema_spark.flagship import validate_webtext
+    from json_schema_spark.sources.webtext import generate_webtext
+
+    web = generate_webtext(spark, WEBTEXT_ROWS).cache()
+    web.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    _run(validate_webtext(web).violations())
+    webtext_sec = time.perf_counter() - t0
+    timings["validate_webtext"] = round(webtext_sec, 4)
+    web.unpersist()
+
+    out = {
+        "metric": "query wall-time, sf%s + webtext validation" % _sf_from_dir(SF_DIR),
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "webtext_rows": WEBTEXT_ROWS,
+        "docs_per_sec": round(WEBTEXT_ROWS / webtext_sec, 1),
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
