@@ -121,10 +121,12 @@ class ValidationResult:
 
 def _dataset_checks(df: DataFrame, cset: ConstraintSet,
                     id_col: str) -> DataFrame | None:
-    """Dataset-level uniqueness + referential checks → violation rows.
-
-    These are the only shuffling checks; see checks/uniqueness.py and
-    checks/referential.py for the skew story.
+    """Dataset-level checks that genuinely need data movement → violation
+    rows. Uniqueness always shuffles (see checks/uniqueness.py for the skew
+    story); referential checks against a *DataFrame* dimension broadcast-join.
+    Literal allow-list referentials are pure predicates and are fused into
+    the single-pass row-level projection instead (see validate()) — zero
+    extra scans for them.
     """
     from json_schema_spark.checks.referential import referential_violations
     from json_schema_spark.checks.uniqueness import uniqueness_violations
@@ -134,12 +136,30 @@ def _dataset_checks(df: DataFrame, cset: ConstraintSet,
         cols = list(key) if isinstance(key, (list, tuple)) else [key]
         parts.append(uniqueness_violations(df, cols, id_col=id_col))
     for col, allowed in cset.referential.items():
-        parts.append(referential_violations(df, col, allowed, id_col=id_col))
+        if isinstance(allowed, DataFrame):
+            parts.append(referential_violations(df, col, allowed,
+                                                id_col=id_col))
     if not parts:
         return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def _referential_constraints(df: DataFrame,
+                             cset: ConstraintSet) -> list[CompiledConstraint]:
+    """Literal allow-list referential checks as fused row-level constraints
+    (same semantics as checks.referential.referential_violations: non-null
+    value outside the list fails)."""
+    out = []
+    for col_name, allowed in cset.referential.items():
+        if isinstance(allowed, DataFrame) or col_name not in df.columns:
+            continue
+        col = F.col(col_name)
+        pred = F.coalesce(col.isNull() | col.isin(list(allowed)), F.lit(False))
+        out.append(CompiledConstraint(
+            f"{col_name}.referential", col_name, pred, col.cast("string")))
     return out
 
 
@@ -157,6 +177,8 @@ def validate(
         df = apply_defaults(df, cset)
 
     compiled = compile_constraints(cset, df.schema)
+    if dataset_checks:
+        compiled = compiled + _referential_constraints(df, cset)
 
     # one struct per constraint, null when it passes; filter drops the nulls
     tagged = [
