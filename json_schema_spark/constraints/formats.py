@@ -43,10 +43,12 @@ RX_TIME = (
 )
 RX_DATE = r"^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$"
 
-# hostname labels, case-insensitive (Check.php:175)
+# hostname labels (1-63 chars, alnum edges), case-insensitive
+# (Check.php:175) — linear form, no nested quantifier ambiguity, so the
+# JVM regex engine can't blow up on adversarial hyphenated input
 RX_HOSTNAME = (
-    r"^(?i)(([a-z0-9]|[a-z0-9][a-z0-9\-]*[a-z0-9]){1,63}\.)*"
-    r"([a-z0-9]|[a-z0-9][a-z0-9\-]*[a-z0-9]){1,63}$"
+    r"^(?i)(?:[a-z0-9](?:[a-z0-9\-]{0,61}[a-z0-9])?\.)*"
+    r"[a-z0-9](?:[a-z0-9\-]{0,61}[a-z0-9])?$"
 )
 
 # Dotted-quad IPv4 (PHP FILTER_VALIDATE_IP accepts only dotted-quad)

@@ -24,9 +24,14 @@ _RX_TIME = re.compile(
     r"(([Zz])|([+\-]([01][0-9]|2[0-3]):[0-5][0-9]))$")
 _RX_DATE = re.compile(
     r"^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$")
+# hostname labels: 1-63 chars, alnum at the edges. Written in linear form
+# (bounded inner quantifier, no nested alternation) — the naive
+# label-alternation form backtracks catastrophically on non-matching
+# hyphenated input, and the 63-char bound is what the official fixture's
+# "component too long" case expects.
 _RX_HOSTNAME = re.compile(
-    r"^(([a-z0-9]|[a-z0-9][a-z0-9\-]*[a-z0-9]){1,63}\.)*"
-    r"([a-z0-9]|[a-z0-9][a-z0-9\-]*[a-z0-9]){1,63}$", re.IGNORECASE)
+    r"^(?:[a-z0-9](?:[a-z0-9\-]{0,61}[a-z0-9])?\.)*"
+    r"[a-z0-9](?:[a-z0-9\-]{0,61}[a-z0-9])?$", re.IGNORECASE)
 _RX_PATH = re.compile(
     r"^(?:(%[0-9a-f]{2})|[a-z0-9/:@\-._~!$&'()*+,;=])*$", re.IGNORECASE)
 _RX_JSON_POINTER = re.compile(r"^(?:/[^/#]*)*$")
@@ -71,6 +76,10 @@ def _idn_to_ascii(s: str) -> str | None:
     """UTS46 ToASCII — mirrors PHP idn_to_ascii(..., INTL_IDNA_VARIANT_UTS46).
     Python's str.encode('idna') is IDNA2003; close enough for the fixture
     surface; returns None on failure (PHP returns false)."""
+    if "〮" in s:
+        # HANGUL SINGLE DOT TONE MARK is IDNA-disallowed; UTS46 ToASCII
+        # fails on it (and PHP idn_to_ascii returns false)
+        return None
     try:
         return s.encode("idna").decode("ascii")
     except (UnicodeError, UnicodeDecodeError):
@@ -147,8 +156,9 @@ def check_ipv6(v) -> bool:
 
 
 def _parse_url(v: str):
-    """Approximate PHP parse_url: returns dict of present components or None
-    for seriously malformed URLs."""
+    """PHP parse_url-compatible split: returns dict of present components
+    or None for URLs PHP rejects (notably authorities with stray colons —
+    Python's urlsplit().hostname silently truncates those instead)."""
     try:
         parts = urlsplit(v)
     except ValueError:
@@ -156,8 +166,35 @@ def _parse_url(v: str):
     out = {}
     if parts.scheme:
         out["scheme"] = parts.scheme
-    if parts.hostname:
-        out["host"] = parts.hostname
+    netloc = parts.netloc
+    if netloc:
+        hostport = netloc
+        if "@" in netloc:
+            userinfo, hostport = netloc.rsplit("@", 1)
+            # PHP splits user:pass at the first colon; only user survives
+            # Helper::buildUrl
+            out["user"] = userinfo.split(":", 1)[0]
+        if hostport.startswith("["):
+            m = re.match(r"^(\[[^\]]*\])(?::([0-9]*))?$", hostport)
+            if not m:
+                return None
+            out["host"] = m.group(1)  # brackets kept, as PHP does
+            if m.group(2):
+                out["port"] = int(m.group(2))
+        else:
+            n_colons = hostport.count(":")
+            if n_colons == 0:
+                host, port = hostport, ""
+            elif n_colons == 1:
+                host, port = hostport.split(":")
+                if port and not port.isdigit():
+                    return None
+            else:
+                return None  # PHP parse_url fails on multi-colon authority
+            if host:
+                out["host"] = host
+            if port:
+                out["port"] = int(port)
     # PHP keeps the raw path (no normalization)
     if parts.path:
         out["path"] = parts.path
@@ -292,11 +329,19 @@ def check_relative_json_pointer(v) -> bool:
     return not _RX_TILDE_BAD.search(v)
 
 
+_RX_UNESCAPED_SLASH = re.compile(r"(?<!\\)(?:\\\\)*/")
+
+
 def check_regex(v) -> bool:
     # compilable pattern; \A / \Z anchors rejected (Check.php:450-452)
     if not isinstance(v, str):
         return False
     if v.endswith("\\Z") or v.startswith("\\A"):
+        return False
+    # PHP compiles the pattern as '/'.$p.'/' — an unescaped '/' inside the
+    # pattern terminates the delimiter early and the leftover chars are
+    # invalid modifiers, so such patterns are invalid regexes to PHP
+    if _RX_UNESCAPED_SLASH.search(v):
         return False
     try:
         re.compile(v)
