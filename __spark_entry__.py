@@ -189,6 +189,342 @@ SELECT event_type, event_id, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (SURVEY.md §2.11 generalizations)
+# ---------------------------------------------------------------------------
+
+_PERTURB_N = 20      # docs cloned with one appended word -> near-dup pairs
+_COPY_N = 15         # docs cloned verbatim -> exact-dup groups
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic near-dup clones (same construction in the
+    oracle SQL)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = (docs.filter((F.col("doc_id") < _PERTURB_N)
+                        & F.col("text").isNotNull())
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extrawordzz")).alias("text")))
+    return docs.unionByName(pert)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.dedup import near_duplicates
+
+    return near_duplicates(_dedup_corpus(spark, sf_dir), threshold=0.5)
+
+
+_SQL_DEDUP_MINHASH = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extrawordzz'
+  FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id AS _id, shingles FROM (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_transform(range(1, len(words) - 1),
+                                    i -> array_to_string(words[i:i+2], ' '))
+                ELSE [] END AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM corpus WHERE text IS NOT NULL AND trim(text) != '')
+  ) WHERE len(shingles) > 0
+),
+sigs AS (
+  SELECT _id,
+         list_transform(range(0, 16),
+           i -> list_aggregate(
+                  list_transform(shingles,
+                                 s -> md5(i::VARCHAR || ':' || s)),
+                  'min')) AS sig
+  FROM sh
+),
+buckets AS (
+  SELECT _id, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_idx = b.band_idx
+                AND a.band_hash = b.band_hash AND a._id < b._id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles))) AS DOUBLE)
+             / (len(list_distinct(sa.shingles))
+                + len(list_distinct(sb.shingles))
+                - len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles)))),
+             6) AS jaccard
+FROM cand
+JOIN sh sa ON sa._id = cand.id_a
+JOIN sh sb ON sb._id = cand.id_b
+WHERE jaccard >= 0.5
+"""
+
+
+def _q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.dedup import exact_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (docs.filter((F.col("doc_id") < _COPY_N)
+                          & F.col("text").isNotNull())
+              .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    dups = exact_duplicates(docs.unionByName(copies))
+    return dups.select(
+        "digest", "dup_count",
+        F.concat_ws(",", F.col("doc_ids").cast("array<string>"))
+         .alias("doc_ids"))
+
+
+_SQL_DEDUP_EXACT_TEXT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text
+  FROM documents WHERE doc_id < 15 AND text IS NOT NULL
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+       count(*) AS dup_count,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM corpus WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.dedup import simhash_table
+
+    return simhash_table(_docs(spark, sf_dir))
+
+
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), j -> list_aggregate(
+           list_transform(tokens, t ->
+             CASE WHEN CAST(floor(CAST(('0x' || substr(md5(t), 1, 8))
+                                       AS BIGINT) / pow(2, j)) AS BIGINT)
+                       % 2 = 1
+                  THEN 1 ELSE -1 END), 'sum')) AS v
+  FROM toks
+)
+SELECT doc_id,
+       list_aggregate(list_transform(range(0, 32), j ->
+         CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+              ELSE 0 END), 'sum') AS simhash
+FROM votes
+"""
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+           i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+              (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE)),
+              (a, b) -> a + b))) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id != e.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.textanalysis import analyze
+
+    return analyze(_docs(spark, sf_dir))
+
+
+def _sql_text_analysis() -> str:
+    from json_schema_spark.textops.textanalysis import STOPWORDS
+
+    def lit_list(words: list[str]) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    hits = {
+        lang: ("len(list_filter(string_split_regex(trim(lower(text)), "
+               f"'\\s+'), t -> list_contains({lit_list(words)}, t)))")
+        for lang, words in STOPWORDS.items()}
+    langs = list(STOPWORDS.keys())
+    case_parts = []
+    for lang in langs:
+        conds = [f"{hits[lang]} > 0"]
+        for other in langs:
+            if other != lang:
+                conds.append(f"{hits[lang]} >= {hits[other]}")
+        case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+
+    n_tokens = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                "len(string_split_regex(trim(text), '\\s+')) END")
+    n_punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    n_alpha = "len(regexp_extract_all(text, '[A-Za-z]'))"
+    n_sub = "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+    en_hits = hits["en"]
+    punct_ratio = (f"CASE WHEN length(text) > 0 THEN CAST({n_punct} AS "
+                   "DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END")
+    alpha_ratio = (f"CASE WHEN length(text) > 0 THEN CAST({n_alpha} AS "
+                   "DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END")
+    stop_ratio = (f"CASE WHEN {n_tokens} > 0 THEN CAST({en_hits} AS "
+                  f"DOUBLE) / CAST({n_tokens} AS DOUBLE) ELSE 0.0 END")
+    quality = (f"round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, "
+               f"1.0) + 0.3 * ({alpha_ratio}) + 0.3 * least(({stop_ratio})"
+               " * 2, 1.0), 6)")
+    return f"""
+SELECT doc_id,
+       {lang_case} AS lang_pred,
+       length(text) AS n_chars,
+       {n_tokens} AS n_tokens,
+       {n_sub} AS n_subwords,
+       round({punct_ratio}, 6) AS punct_ratio,
+       round({alpha_ratio}, 6) AS alpha_ratio,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       {quality} AS quality,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.multimodal import extract_media_features
+
+    blobs = (_docs(spark, sf_dir)
+             .filter(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.encode(F.col("text"), "UTF-8").alias("blob")))
+    return extract_media_features(blobs, "blob", "doc_id")
+
+
+_SQL_MULTIMODAL = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CASE WHEN lower(substr(text, 1, 4)) = 'gif8' THEN 'image/gif'
+            WHEN lower(substr(text, 1, 4)) = 'riff' THEN 'audio/wav'
+            WHEN lower(substr(text, 1, 3)) = 'id3' THEN 'audio/mpeg'
+            WHEN lower(substr(text, 1, 4)) IN ('<htm', '<!do')
+              THEN 'text/html'
+            ELSE 'application/octet-stream' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                    n_planes=6, dim=64)
+
+
+def _sql_lsh_ann() -> str:
+    from json_schema_spark.textops.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6)
+    dot = ("list_reduce(list_transform(range(1, 65), i -> "
+           "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"CASE WHEN {dot.format(a='{v}', b=lit)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END")
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM v WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {dot.format(a='qv', b='c.embedding')}
+         / (sqrt({dot.format(a='qv', b='qv')})
+            * sqrt({dot.format(a='c.embedding', b='c.embedding')})) AS sim
+  FROM q JOIN v c ON q.bucket = c.bucket
+  WHERE q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def _q_validate_json_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON path: documents serialized to JSON and validated by the
+    full draft-7 document validator (Arrow pandas-UDF)."""
+    from json_schema_spark.validator.json_column import validate_json_column
+
+    schema = {
+        "type": "object",
+        "required": ["doc_id", "lang"],
+        "properties": {
+            "text": {"type": "string", "minLength": 5},
+            "lang": {"enum": ["en", "zh", "es", "de", "fr"]},
+            "n_chars": {"type": "integer", "minimum": 10, "maximum": 500},
+        },
+    }
+    docs = _docs(spark, sf_dir)
+    js = docs.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "text", "lang", "source",
+                           "n_chars")).alias("json"))
+    out = validate_json_column(js, schema, "json")
+    return out.select("doc_id", F.col("_validation.valid").alias("valid"))
+
+
+_SQL_VALIDATE_JSON_DYNAMIC = """
+SELECT doc_id,
+       (doc_id IS NOT NULL
+        AND lang IS NOT NULL
+        AND NOT (text IS NOT NULL AND length(text) < 5)
+        AND NOT (lang IS NOT NULL
+                 AND lang NOT IN ('en','zh','es','de','fr'))
+        AND NOT (n_chars IS NOT NULL
+                 AND (n_chars < 10 OR n_chars > 500))) AS valid
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -198,6 +534,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "agg_pushdown": _q_agg_pushdown,
         "topk_per_group": _q_topk_per_group,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_exact_text": _q_dedup_exact_text,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_lsh_ann,
+        "text_analysis": _q_text_analysis,
+        "multimodal_features": _q_multimodal_features,
+        "validate_json_dynamic": _q_validate_json_dynamic,
     }
 
 
@@ -210,4 +554,12 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": _SQL_LENGTH_HISTOGRAM,
         "agg_pushdown": _SQL_AGG_PUSHDOWN,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "dedup_exact_text": _SQL_DEDUP_EXACT_TEXT,
+        "simhash": _SQL_SIMHASH,
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        "ann_lsh_topk": _sql_lsh_ann(),
+        "text_analysis": _sql_text_analysis(),
+        "multimodal_features": _SQL_MULTIMODAL,
+        "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
     }

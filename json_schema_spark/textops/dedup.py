@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design (10^12 documents):
+- Exact dedup is a hash aggregation on a digest — partial (map-side)
+  aggregation reduces each task to one row per distinct digest before the
+  shuffle.
+- MinHash signatures and LSH band hashes are pure per-row expressions
+  (shingle -> md5 -> array_min), computed in one projection with
+  whole-stage codegen; the only shuffle is the band-bucket self-join,
+  which AQE can skew-split when a boilerplate page floods one bucket.
+- Candidate verification (exact Jaccard on shingle sets) joins the
+  candidate pairs (small) back to the shingle projection — broadcast-able
+  when the candidate set is small, shuffle-join otherwise.
+
+Determinism: every hash is md5 over an explicit string, so a DuckDB oracle
+reproduces results bit-for-bit (lexicographic min over fixed-width hex ==
+numeric min over the underlying uint128).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows at the default signature size
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Overlapping word k-grams as strings; fewer than k words -> empty."""
+    words = tokens(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column,
+                      num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Array of ``num_hashes`` minhash values (md5-hex strings).
+
+    Hash family i is md5(i || ':' || shingle); the signature entry is the
+    lexicographic min across shingles (monotonic with the numeric value of
+    the fixed-width hex digest).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles,
+                        lambda s: F.md5(F.concat(i.cast("string"),
+                                                 F.lit(":"), s)))))
+
+
+def lsh_band_hashes(signature: Column, bands: int = DEFAULT_BANDS,
+                    num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Split the signature into ``bands`` contiguous bands of
+    ``num_hashes // bands`` rows and hash each; docs sharing any
+    (band_index, band_hash) become candidate pairs."""
+    rows_per_band = num_hashes // bands
+
+    def band(b: Column) -> Column:
+        start = (b * rows_per_band + 1).cast("int")
+        return F.md5(F.concat_ws(
+            "|", F.slice(signature, start, rows_per_band)))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over the DISTINCT elements of two arrays."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Groups of byte-identical (optionally whitespace/case-normalized)
+    documents: (digest, dup_count, doc_ids). One partial+final hash agg."""
+    col = F.col(text_col)
+    if normalize:
+        col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    digest = F.md5(col)
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), digest.alias("digest"))
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("dup_count") > 1))
+
+
+def shingle_projection(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    return (df.select(F.col(id_col).alias("_id"),
+                      word_shingles(F.col(text_col), k).alias("_shingles"))
+            .filter(F.size("_shingles") > 0))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            num_hashes: int = DEFAULT_NUM_HASHES,
+                            bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing an LSH band bucket.
+
+    Plan: one projection computes shingles -> signature -> band hashes;
+    posexplode to (band_idx, band_hash, id); self-join on the bucket key.
+    The join is the only shuffle; bucket skew is handled by AQE skew-join
+    (session default) — at web scale add a bucket-size cap upstream.
+    """
+    sh = shingle_projection(df, text_col, id_col, k)
+    sig = sh.select("_id", minhash_signature(
+        F.col("_shingles"), num_hashes).alias("_sig"))
+    buckets = sig.select(
+        "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
+                                            num_hashes))
+        .alias("band_idx", "band_hash"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+
+
+def near_duplicates(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    num_hashes: int = DEFAULT_NUM_HASHES,
+                    bands: int = DEFAULT_BANDS,
+                    threshold: float = 0.7) -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard:
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_hashes,
+                                    bands)
+    sh = shingle_projection(df, text_col, id_col, k)
+    joined = (pairs
+              .join(sh.withColumnRenamed("_id", "id_a")
+                      .withColumnRenamed("_shingles", "sh_a"), "id_a")
+              .join(sh.withColumnRenamed("_id", "id_b")
+                      .withColumnRenamed("_shingles", "sh_b"), "id_b"))
+    return (joined
+            .select("id_a", "id_b",
+                    F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                     .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-token 32-bit hash from the md5
+    prefix, +/-1 vote per bit position, sign of the vote total sets the
+    output bit. Pure expression — one aggregate() fold per row."""
+    toks = tokens(col)
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def token_votes(t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        # bit j of h, via division (shiftright needs a literal count);
+        # h < 2^32 so double-precision pow is exact
+        return F.transform(
+            positions,
+            lambda j: F.when(
+                F.floor(h / F.pow(F.lit(2.0), j)).cast("bigint") % 2 == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t),
+                                  lambda x, y: x + y.cast("long")))
+    return F.aggregate(
+        F.zip_with(votes, positions,
+                   lambda v, j: F.when(
+                       v > 0, F.pow(F.lit(2.0), j).cast("bigint"))
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) for non-empty documents. Near-dup pairs are docs with
+    small hamming distance: bit_count(a ^ b) <= d — pair either via the
+    LSH bands above or by chunked-bit bucketing at scale."""
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    simhash(F.col(text_col)).alias("simhash"))
+            .filter(F.size(tokens(F.col(text_col))) > 0))

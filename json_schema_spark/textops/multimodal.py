@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride Spark tables as `binary` columns with a typed
+metadata struct alongside. The Spark-side machinery here is real and
+tested — schema, batch iteration (mapInPandas over Arrow record batches),
+partition-friendly feature extraction — while the actual codec work is
+STUBBED: the decode functions raise NotImplementedError unless the
+optional libraries (PIL / soundfile) are importable, with a deterministic
+header-sniff fallback so pipelines are testable in this container.
+
+Scale notes: feature extraction is mapInPandas (no shuffle, no driver
+data); batch size is governed by spark.sql.execution.arrow.
+maxRecordsPerBatch — large blobs want a smaller batch cap so Arrow
+buffers stay within executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType([
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("header_hex", T.StringType()),
+])
+
+_MAGIC = {
+    b"\xff\xd8\xff": "image/jpeg",
+    b"\x89PNG": "image/png",
+    b"GIF8": "image/gif",
+    b"RIFF": "audio/wav",
+    b"ID3": "audio/mpeg",
+    b"<htm": "text/html",
+    b"<!do": "text/html",
+}
+
+
+def sniff_media_type(blob: bytes | None) -> str | None:
+    if blob is None:
+        return None
+    for magic, mtype in _MAGIC.items():
+        if blob[:len(magic)].lower() == magic.lower():
+            return mtype
+    return "application/octet-stream"
+
+
+def decode_image(blob: bytes) -> Any:
+    """Decode an image blob to (width, height, mode). Requires PIL —
+    STUB: raises NotImplementedError when the codec lib is absent (it is
+    not vendored in this environment)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL; install pillow on executors "
+            "(deterministic metadata extraction works without it — see "
+            "extract_media_features)") from exc
+    img = Image.open(io.BytesIO(blob))
+    return img.width, img.height, img.mode
+
+
+def decode_audio(blob: bytes) -> Any:
+    """Decode audio to (sample_rate, n_frames). Requires soundfile —
+    STUB, same policy as decode_image."""
+    try:
+        import io
+
+        import soundfile  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding requires soundfile; install it on "
+            "executors") from exc
+    with soundfile.SoundFile(io.BytesIO(blob)) as f:
+        return f.samplerate, f.frames
+
+
+def with_media_metadata(df: DataFrame, blob_col: str,
+                        meta_col: str = "media_meta") -> DataFrame:
+    """Typed metadata struct computed JVM-side (no Python): media type is
+    left null here (magic sniffing happens in the batch extractor);
+    n_bytes/digest are pure expressions."""
+    blob = F.col(blob_col)
+    return df.withColumn(meta_col, F.struct(
+        F.lit(None).cast("string").alias("media_type"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("digest")))
+
+
+def extract_media_features(df: DataFrame, blob_col: str,
+                           id_col: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs via mapInPandas:
+    (id, media_type, n_bytes, digest, header_hex). The per-batch function
+    is where real decoders plug in (decode_image/decode_audio); the
+    deterministic digest/header features always compute."""
+    id_name, blob_name = id_col, blob_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_name]
+            out = pd.DataFrame({
+                "id": pdf[id_name].astype(str),
+                "media_type": [sniff_media_type(b) for b in blobs],
+                "n_bytes": [len(b) if b is not None else 0 for b in blobs],
+                "digest": [
+                    hashlib.md5(b).hexdigest() if b is not None else None
+                    for b in blobs],
+                "header_hex": [
+                    b[:8].hex() if b is not None else None for b in blobs],
+            })
+            yield out
+
+    return (df.select(F.col(id_col), F.col(blob_col))
+            .mapInPandas(extract, FEATURE_SCHEMA))

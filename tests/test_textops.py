@@ -1,0 +1,182 @@
+"""Unit tests for the training-data pipeline operators (textops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _perturbed(docs):
+    base = docs.filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
+    pert = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    return docs.select("doc_id", "text").unionByName(pert)
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    from json_schema_spark.textops.dedup import near_duplicates
+
+    corpus = _perturbed(docs)
+    planted_ids = [r["doc_id"] for r in
+                   docs.filter((F.col("doc_id") < 20)
+                               & F.col("text").isNotNull())
+                   .select("doc_id").collect()]
+    found = {(r["id_a"], r["id_b"])
+             for r in near_duplicates(corpus, threshold=0.5).collect()}
+    missing = [i for i in planted_ids if (i, i + 100000) not in found]
+    # one appended word on a >=30-word doc keeps jaccard >> 0.5 and the
+    # minhash signature nearly identical; all planted pairs must surface
+    assert not missing, f"planted near-dup pairs missed: {missing}"
+    for a, b in found:
+        assert a < b
+
+
+def test_exact_duplicates(docs):
+    from json_schema_spark.textops.dedup import exact_duplicates
+
+    base = docs.select("doc_id", "text")
+    copies = (base.filter((F.col("doc_id") < 10)
+                          & F.col("text").isNotNull())
+              .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    dups = exact_duplicates(base.unionByName(copies)).collect()
+    n_copied = copies.count()
+    assert len(dups) == n_copied
+    for row in dups:
+        assert row["dup_count"] == 2
+        assert row["doc_ids"][0] + 500000 == row["doc_ids"][1]
+
+
+def test_jaccard_expression(spark):
+    from json_schema_spark.textops.dedup import jaccard
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"]),
+         (["a", "a", "b"], ["a", "b"]),
+         ([], [])],
+        "a array<string>, b array<string>")
+    vals = [r[0] for r in df.select(jaccard(F.col("a"),
+                                            F.col("b"))).collect()]
+    assert vals[0] == pytest.approx(2 / 4)
+    assert vals[1] == pytest.approx(1.0)  # distinct-set semantics
+    assert vals[2] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    from json_schema_spark.textops.dedup import simhash_table
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and againx"),
+         (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"]
+            for r in simhash_table(df).collect()}
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_ordering(emb):
+    from json_schema_spark.textops.similarity import cosine_topk
+
+    out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=5).collect()
+    by_query: dict[int, list] = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+        assert len(rows) == 5
+
+
+def test_lsh_buckets_deterministic(emb):
+    from json_schema_spark.textops.similarity import (
+        hyperplane_lsh_buckets, hyperplanes)
+
+    p1 = hyperplanes(64, 4, "seed-x")
+    p2 = hyperplanes(64, 4, "seed-x")
+    assert p1 == p2  # derivable from the seed alone
+    b1 = {r["vec_id"]: r["bucket"]
+          for r in hyperplane_lsh_buckets(emb.limit(50), n_planes=4,
+                                          dim=64).collect()}
+    b2 = {r["vec_id"]: r["bucket"]
+          for r in hyperplane_lsh_buckets(emb.limit(50), n_planes=4,
+                                          dim=64).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 16 for b in b1.values())
+
+
+def test_language_id(spark):
+    from json_schema_spark.textops.textanalysis import analyze
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a fine day for the cat"),
+         (2, "el gato y la casa de la madre en un dia que es bueno"),
+         (3, "der hund und die katze sind mit den kindern zu hause"),
+         (4, "xyzzy plugh qwerty")],
+        "doc_id long, text string")
+    langs = {r["doc_id"]: r["lang_pred"] for r in analyze(df).collect()}
+    assert langs == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_and_fingerprint(spark):
+    from json_schema_spark.textops.textanalysis import analyze
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it is the best of days!"),
+         (2, "The  quick   brown fox, it is the best of days!")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in analyze(df).collect()}
+    assert 0.0 <= rows[1]["quality"] <= 1.0
+    # fingerprint collapses whitespace -> both docs share one
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+    expected = hashlib.md5(
+        b"the quick brown fox, it is the best of days!").hexdigest()
+    assert rows[1]["fingerprint"] == expected
+
+
+def test_multimodal_features(spark):
+    from json_schema_spark.textops.multimodal import (
+        decode_image, extract_media_features)
+
+    df = spark.createDataFrame(
+        [("a", b"\x89PNG\r\n\x1a\nrest"),
+         ("b", b"<html><body>x</body></html>"),
+         ("c", b"RIFFxxxxWAVE"),
+         ("d", None)],
+        "id string, blob binary")
+    rows = {r["id"]: r
+            for r in extract_media_features(df, "blob", "id").collect()}
+    assert rows["a"]["media_type"] == "image/png"
+    assert rows["b"]["media_type"] == "text/html"
+    assert rows["c"]["media_type"] == "audio/wav"
+    assert rows["d"]["digest"] is None
+    assert rows["a"]["digest"] == hashlib.md5(
+        b"\x89PNG\r\n\x1a\nrest").hexdigest()
+    assert rows["a"]["header_hex"] == b"\x89PNG\r\n\x1a\n".hex()
+    # decoder is stubbed without PIL
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
