@@ -1,0 +1,98 @@
+"""Structured Streaming validation: the same compiled ConstraintSet,
+applied to an unbounded stream.
+
+The row-level constraint projection is stateless, so it transfers to
+streams unchanged (same Catalyst expressions, same codegen). Stateful
+additions:
+- windowed violation counts per constraint with a watermark for late
+  events (`violation_counts`) — tumbling event-time windows,
+- streaming violation feed (`stream_violations`) for an append sink.
+
+Dataset-level checks (uniqueness, drift) are micro-batch-global, not
+stream-global — for stream-global uniqueness use `dropDuplicates` with a
+watermark upstream, or reconcile in the batch layer.
+
+Checkpointing is Spark's own streaming checkpoint (offset + state store);
+pass `checkpoint_dir` to every sink for exactly-once file output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from json_schema_spark.constraints.compiler import compile_constraints
+from json_schema_spark.constraints.spec import ConstraintSet
+
+
+def annotate_stream(stream_df: DataFrame, cset: ConstraintSet) -> DataFrame:
+    """Add `_violations` (array of (constraint_id, observed_value)) to a
+    streaming DataFrame — identical expression set as the batch path
+    (evaluator.validate), re-derived here because streams cannot observe()
+    or run dataset-level joins."""
+    compiled = compile_constraints(cset, stream_df.schema)
+    tagged = [
+        F.when(~c.predicate,
+               F.struct(F.lit(c.constraint_id).alias("constraint_id"),
+                        c.observed.cast("string").alias("observed_value")))
+        for c in compiled]
+    varr = (F.filter(F.array(*tagged), lambda x: x.isNotNull()) if tagged
+            else F.array().cast(
+                "array<struct<constraint_id:string,observed_value:string>>"))
+    return (stream_df
+            .withColumn("_violations", varr)
+            .withColumn("_ok", F.size("_violations") == 0))
+
+
+def stream_violations(stream_df: DataFrame, cset: ConstraintSet,
+                      id_col: str = "url") -> DataFrame:
+    """Streaming violation feed: (id, constraint_id, observed_value,
+    event_ts) — append-mode safe (stateless projection + filter)."""
+    ann = annotate_stream(stream_df, cset)
+    ts_cols = [f.name for f in stream_df.schema.fields
+               if f.dataType.typeName() == "timestamp"]
+    ts = F.col(ts_cols[0]) if ts_cols else F.current_timestamp()
+    return (ann.filter(F.size("_violations") > 0)
+            .select(F.col(id_col).cast("string").alias(id_col),
+                    F.explode("_violations").alias("v"),
+                    ts.alias("event_ts"))
+            .select(id_col, F.col("v.constraint_id").alias("constraint_id"),
+                    F.col("v.observed_value").alias("observed_value"),
+                    "event_ts"))
+
+
+def violation_counts(stream_df: DataFrame, cset: ConstraintSet,
+                     ts_col: str = "warc_ts",
+                     window_duration: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Windowed violation counts per constraint id with late-data
+    tolerance: watermark bounds state, tumbling windows aggregate. Output
+    mode `append` emits a window once the watermark passes it."""
+    ann = annotate_stream(stream_df, cset)
+    return (ann
+            .withWatermark(ts_col, watermark)
+            .select(F.col(ts_col),
+                    F.explode_outer("_violations").alias("v"))
+            .groupBy(F.window(F.col(ts_col), window_duration),
+                     F.coalesce(F.col("v.constraint_id"), F.lit("__ok__"))
+                      .alias("constraint_id"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def start_violation_sink(stream_df: DataFrame, cset: ConstraintSet,
+                         output_path: str, checkpoint_dir: str,
+                         id_col: str = "url",
+                         trigger_once: bool = True) -> StreamingQuery:
+    """Write the violation feed to parquet with exactly-once semantics
+    (streaming checkpoint). `trigger_once` drains available data and
+    stops — the batch-style backfill pattern."""
+    feed = stream_violations(stream_df, cset, id_col=id_col)
+    writer = (feed.writeStream
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,124 @@
+"""Checkpoint/resume lineage + streaming validation tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.flagship import webtext_constraints
+from json_schema_spark.sources.webtext import generate_webtext
+
+
+@pytest.fixture(scope="module")
+def webtext_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("webtext") / "tbl")
+    (generate_webtext(spark, 5000)
+     .withColumn("warc_day", F.to_date("warc_ts"))
+     .write.mode("overwrite").partitionBy("warc_day").parquet(path))
+    return path
+
+
+def test_run_validation_and_resume(spark, webtext_dir, tmp_path):
+    from json_schema_spark.ops.checkpoint import (
+        resume_summary, run_validation, write_manifest)
+
+    out = str(tmp_path / "out")
+    df = spark.read.parquet(webtext_dir)
+    cset = webtext_constraints()
+
+    stats = run_validation(spark, df, cset, out)
+    assert stats.processed and not stats.skipped
+    n_parts = len(stats.processed)
+
+    # manifests carry lineage: input files, constraint hash, metrics
+    m = stats.manifests[stats.processed[0]]
+    assert m["status"] == "COMPLETE"
+    assert m["constraint_hash"] == cset.content_hash()
+    assert m["input_files"], "lineage must record the files actually read"
+    assert m["metrics"]["rows_total"] > 0
+
+    # violations actually landed per partition
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    # hive layout: the partition dir surfaces as a readable column
+    assert viol.columns == ["url", "constraint_id", "observed_value",
+                            "partition"]
+    assert viol.count() > 0
+
+    # resume: nothing to redo
+    stats2 = run_validation(spark, df, cset, out)
+    assert not stats2.processed
+    assert len(stats2.skipped) == n_parts
+
+    # a torn manifest forces exactly that partition to re-run
+    victim = stats.processed[0]
+    write_manifest(out, victim, {"status": "RUNNING"})
+    stats3 = run_validation(spark, df, cset, out)
+    assert stats3.processed == [victim]
+    assert len(stats3.skipped) == n_parts - 1
+
+    # a changed constraint set invalidates every manifest
+    cset2 = webtext_constraints()
+    cset2.columns["text"]["minLength"] = 2
+    stats4 = run_validation(spark, df, cset2, out,
+                            partitions=stats.processed[:2])
+    assert len(stats4.processed) == 2
+
+    summary = resume_summary(out)
+    assert summary["complete"] == n_parts
+    assert summary["rows_total"] >= 5000
+
+
+def test_streaming_violations(spark, webtext_dir, tmp_path):
+    from json_schema_spark.ops.streaming import start_violation_sink
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(webtext_dir).schema)
+              .option("maxFilesPerTrigger", "64")
+              .parquet(webtext_dir))
+    assert stream.isStreaming
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_violation_sink(stream, webtext_constraints(), out, ckpt,
+                             trigger_once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"url", "constraint_id", "observed_value",
+                                "event_ts"}
+    n1 = got.count()
+    assert n1 > 0
+
+    # exactly-once: re-running the drained stream adds nothing
+    q2 = start_violation_sink(
+        (spark.readStream
+         .schema(spark.read.parquet(webtext_dir).schema)
+         .parquet(webtext_dir)),
+        webtext_constraints(), out, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+    # streaming and batch agree on row-level verdicts
+    from json_schema_spark.constraints.evaluator import validate
+    batch = validate(spark.read.parquet(webtext_dir),
+                     webtext_constraints(), id_col="url",
+                     dataset_checks=False, observe=False)
+    assert batch.violations().count() == n1
+
+
+def test_windowed_violation_counts(spark, webtext_dir):
+    from json_schema_spark.ops.streaming import violation_counts
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(webtext_dir).schema)
+              .parquet(webtext_dir))
+    counts = violation_counts(stream, webtext_constraints(),
+                              ts_col="warc_ts", window_duration="1 day",
+                              watermark="1 day")
+    # schema sanity without running the (unbounded) aggregation to a sink
+    assert counts.isStreaming
+    names = [f.name for f in counts.schema.fields]
+    assert names == ["window", "constraint_id", "n"]
