@@ -489,6 +489,54 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
 """
 
 
+def _q_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE_CAST analog: JSON-string column -> typed struct (Cast.php:59-72
+    -> from_json), then field extraction."""
+    from json_schema_spark.constraints.transforms import cast_columns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    casted = cast_columns(ev, {"props": {"object": "k long"}})
+    return casted.select("event_id", F.col("props.k").alias("k"))
+
+
+_SQL_CAST_PROPS = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+         AS k
+FROM events
+"""
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.checks.drift import psi_by_period
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (psi_by_period(ev, "event_type", "ts")
+            .withColumn("day", F.col("day").cast("string")))
+
+
+_SQL_PSI_DRIFT = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COALESCE(event_type, '__null__') AS cat, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+day_totals AS (SELECT day, sum(n) AS day_total FROM counts GROUP BY 1),
+overall AS (SELECT cat, sum(n) AS cat_total FROM counts GROUP BY 1),
+grand AS (SELECT sum(n) AS grand_total FROM counts)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(sum((p_c - q_c) * ln(p_c / q_c)), 6) AS psi FROM (
+  SELECT d.day,
+         greatest(CAST(COALESCE(c.n, 0) AS DOUBLE)
+                  / CAST(d.day_total AS DOUBLE), 1e-6) AS p_c,
+         greatest(CAST(o.cat_total AS DOUBLE)
+                  / CAST(g.grand_total AS DOUBLE), 1e-6) AS q_c
+  FROM day_totals d CROSS JOIN overall o CROSS JOIN grand g
+  LEFT JOIN counts c ON c.day = d.day AND c.cat = o.cat
+) GROUP BY day ORDER BY day
+"""
+
+
 def _q_validate_json_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON path: documents serialized to JSON and validated by the
     full draft-7 document validator (Arrow pandas-UDF)."""
@@ -542,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "multimodal_features": _q_multimodal_features,
         "validate_json_dynamic": _q_validate_json_dynamic,
+        "cast_props": _q_cast_props,
+        "psi_drift": _q_psi_drift,
     }
 
 
@@ -562,4 +612,6 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _sql_text_analysis(),
         "multimodal_features": _SQL_MULTIMODAL,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
+        "cast_props": _SQL_CAST_PROPS,
+        "psi_drift": _SQL_PSI_DRIFT,
     }

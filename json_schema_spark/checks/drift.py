@@ -87,6 +87,41 @@ def psi(base_freqs: dict[str, float], cur_freqs: dict[str, float],
     return total
 
 
+def psi_by_period(df: DataFrame, cat_col: str, ts_col: str = "ts",
+                  eps: float = 1e-6) -> DataFrame:
+    """Fully-distributed PSI per day of a categorical column vs the
+    overall (all-days) distribution: (day, psi, drift-ranked) — exact
+    counts, no sketches, so the result is engine-reproducible.
+
+    Plan shape: one groupBy(day, cat) count, a tiny day-totals agg, a
+    broadcast-sized overall distribution, cross of days x categories to
+    account for absent categories, final per-day sum. Every shuffle is
+    O(days x categories)."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    counts = (df.select(day, F.coalesce(F.col(cat_col), F.lit("__null__"))
+                        .alias("cat"))
+              .groupBy("day", "cat").agg(F.count(F.lit(1)).alias("n")))
+    day_totals = counts.groupBy("day").agg(F.sum("n").alias("day_total"))
+    overall = (counts.groupBy("cat").agg(F.sum("n").alias("cat_total")))
+    grand = counts.agg(F.sum("n").alias("grand_total"))
+
+    days_x_cats = (day_totals.crossJoin(F.broadcast(overall))
+                   .crossJoin(F.broadcast(grand)))
+    joined = (days_x_cats
+              .join(counts, ["day", "cat"], "left")
+              .withColumn("p", F.coalesce(F.col("n"), F.lit(0)).cast(
+                  "double") / F.col("day_total").cast("double"))
+              .withColumn("q", F.col("cat_total").cast("double")
+                          / F.col("grand_total").cast("double"))
+              .withColumn("p_c", F.greatest(F.col("p"), F.lit(eps)))
+              .withColumn("q_c", F.greatest(F.col("q"), F.lit(eps))))
+    term = (F.col("p_c") - F.col("q_c")) * F.log(F.col("p_c")
+                                                 / F.col("q_c"))
+    return (joined.groupBy("day")
+            .agg(F.round(F.sum(term), 6).alias("psi"))
+            .orderBy("day"))
+
+
 def drift_report(df: DataFrame,
                  numeric_col,
                  cat_col: str,
