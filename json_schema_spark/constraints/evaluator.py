@@ -64,9 +64,11 @@ class ValidationResult:
     def violations(self) -> DataFrame:
         """(id, constraint_id, observed_value) — row-level violations plus
         dataset-level (uniqueness / referential) ones."""
+        # no size()>0 pre-filter: explode of an empty array already emits
+        # nothing, and a Filter node would force the (large) violation
+        # array expression to be evaluated twice per row
         row_level = (
             self.annotated
-            .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
             .select(
                 F.col(self.id_col).cast("string").alias(self.id_col),
                 F.explode(F.col(VIOLATIONS_COL)).alias("v"))

@@ -1,0 +1,121 @@
+"""Physical-plan quality gates — the properties that make the engine hold
+at 10^12 rows. These assert on `explain` output so a regression that
+breaks pushdown / codegen / broadcast / the no-Python rule fails CI, not
+a production run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .filter(F.col("l_shipdate") <= "1998-09-02")
+          .select("l_returnflag", "l_quantity"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the referenced columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_validation_is_pure_codegen(docs):
+    """The flagship row-level constraint pass must contain zero Python
+    evaluation nodes and stay inside whole-stage codegen."""
+    from json_schema_spark.constraints.evaluator import validate
+    from __spark_entry__ import _documents_cset
+
+    res = validate(docs, _documents_cset(), id_col="doc_id",
+                   observe=False, dataset_checks=False)
+    plan = _plan(res.violations())
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas"):
+        assert marker not in plan, f"Python on the hot path: {marker}"
+    # codegen stages render as '*(n)' in executedPlan().toString()
+    # (the higher-order filter/array projection itself doesn't codegen,
+    # but the scan and output stages must)
+    assert "*(1)" in plan
+
+
+def test_webtext_validation_pure_codegen(spark):
+    from json_schema_spark.flagship import validate_webtext
+    from json_schema_spark.sources.webtext import generate_webtext
+
+    res = validate_webtext(generate_webtext(spark, 1000))
+    plan = _plan(res.violations())
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python on the hot path: {marker}"
+
+
+def test_referential_dim_join_broadcasts(spark, docs):
+    from json_schema_spark.checks.referential import referential_violations
+
+    dim = spark.createDataFrame([("en",), ("de",)], "lang string")
+    out = referential_violations(docs, "lang", dim, id_col="doc_id")
+    assert "BroadcastHashJoin" in _plan(out)
+    assert "SortMergeJoin" not in _plan(out)
+
+
+def test_ann_query_side_broadcasts(spark):
+    from json_schema_spark.textops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=2)
+    assert "Broadcast" in _plan(out)
+
+
+def test_partial_aggregation_in_stats(docs):
+    """Stats agg must be partial+final (map-side combine), not a single
+    exchange of raw rows."""
+    from json_schema_spark.checks.stats import column_profile
+
+    plan = _plan(column_profile(docs, ["lang", "n_chars"]))
+    # two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2 \
+        or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_single_scan_for_row_level_validation(docs):
+    """Row-level violations (with fused literal referential) must read
+    the input exactly once."""
+    from json_schema_spark.constraints.evaluator import validate
+    from __spark_entry__ import _documents_cset
+
+    res = validate(docs, _documents_cset(), id_col="doc_id",
+                   observe=False, dataset_checks=False)
+    plan = _plan(res.violations())
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_partition_pruning_on_day(spark, tmp_path):
+    from json_schema_spark.sources.webtext import generate_webtext
+
+    path = str(tmp_path / "pt")
+    (generate_webtext(spark, 2000)
+     .withColumn("warc_day", F.to_date("warc_ts"))
+     .write.partitionBy("warc_day").parquet(path))
+    df = spark.read.parquet(path).filter(
+        F.col("warc_day") == "2025-06-03")
+    plan = _plan(df.select("url"))
+    # dynamic partition pruning shows the partition filter at the scan
+    assert "PartitionFilters" in plan
+    assert "warc_day" in plan.split("PartitionFilters:")[1].splitlines()[0]
