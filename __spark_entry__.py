@@ -489,6 +489,29 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
 """
 
 
+def _q_validate_json_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same verdicts as validate_json_dynamic, but routed through the
+    columnar fast path (from_json + Catalyst constraints, zero Python) —
+    validator/hybrid.py picks the path from the schema shape."""
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    schema = {
+        "type": "object",
+        "required": ["doc_id", "lang"],
+        "properties": {
+            "text": {"type": "string", "minLength": 5},
+            "lang": {"enum": ["en", "zh", "es", "de", "fr"]},
+            "n_chars": {"type": "integer", "minimum": 10, "maximum": 500},
+        },
+    }
+    docs = _docs(spark, sf_dir)
+    js = docs.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "text", "lang", "source",
+                           "n_chars")).alias("json"))
+    return validate_json_auto(js, schema, "json", id_col="doc_id")
+
+
 def _q_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODE_CAST analog: JSON-string column -> typed struct (Cast.php:59-72
     -> from_json), then field extraction."""
@@ -590,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "multimodal_features": _q_multimodal_features,
         "validate_json_dynamic": _q_validate_json_dynamic,
+        "validate_json_hybrid": _q_validate_json_hybrid,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
     }
@@ -612,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _sql_text_analysis(),
         "multimodal_features": _SQL_MULTIMODAL,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
+        "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
     }

@@ -1,0 +1,75 @@
+"""Hybrid JSON validation routing: columnar fast path vs document path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+FLAT_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "lang"],
+    "properties": {
+        "text": {"type": "string", "minLength": 5},
+        "lang": {"enum": ["en", "zh", "es", "de", "fr"]},
+        "n_chars": {"type": "integer", "minimum": 10, "maximum": 500},
+    },
+}
+
+NESTED_SCHEMA = {
+    "type": "object",
+    "properties": {"a": {"items": {"type": "integer"}}},
+}
+
+
+def test_routing_decision():
+    from json_schema_spark.validator.hybrid import is_fast_path
+
+    assert is_fast_path(FLAT_SCHEMA)
+    assert not is_fast_path(NESTED_SCHEMA)     # array property
+    assert not is_fast_path({"allOf": []})     # combinator at top level
+
+
+def test_fast_path_is_pure_jvm(spark):
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    df = spark.createDataFrame(
+        [(1, '{"doc_id": 1, "lang": "en", "text": "hello world"}')],
+        "id long, json string")
+    out = validate_json_auto(df, FLAT_SCHEMA, "json", id_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_fast_and_document_paths_agree(spark):
+    """On null-free JSON (to_json drops nulls) the two paths must give
+    identical verdicts over the whole documents table."""
+    from json_schema_spark.validator.hybrid import validate_json_auto
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    js = docs.select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
+         .alias("json"))
+
+    fast = {r["rid"]: r["valid"] for r in
+            validate_json_auto(js, FLAT_SCHEMA, "json",
+                               id_col="rid").collect()}
+    slow = {r["rid"]: r["_validation"]["valid"] for r in
+            validate_json_column(js, FLAT_SCHEMA, "json").collect()}
+    assert fast == slow
+    assert any(not v for v in fast.values())  # corpus has violations
+    assert any(v for v in fast.values())
+
+
+def test_fallback_path_still_validates(spark):
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    df = spark.createDataFrame(
+        [(1, '{"a": [1, 2]}'), (2, '{"a": ["x"]}')],
+        "id long, json string")
+    out = {r["id"]: r["valid"] for r in
+           validate_json_auto(df, NESTED_SCHEMA, "json",
+                              id_col="id").collect()}
+    assert out == {1: True, 2: False}
