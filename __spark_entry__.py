@@ -489,6 +489,41 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
 """
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint containment pairs over the perturbed corpus
+    (planted near-dups share long substrings -> many shared
+    fingerprints)."""
+    from json_schema_spark.textops.dedup import containment_pairs
+
+    return containment_pairs(_dedup_corpus(spark, sf_dir),
+                             k=8, w=4, min_shared=20)
+
+
+_SQL_CONTAINMENT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extrawordzz'
+  FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id AS _id,
+         list_transform(range(1, length(text) - 6),
+           i -> substr(md5(substr(text, i, 8)), 1, 16)) AS g
+  FROM corpus WHERE text IS NOT NULL AND length(text) >= 11
+),
+fp AS (
+  SELECT _id, unnest(list_distinct(
+           list_transform(range(1, len(g) - 2),
+             i -> list_aggregate(g[i:i+3], 'min')))) AS fp
+  FROM grams
+)
+SELECT a._id AS id_a, b._id AS id_b, count(*) AS shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a._id < b._id
+GROUP BY 1, 2 HAVING count(*) >= 20
+"""
+
+
 def _q_validate_json_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same verdicts as validate_json_dynamic, but routed through the
     columnar fast path (from_json + Catalyst constraints, zero Python) —
@@ -614,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
+        "containment_winnowing": _q_containment,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
     }
@@ -637,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
+        "containment_winnowing": _SQL_CONTAINMENT,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
     }

@@ -155,6 +155,50 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def winnowing_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram (rolling window), keep the minimum
+    hash of each window of ``w`` consecutive k-gram hashes, dedupe.
+    Guarantees any shared substring of length >= k+w-1 shares a
+    fingerprint — the classic containment-detection primitive.
+
+    Pure expressions: sequence/transform/substring/md5/slice/array_min —
+    per-row work is O(len * (k + w)) character ops, fully codegen'd."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.substring(F.md5(F.substring(col, i, k)), 1, 16))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+        lambda i: F.array_min(F.slice(grams, i, w)))
+    # guard: F.sequence(1, x) with x < 1 generates a DESCENDING sequence,
+    # so both sequences need n >= k + w - 1 (>= 1 window)
+    return F.when(n >= k + w - 1, F.array_distinct(fps)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8, w: int = 4,
+                      min_shared: int = 5) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints
+    (id_a < id_b, shared count). Explode fingerprints -> self-join on the
+    fingerprint value -> count per pair. The fingerprint join key is
+    high-cardinality (few docs per fingerprint), so the shuffle spreads
+    evenly; boilerplate fingerprints shared by thousands of docs are the
+    skew case — cap them upstream at web scale (filter buckets by size)."""
+    fp = (df.filter(F.col(text_col).isNotNull())
+          .select(F.col(id_col).alias("_id"),
+                  F.explode(winnowing_fingerprints(F.col(text_col), k, w))
+                  .alias("fp")))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, "fp")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: per-token 32-bit hash from the md5
     prefix, +/-1 vote per bit position, sign of the vote total sets the

@@ -180,3 +180,31 @@ def test_multimodal_features(spark):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+
+def test_winnowing_containment(spark):
+    from json_schema_spark.textops.dedup import (
+        containment_pairs, winnowing_fingerprints)
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog many times today"
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta gamma delta epsilon"),
+         (2, "prefix words here " + shared),
+         (3, "totally unrelated content with different characters xyzq")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["shared"]
+             for r in containment_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in pairs  # long shared substring -> shared fingerprints
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # winnowing guarantee: identical text -> identical fingerprint sets
+    fps = df.select("doc_id", winnowing_fingerprints(
+        F.col("text")).alias("f")).collect()
+    by_id = {r["doc_id"]: set(r["f"]) for r in fps}
+    assert len(by_id[1] & by_id[2]) >= 3
+    # short text -> empty fingerprints, no descending-sequence blowup
+    short = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    out = short.select(winnowing_fingerprints(F.col("text")).alias("f")) \
+        .head()["f"]
+    assert out == []
