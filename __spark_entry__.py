@@ -547,6 +547,46 @@ def _q_validate_json_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_auto(js, schema, "json", id_col="doc_id")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user over the events
+    stream table — F.session_window, the same operator Structured
+    Streaming uses for stateful sessionization."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id",
+                     F.session_window(F.col("ts"), "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id",
+                    F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                    "n_events", "session_value"))
+
+
+_SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS session_value
+FROM islands GROUP BY user_id, session_id
+"""
+
+
 def _q_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODE_CAST analog: JSON-string column -> typed struct (Cast.php:59-72
     -> from_json), then field extraction."""
@@ -650,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "containment_winnowing": _q_containment,
+        "sessionize": _q_sessionize,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
     }
@@ -674,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "containment_winnowing": _SQL_CONTAINMENT,
+        "sessionize": _SQL_SESSIONIZE,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
     }

@@ -138,6 +138,100 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     F.round(F.col("cosine_sim"), 6).alias("cosine_sim")))
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  iterations: int = 2) -> list[list[float]]:
+    """IVF coarse centroids: deterministic seed vectors (the first
+    n_centroids rows by id) refined with a few Lloyd iterations, each a
+    single groupBy over the corpus (mean of assigned vectors). Driver
+    holds only the centroid list — O(n_centroids x dim)."""
+    seeds = (df.orderBy(id_col).limit(n_centroids)
+             .select(vec_col).collect())
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iterations):
+        assigned = df.select(
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("c"))
+        # elementwise mean per centroid: aggregate arrays with zip_with
+        dim = len(centroids[0])
+        sums = (assigned.groupBy("c")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at(F.col(vec_col), i + 1)
+                             .cast("double")).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        for row in sums:
+            c = row["c"]
+            centroids[c] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance — a when-chain over precomputed
+    distance expressions (n_centroids dot products per row)."""
+    def dist2(plane: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in plane])
+        diff = F.zip_with(vec, lit_c,
+                          lambda x, y: (x.cast("double") - y)
+                          * (x.cast("double") - y))
+        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+    dists = [dist2(c) for c in centroids]
+    best = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(centroids)):
+        is_closer = dists[i] < best_d
+        best = F.when(is_closer, F.lit(i)).otherwise(best)
+        best_d = F.when(is_closer, dists[i]).otherwise(best_d)
+    return best
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid; each query probes
+    its ``nprobe`` nearest centroid cells only. The probe join is a
+    bucket equi-join on the cell id — cost scales with cell sizes, not
+    the corpus. Recall rises with nprobe (nprobe == n_centroids is
+    exact)."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"),
+                      _nearest_centroid(F.col(vec_col),
+                                        centroids).alias("cell"))
+
+    def probe_cells(vec: Column) -> Column:
+        # nprobe smallest-distance centroid ids, via array sort of
+        # (distance, id) structs
+        entries = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in cent]),
+                               lambda a, b: (a.cast("double") - b)
+                               * (a.cast("double") - b)),
+                    F.lit(0.0), lambda a, x: a + x).alias("d"),
+                F.lit(i).alias("i"))
+            for i, cent in enumerate(centroids)])
+        return F.slice(F.transform(F.array_sort(entries),
+                                   lambda s: s["i"]), 1, nprobe)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"),
+                       F.explode(probe_cells(F.col(vec_col)))
+                       .alias("cell"))
+    sim = (q.join(c, "cell")
+           .filter(F.col("query_id") != F.col("neighbor_id"))
+           .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round(F.col("cosine_sim"), 6).alias("cosine_sim")))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",

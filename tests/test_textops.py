@@ -208,3 +208,24 @@ def test_winnowing_containment(spark):
     out = short.select(winnowing_fingerprints(F.col("text")).alias("f")) \
         .head()["f"]
     assert out == []
+
+
+def test_ivf_topk_recall(emb):
+    from json_schema_spark.textops.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(queries, emb, k=5).collect()}
+    # full probe == exact search
+    full = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=8)
+    assert {(r["query_id"], r["neighbor_id"])
+            for r in full.collect()} == exact
+    # partial probe: valid rank structure, reasonable recall
+    part = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in part}
+    assert len(got & exact) >= len(exact) // 2
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
