@@ -495,8 +495,14 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints)."""
     from json_schema_spark.textops.dedup import containment_pairs
 
-    return containment_pairs(_dedup_corpus(spark, sf_dir),
-                             k=8, w=4, min_shared=20)
+    # deterministic subsample (doc_id < 1000 — the whole table at
+    # sf<=0.01) + tight doc-frequency cap: the synthetic corpus draws
+    # from a ~40-word vocabulary, so char-8-gram fingerprints are shared
+    # by hundreds of documents and an uncapped self-join is quadratic
+    corpus = (_dedup_corpus(spark, sf_dir)
+              .filter((F.col("doc_id") % 100000) < 1000))
+    return containment_pairs(corpus, k=8, w=4, min_shared=20,
+                             max_doc_freq=20)
 
 
 _SQL_CONTAINMENT = """
@@ -511,15 +517,21 @@ grams AS (
          list_transform(range(1, length(text) - 6),
            i -> substr(md5(substr(text, i, 8)), 1, 16)) AS g
   FROM corpus WHERE text IS NOT NULL AND length(text) >= 11
+        AND (doc_id % 100000) < 1000
 ),
 fp AS (
   SELECT _id, unnest(list_distinct(
            list_transform(range(1, len(g) - 2),
              i -> list_aggregate(g[i:i+3], 'min')))) AS fp
   FROM grams
-)
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
+  WHERE df <= 20
+),
+kept AS (SELECT f._id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp)
 SELECT a._id AS id_a, b._id AS id_b, count(*) AS shared
-FROM fp a JOIN fp b ON a.fp = b.fp AND a._id < b._id
+FROM kept a JOIN kept b ON a.fp = b.fp AND a._id < b._id
 GROUP BY 1, 2 HAVING count(*) >= 20
 """
 

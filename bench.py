@@ -51,9 +51,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         _run(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name} {timings[name]}s", file=sys.stderr,
+              flush=True)
 
     # flagship: constraint-validation throughput over generated webtext
     from json_schema_spark.flagship import validate_webtext

@@ -177,19 +177,58 @@ def winnowing_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
+def winnowing_fingerprint_rows(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 8,
+                               w: int = 4) -> DataFrame:
+    """Distinct (id, fp) winnowing fingerprints, computed gram-at-a-time.
+
+    Equivalent to exploding `winnowing_fingerprints`, but each k-gram md5
+    is evaluated exactly ONCE: the array form's nested
+    transform(slice(grams,...)) re-evaluates the whole grams expression
+    per window element (Catalyst does no CSE inside lambda bodies —
+    O(len^2) hashing per row). Here grams posexplode into rows and the
+    per-window minimum is a rows-window aggregate partitioned by doc —
+    a per-document local sort, no cross-doc shuffle skew."""
+    from pyspark.sql import Window as W
+
+    n = F.length(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.substring(F.md5(F.substring(F.col(text_col), i, k)),
+                              1, 16))
+    rows = (df.filter(F.col(text_col).isNotNull() & (n >= k + w - 1))
+            .select(F.col(id_col).alias("_id"),
+                    F.posexplode(grams).alias("pos", "h")))
+    win = W.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = W.partitionBy("_id")
+    return (rows
+            .withColumn("fp", F.min("h").over(win))
+            .withColumn("_n", F.count(F.lit(1)).over(n_grams))
+            .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+            .select("_id", "fp")
+            .distinct())
+
+
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8, w: int = 4,
-                      min_shared: int = 5) -> DataFrame:
+                      min_shared: int = 5,
+                      max_doc_freq: int = 100) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints
     (id_a < id_b, shared count). Explode fingerprints -> self-join on the
-    fingerprint value -> count per pair. The fingerprint join key is
-    high-cardinality (few docs per fingerprint), so the shuffle spreads
-    evenly; boilerplate fingerprints shared by thousands of docs are the
-    skew case — cap them upstream at web scale (filter buckets by size)."""
-    fp = (df.filter(F.col(text_col).isNotNull())
-          .select(F.col(id_col).alias("_id"),
-                  F.explode(winnowing_fingerprints(F.col(text_col), k, w))
-                  .alias("fp")))
+    fingerprint value -> count per pair.
+
+    ``max_doc_freq`` drops fingerprints occurring in more than that many
+    documents BEFORE the self-join — a ubiquitous (boilerplate/stopword)
+    fingerprint shared by m documents would alone contribute m^2/2 pair
+    rows, which is both skew and noise; capping document frequency is the
+    standard winnowing practice and keeps every join bucket O(cap^2)."""
+    fp = winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+    if max_doc_freq:
+        rare = (fp.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("fp"))
+        fp = fp.join(rare, "fp")
     a, b = fp.alias("a"), fp.alias("b")
     return (a.join(b, "fp")
             .filter(F.col("a._id") < F.col("b._id"))
