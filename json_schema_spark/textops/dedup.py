@@ -106,20 +106,44 @@ def shingle_projection(df: DataFrame, text_col: str = "text",
             .filter(F.size("_shingles") > 0))
 
 
+def minhash_signature_table(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            num_hashes: int = DEFAULT_NUM_HASHES
+                            ) -> DataFrame:
+    """(id, sig array) computed shingle-at-a-time: explode shingles once,
+    then one groupBy with ``num_hashes`` min() aggregations.
+
+    The pure-expression form (minhash_signature over a shingle array)
+    re-evaluates the whole shingle expression per hash function —
+    Catalyst does no CSE inside lambda bodies, making it O(num_hashes x
+    len) per row. Exploding materializes each shingle string exactly
+    once; the min-aggs are partial+final (map-side combine), so the
+    shuffle carries at most one signature row per doc per task."""
+    sh = shingle_projection(df, text_col, id_col, k)
+    rows = sh.select("_id", F.explode("_shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)]
+    per_doc = rows.groupBy("_id").agg(*aggs)
+    return per_doc.select(
+        "_id", F.array(*[F.col(f"h{i}")
+                         for i in range(num_hashes)]).alias("_sig"))
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             num_hashes: int = DEFAULT_NUM_HASHES,
                             bands: int = DEFAULT_BANDS) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing an LSH band bucket.
 
-    Plan: one projection computes shingles -> signature -> band hashes;
-    posexplode to (band_idx, band_hash, id); self-join on the bucket key.
-    The join is the only shuffle; bucket skew is handled by AQE skew-join
-    (session default) — at web scale add a bucket-size cap upstream.
+    Plan: shingle-at-a-time signatures (minhash_signature_table) -> band
+    hashes; posexplode to (band_idx, band_hash, id); self-join on the
+    bucket key. The join is the only data-sized shuffle; bucket skew is
+    handled by AQE skew-join (session default) — at web scale add a
+    bucket-size cap upstream.
     """
-    sh = shingle_projection(df, text_col, id_col, k)
-    sig = sh.select("_id", minhash_signature(
-        F.col("_shingles"), num_hashes).alias("_sig"))
+    sig = minhash_signature_table(df, text_col, id_col, k, num_hashes)
     buckets = sig.select(
         "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
                                             num_hashes))
@@ -142,7 +166,13 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     (id_a, id_b, jaccard) with jaccard >= threshold."""
     pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_hashes,
                                     bands)
-    sh = shingle_projection(df, text_col, id_col, k)
+    # materialize each doc's DISTINCT shingle set once (aggregated array
+    # attribute) — joining the raw shingle *expression* would re-derive
+    # it for every candidate pair and every jaccard sub-term
+    sh = (shingle_projection(df, text_col, id_col, k)
+          .select("_id", F.explode("_shingles").alias("s"))
+          .groupBy("_id")
+          .agg(F.collect_set("s").alias("_shingles")))
     joined = (pairs
               .join(sh.withColumnRenamed("_id", "id_a")
                       .withColumnRenamed("_shingles", "sh_a"), "id_a")
