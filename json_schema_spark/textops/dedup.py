@@ -19,6 +19,8 @@ numeric min over the underlying uint128).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -300,11 +302,30 @@ def simhash(col: Column, bits: int = 32) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) for non-empty documents. Near-dup pairs are docs with
-    small hamming distance: bit_count(a ^ b) <= d — pair either via the
-    LSH bands above or by chunked-bit bucketing at scale."""
-    return (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col),
-                    simhash(F.col(text_col)).alias("simhash"))
-            .filter(F.size(tokens(F.col(text_col))) > 0))
+                  id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash) for non-empty documents, token-at-a-time: explode
+    tokens, hash each ONCE, aggregate the 32 bit votes as sums (the
+    pure-expression `simhash` re-derives the token hash per bit position
+    — no CSE inside lambdas — costing bits x the md5 work).
+
+    Near-dup pairs are docs with small hamming distance:
+    bit_count(a ^ b) <= d — pair via the LSH bands above or by
+    chunked-bit bucketing at scale."""
+    rows = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(F.col(text_col))).alias("t"))
+            .withColumn("h", F.conv(F.substring(F.md5("t"), 1, 8),
+                                    16, 10).cast("bigint")))
+    vote_aggs = [
+        F.sum(F.when(
+            F.floor(F.col("h") / F.pow(F.lit(2.0), F.lit(j)))
+            .cast("bigint") % 2 == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)]
+    per_doc = rows.groupBy("_id").agg(*vote_aggs)
+    assembled = reduce(
+        Column.__add__,
+        [F.when(F.col(f"v{j}") > 0,
+                F.lit(1 << j).cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")) for j in range(bits)])
+    return per_doc.select(F.col("_id").alias(id_col),
+                          assembled.alias("simhash"))
