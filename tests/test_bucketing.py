@@ -1,0 +1,50 @@
+"""Bucketed co-located joins (no exchange) and salted skew joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # managed-table warehouse for bucketed writes
+    return spark
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from json_schema_spark.sources.bucketing import (
+        co_located_join, plan_has_shuffle, write_bucketed)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.select("event_id", "event_type")
+    write_bucketed(left, "b_left", ["event_id"], 8)
+    write_bucketed(right, "b_right", ["event_id"], 8)
+    try:
+        joined = co_located_join(spark, "b_left", "b_right", ["event_id"])
+        assert not plan_has_shuffle(joined), \
+            "bucketed equi-join must not exchange"
+        # and it's still correct
+        assert joined.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from json_schema_spark.sources.bucketing import salted_join
+
+    # skewed left: one hot key with most rows
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)],
+        "k long, payload long")
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unmatched")],
+        "k long, name string")
+    plain = {(r["k"], r["payload"], r["name"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["name"])
+              for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain
+    assert len(salted) == 502
