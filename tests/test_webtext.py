@@ -78,3 +78,24 @@ def test_constraint_hash_stable():
     h1 = webtext_constraints().content_hash()
     h2 = webtext_constraints().content_hash()
     assert h1 == h2 and len(h1) == 16
+
+
+def test_extraction_invariant_byte_identical(spark, webtext):
+    """north_star: re-extracting text from html must reproduce the stored
+    text byte-for-byte, checked as a pure-expression scan."""
+    from json_schema_spark.textops.extraction import (
+        extracted_text_violations, html_to_text)
+    from pyspark.sql import functions as F
+
+    assert extracted_text_violations(webtext).count() == 0
+
+    # and the extractor handles real markup shapes
+    df = spark.createDataFrame(
+        [("u1", "<html><head><title>T</title></head>"
+                "<body><p>Hello &amp; goodbye</p>"
+                "<script>var x=1;</script></body></html>")],
+        "url string, page string")
+    out = df.select(html_to_text(
+        F.encode(F.col("page"), "UTF-8")).alias("t")).head()["t"]
+    # script/style blocks become a word-separating space
+    assert out.strip() == "Hello & goodbye"
