@@ -80,6 +80,55 @@ def violation_counts(stream_df: DataFrame, cset: ConstraintSet,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def host_violation_monitor(stream_df: DataFrame, cset: ConstraintSet,
+                           url_col: str = "url") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host CUMULATIVE row/violation counts across micro-batches.
+
+    Built-in windowed aggregation forgets state outside the window; this
+    keeps a running (rows_total, rows_failed) per host for the lifetime
+    of the query — the "is this host degrading?" monitor. State is two
+    longs per host (bounded by host cardinality); per batch the Arrow
+    path hands each host's rows to one Python call.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    ann = annotate_stream(stream_df, cset)
+    hosted = ann.select(
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://([^/]*)",
+                         1).alias("host"),
+        F.col("_ok"))
+
+    out_type = StructType([
+        StructField("host", StringType()),
+        StructField("rows_total", LongType()),
+        StructField("rows_failed", LongType()),
+    ])
+    state_type = StructType([
+        StructField("rows_total", LongType()),
+        StructField("rows_failed", LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        total, failed = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            failed += int((~pdf["_ok"]).sum())
+        state.update((total, failed))
+        yield pd.DataFrame({"host": [key[0]], "rows_total": [total],
+                            "rows_failed": [failed]})
+
+    return (hosted.groupBy("host")
+            .applyInPandasWithState(update, out_type, state_type,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def start_violation_sink(stream_df: DataFrame, cset: ConstraintSet,
                          output_path: str, checkpoint_dir: str,
                          id_col: str = "url",

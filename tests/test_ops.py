@@ -122,3 +122,42 @@ def test_windowed_violation_counts(spark, webtext_dir):
     assert counts.isStreaming
     names = [f.name for f in counts.schema.fields]
     assert names == ["window", "constraint_id", "n"]
+
+
+def test_stateful_host_monitor(spark, webtext_dir, tmp_path):
+    """applyInPandasWithState: cumulative per-host counts must equal the
+    batch ground truth after draining the stream."""
+    from json_schema_spark.ops.streaming import host_violation_monitor
+
+    schema = spark.read.parquet(webtext_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "32")
+              .parquet(webtext_dir))
+    out = host_violation_monitor(stream, webtext_constraints())
+    q = (out.writeStream.format("memory").queryName("host_monitor")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last emitted row per host == cumulative truth
+    got = {r["host"]: (r["rows_total"], r["rows_failed"])
+           for r in spark.sql(
+               "SELECT host, rows_total, rows_failed FROM ("
+               " SELECT *, row_number() OVER (PARTITION BY host "
+               "   ORDER BY rows_total DESC) rn FROM host_monitor) "
+               "WHERE rn = 1").collect()}
+
+    from json_schema_spark.constraints.evaluator import validate
+    batch = validate(spark.read.parquet(webtext_dir),
+                     webtext_constraints(), id_col="url",
+                     dataset_checks=False, observe=False)
+    truth = {r["host"]: (r["t"], r["f"]) for r in
+             batch.annotated.groupBy(
+                 F.regexp_extract(F.col("url"),
+                                  r"^[a-z][a-z0-9+.\-]*://([^/]*)", 1)
+                 .alias("host"))
+             .agg(F.count(F.lit(1)).alias("t"),
+                  F.sum((~F.col("_ok")).cast("long")).alias("f"))
+             .collect()}
+    assert got == truth
