@@ -108,6 +108,31 @@ def shingle_projection(df: DataFrame, text_col: str = "text",
             .filter(F.size("_shingles") > 0))
 
 
+def shingle_rows(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) rows, word-at-a-time: split once per document,
+    posexplode words, assemble k-grams with window lead() per doc.
+
+    Same output as exploding `word_shingles`, but the array form's
+    transform(slice(words,...)) re-evaluates the split per shingle
+    element (no CSE inside lambdas — O(len^2) character work per row).
+    The window is a per-document local sort, no cross-doc shuffle skew."""
+    from pyspark.sql import Window as W
+
+    words = (df.filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("_id"),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "w0")))
+    win = W.partitionBy("_id").orderBy("pos")
+    leads = [F.col("w0")] + [F.lead("w0", i).over(win)
+                             for i in range(1, k)]
+    return (words
+            .select("_id", "pos", F.concat_ws(" ", *leads).alias("s"),
+                    F.lead("w0", k - 1).over(win).alias("_last"))
+            .filter(F.col("_last").isNotNull())  # only full k-grams
+            .select("_id", "s"))
+
+
 def minhash_signature_table(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             num_hashes: int = DEFAULT_NUM_HASHES
@@ -121,8 +146,7 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
     len) per row. Exploding materializes each shingle string exactly
     once; the min-aggs are partial+final (map-side combine), so the
     shuffle carries at most one signature row per doc per task."""
-    sh = shingle_projection(df, text_col, id_col, k)
-    rows = sh.select("_id", F.explode("_shingles").alias("s"))
+    rows = shingle_rows(df, text_col, id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))))
         .alias(f"h{i}")
@@ -171,8 +195,7 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     # materialize each doc's DISTINCT shingle set once (aggregated array
     # attribute) — joining the raw shingle *expression* would re-derive
     # it for every candidate pair and every jaccard sub-term
-    sh = (shingle_projection(df, text_col, id_col, k)
-          .select("_id", F.explode("_shingles").alias("s"))
+    sh = (shingle_rows(df, text_col, id_col, k)
           .groupBy("_id")
           .agg(F.collect_set("s").alias("_shingles")))
     joined = (pairs
