@@ -414,51 +414,89 @@ class DocumentValidator:
         if isinstance(data, list):
             data = list(data)
 
+        # presence checks inlined on the keyword dict: a node typically
+        # carries 2-4 of the ~30 keywords, and skipping the method call
+        # entirely is ~1.5x on the Arrow batch path
+        kw = schema.kw
+
         # default substitution for null data stops all further checks
-        if schema.has("default") and data is None:
+        if data is None and "default" in kw:
             return self._apply_defaults(data, schema)
 
-        data = self._v_type(data, schema)
-        self._v_format(data, schema)
-        data = self._v_if_then_else(data, schema)
-        self._v_const(data, schema)
-        self._v_enum(data, schema)
-        data = self._v_all_of(data, schema)
-        data = self._v_any_of(data, schema)
-        data = self._v_one_of(data, schema)
-        self._v_not(data, schema)
+        if kw["type"]:
+            data = self._v_type(data, schema)
+        if "format" in kw:
+            self._v_format(data, schema)
+        if "if" in kw:
+            data = self._v_if_then_else(data, schema)
+        if "const" in kw:
+            self._v_const(data, schema)
+        if "enum" in kw:
+            self._v_enum(data, schema)
+        if "allOf" in kw:
+            data = self._v_all_of(data, schema)
+        if "anyOf" in kw:
+            data = self._v_any_of(data, schema)
+        if "oneOf" in kw:
+            data = self._v_one_of(data, schema)
+        if "not" in kw:
+            self._v_not(data, schema)
 
         t = phpsem.php_type(data)
         if t == "string":
-            self._v_min_length(data, schema)
-            self._v_max_length(data, schema)
-            self._v_pattern(data, schema)
-            data = self._v_content_encoding(data, schema)
-            self._v_content_media_type(data, schema)
+            if "minLength" in kw:
+                self._v_min_length(data, schema)
+            if "maxLength" in kw:
+                self._v_max_length(data, schema)
+            if "pattern" in kw:
+                self._v_pattern(data, schema)
+            if "contentEncoding" in kw:
+                data = self._v_content_encoding(data, schema)
+            if "contentMediaType" in kw:
+                self._v_content_media_type(data, schema)
         elif t in ("integer", "double"):
-            self._v_multiple_of(data, schema)
-            self._v_minimum(data, schema)
-            self._v_exclusive_minimum(data, schema)
-            self._v_maximum(data, schema)
-            self._v_exclusive_maximum(data, schema)
+            if "multipleOf" in kw:
+                self._v_multiple_of(data, schema)
+            if "minimum" in kw:
+                self._v_minimum(data, schema)
+            if "exclusiveMinimum" in kw:
+                self._v_exclusive_minimum(data, schema)
+            if "maximum" in kw:
+                self._v_maximum(data, schema)
+            if "exclusiveMaximum" in kw:
+                self._v_exclusive_maximum(data, schema)
         elif t == "object":
-            data = self._v_properties(data, schema)
+            if "properties" in kw:
+                data = self._v_properties(data, schema)
             if isinstance(data, dict):
-                self._v_additional_properties(data, schema)
-                self._v_required(data, schema)
-                self._v_property_names(data, schema)
-                self._v_min_properties(data, schema)
-                self._v_max_properties(data, schema)
-                self._v_dependencies(data, schema)
-                self._v_pattern_properties(data, schema)
+                if "additionalProperties" in kw:
+                    self._v_additional_properties(data, schema)
+                if "required" in kw:
+                    self._v_required(data, schema)
+                if "propertyNames" in kw:
+                    self._v_property_names(data, schema)
+                if "minProperties" in kw:
+                    self._v_min_properties(data, schema)
+                if "maxProperties" in kw:
+                    self._v_max_properties(data, schema)
+                if "dependencies" in kw:
+                    self._v_dependencies(data, schema)
+                if "patternProperties" in kw:
+                    self._v_pattern_properties(data, schema)
                 self._remove_additional_properties(data, schema)
         elif t == "array":
-            self._v_items(data, schema)
-            self._v_contains(data, schema)
-            self._v_additional_items(data, schema)
-            self._v_min_items(data, schema)
-            self._v_max_items(data, schema)
-            self._v_unique_items(data, schema)
+            if "items" in kw:
+                self._v_items(data, schema)
+            if "contains" in kw:
+                self._v_contains(data, schema)
+            if "additionalItems" in kw:
+                self._v_additional_items(data, schema)
+            if "minItems" in kw:
+                self._v_min_items(data, schema)
+            if "maxItems" in kw:
+                self._v_max_items(data, schema)
+            if kw.get("uniqueItems"):
+                self._v_unique_items(data, schema)
             data = self._remove_additional_items(data, schema)
 
         return data
