@@ -319,9 +319,9 @@ votes AS (
   FROM toks
 )
 SELECT doc_id,
-       list_aggregate(list_transform(range(0, 32), j ->
+       CAST(list_aggregate(list_transform(range(0, 32), j ->
          CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
-              ELSE 0 END), 'sum') AS simhash
+              ELSE 0 END), 'sum') AS BIGINT) AS simhash
 FROM votes
 """
 

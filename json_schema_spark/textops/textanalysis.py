@@ -106,31 +106,47 @@ def fingerprint(col: Column) -> Column:
 
 def analyze(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Full text-analysis pass: token-at-a-time.
+    """Full text-analysis pass: two stacked projections, zero shuffle.
 
-    The projection-only form (language_id + quality_score as one select)
-    embeds every stopword-hit count dozens of times across the argmax
-    when-chain, and Catalyst re-evaluates the tokenize+filter expression
-    per occurrence (no CSE inside lambda bodies) — ~200 docs/s/core.
-    Here tokens explode once, the per-language hit counts become ONE
-    aggregation each (attributes thereafter), and the when-chain/ratios
-    are cheap arithmetic over those attributes. The groupBy shuffles one
-    row per doc per task (partial agg); doc ids are unique, so no skew.
+    Stage 1 computes every per-doc feature ONCE as a named attribute:
+    char-level counts (length/punct/alpha/subwords/fingerprint) and the
+    five token aggregates (n_tokens + one stopword-hit count per
+    language, each a single size(filter(tokens, ...)) HOF). Stage 2
+    derives the argmax when-chain and ratios from those attributes.
+
+    Why this exact shape (both alternatives measured at sf0.1):
+    - single-projection form: the when-chain repeats each hit count ~5x
+      and Catalyst re-evaluates the tokenize+filter per occurrence
+      (no CSE across HOF lambda bodies) — ~10x slower;
+    - explode+groupBy form: CollapseProject/ColumnPruning float the
+      char-feature expressions ABOVE the Generate, so regexp/md5 over
+      the full text re-run per TOKEN row (O(n_tokens x doc_len)) —
+      ~10x slower AND it shuffles.
+    Two stacked selects survive optimization intact because
+    CollapseProject refuses to inline non-cheap expressions referenced
+    more than once: each feature stays evaluated once per document, the
+    plan is Project/Project/Scan, stays in one WholeStageCodegen span,
+    and needs no exchange at any corpus size.
     """
     col = F.col(text_col)
-    lit_words = {lang: F.array(*[F.lit(w) for w in words])
-                 for lang, words in STOPWORDS.items()}
-    toks = (df.filter(col.isNotNull())
-            .select(F.col(id_col), col.alias("_text"),
-                    F.explode_outer(tokens(F.lower(col))).alias("t")))
-    hit_aggs = [
-        F.sum(F.when(F.array_contains(lit_words[lang], F.col("t")), 1)
-              .otherwise(0)).alias(f"_hits_{lang}")
-        for lang in STOPWORDS]
-    agg = (toks.groupBy(id_col)
-           .agg(F.first("_text").alias("_text"),
-                F.count("t").alias("n_tokens"),
-                *hit_aggs))
+    toks = tokens(F.lower(col))
+
+    def _hits(lang: str) -> Column:
+        lw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(lw, t)))
+
+    agg = (df.filter(col.isNotNull())
+           .select(F.col(id_col),
+                   F.length(col).alias("_n_chars"),
+                   F.coalesce(F.regexp_count(col, F.lit(r"[.,;:!?]")),
+                              F.lit(0)).alias("_n_punct"),
+                   F.coalesce(F.regexp_count(col, F.lit(r"[A-Za-z]")),
+                              F.lit(0)).alias("_n_alpha"),
+                   subword_count(col).alias("_n_subwords"),
+                   fingerprint(col).alias("_fingerprint"),
+                   F.size(toks).cast("long").alias("n_tokens"),
+                   *[_hits(lang).cast("long").alias(f"_hits_{lang}")
+                     for lang in STOPWORDS]))
 
     hits = {lang: F.col(f"_hits_{lang}") for lang in STOPWORDS}
     langs = list(STOPWORDS.keys())
@@ -144,13 +160,10 @@ def analyze(df: DataFrame, text_col: str = "text",
             else lang_expr.when(cond, F.lit(lang))
     lang_expr = lang_expr.otherwise(F.lit("und"))
 
-    text = F.col("_text")
-    n_chars = F.length(text)
+    n_chars = F.col("_n_chars")
     n_tokens = F.col("n_tokens")
-    n_punct = F.coalesce(F.regexp_count(text, F.lit(r"[.,;:!?]")),
-                         F.lit(0))
-    n_alpha = F.coalesce(F.regexp_count(text, F.lit(r"[A-Za-z]")),
-                         F.lit(0))
+    n_punct = F.col("_n_punct")
+    n_alpha = F.col("_n_alpha")
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double")
                          / n_chars.cast("double")).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double")
@@ -168,9 +181,9 @@ def analyze(df: DataFrame, text_col: str = "text",
         lang_expr.alias("lang_pred"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        subword_count(text).alias("n_subwords"),
+        F.col("_n_subwords").alias("n_subwords"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
-        fingerprint(text).alias("fingerprint"))
+        F.col("_fingerprint").alias("fingerprint"))

@@ -10,11 +10,17 @@ A JSON-string column can be validated two ways:
 
 `validate_json_auto` decides per SCHEMA (driver-side, once): if the
 schema is columnar-expressible it compiles to the fast path, otherwise
-it falls back to the document path. Semantics caveat of the fast path,
-inherent to SQL: a JSON `null` and an ABSENT key both become SQL NULL,
-so `required` rejects explicit nulls that the document path (PHP
-property_exists semantics) would accept — pick the document path when
-that distinction matters.
+it falls back to the document path. Malformed JSON, non-object roots,
+and numeric/boolean field-type mismatches are caught JVM-side via the
+corrupt-record column and fail like the document path. Remaining
+caveats of the fast path, inherent to Jackson/SQL:
+- a JSON `null` and an ABSENT key both become SQL NULL, so `required`
+  rejects explicit nulls that the document path (PHP property_exists
+  semantics) would accept;
+- Jackson coerces ANY JSON value to text for string-declared fields, so
+  `{"text": 123}` passes a `type: string` check the document path would
+  fail.
+Pick the document path when those distinctions matter.
 """
 
 from __future__ import annotations
@@ -27,12 +33,22 @@ from pyspark.sql import types as T
 
 from json_schema_spark.constraints.spec import ConstraintSet
 
+# integer parses as DOUBLE on purpose: the constraint compiler's type
+# check then becomes `col == floor(col)`, which accepts JSON 1.0 as an
+# integer (the reference's numeric-unification rule, Check.php:23-41)
+# and rejects 1.5 — LongType parsing would mark BOTH corrupt. Beyond
+# 2^53 double loses exactness; at that magnitude bounds checks are
+# approximate (documented, matches typical JSON number handling).
 _SCALAR_TYPE_MAP = {
     "string": T.StringType(),
-    "integer": T.LongType(),
+    "integer": T.DoubleType(),
     "number": T.DoubleType(),
     "boolean": T.BooleanType(),
 }
+
+# struct field that captures Jackson parse failures; name is unlikely to
+# collide with real JSON properties
+_CORRUPT = "__jss_corrupt__"
 
 # keywords the columnar compiler expresses with identical verdicts for
 # scalar-typed, flat object schemas
@@ -64,7 +80,13 @@ def columnar_plan(
     when the schema is fast-path-expressible, else None."""
     if not isinstance(schema, dict):
         return None
-    if schema.get("type") not in ("object", None):
+    # The fast path maps "unparseable or non-object document" to a NULL
+    # struct and fails it. That verdict is only correct when the schema
+    # explicitly demands an object: with `type` ABSENT, JSON Schema
+    # accepts scalars/arrays (required/properties are ignored for
+    # non-objects), which the NULL-struct encoding can't distinguish
+    # from malformed input — so absent type routes to the document path.
+    if schema.get("type") != "object":
         return None
     unsupported = set(schema) - {"type", "properties", "required",
                                  "additionalProperties", "$schema",
@@ -127,14 +149,26 @@ def validate_json_auto(df: DataFrame, schema: dict,
     struct_type, cset, bare_required = plan
     from json_schema_spark.constraints.compiler import compile_constraints
 
-    parsed = df.withColumn("_doc", F.from_json(col, struct_type))
+    # PERMISSIVE from_json never returns a NULL struct — malformed JSON,
+    # non-object roots ('42', '[1,2,3]', 'null', '"s"'), and per-field
+    # numeric/boolean type mismatches all surface ONLY through the
+    # corrupt-record column. The schema demands type=object
+    # (columnar_plan gate), so corrupt != NULL fails the document,
+    # matching the document path's parse/type verdicts.
+    parse_type = T.StructType(
+        list(struct_type.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    parsed = df.withColumn(
+        "_doc",
+        F.from_json(col, parse_type,
+                    {"columnNameOfCorruptRecord": _CORRUPT}))
     flat = parsed.select(
         F.col(id_col),
         col.alias("_raw_json"),
+        F.col(f"_doc.{_CORRUPT}").isNull().alias("_parsed"),
         *[F.col(f"_doc.{f.name}").alias(f.name)
           for f in struct_type.fields])
     compiled = compile_constraints(cset, flat.schema)
-    ok = F.lit(True)
+    ok = F.col("_parsed")
     for c in compiled:
         ok = ok & c.predicate
     for req in bare_required:

@@ -63,6 +63,67 @@ def test_fast_and_document_paths_agree(spark):
     assert any(v for v in fast.values())
 
 
+def test_absent_type_routes_to_document_path():
+    """Without an explicit type=object the NULL-struct encoding can't
+    distinguish 'malformed' from 'valid non-object' — must fall back."""
+    from json_schema_spark.validator.hybrid import is_fast_path
+
+    no_type = {k: v for k, v in FLAT_SCHEMA.items() if k != "type"}
+    assert not is_fast_path(no_type)
+
+
+def test_fast_path_malformed_and_nonobject_agree_with_document_path(spark):
+    """from_json -> NULL struct inputs: unparseable text, scalars,
+    arrays, JSON null. All must fail under type=object, exactly like the
+    document path (ADVICE r1, high)."""
+    from json_schema_spark.validator.hybrid import (is_fast_path,
+                                                    validate_json_auto)
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    # no required fields: every constraint is null-tolerant, so before
+    # the _parsed guard these all validated as true on the fast path
+    schema = {"type": "object",
+              "properties": {"text": {"type": "string", "minLength": 5}}}
+    assert is_fast_path(schema)
+    rows = [(1, "not json"), (2, "[1,2,3]"), (3, "42"), (4, "null"),
+            (5, '"str"'), (6, "{}"), (7, '{"text": "hello world"}'),
+            (8, '{"other": 1}')]
+    df = spark.createDataFrame(rows, "id long, json string")
+    fast = {r["id"]: r["valid"] for r in
+            validate_json_auto(df, schema, "json", id_col="id").collect()}
+    slow = {r["id"]: r["_validation"]["valid"] for r in
+            validate_json_column(df, schema, "json").collect()}
+    assert fast == slow
+    assert fast == {1: False, 2: False, 3: False, 4: False, 5: False,
+                    6: True, 7: True, 8: True}
+
+
+def test_fast_path_numeric_type_fidelity(spark):
+    """Integer fields parse as double + floor-check: JSON 1.0 counts as
+    integer (reference numeric unification), 1.5 and "abc" fail — same
+    verdicts as the document path."""
+    from json_schema_spark.validator.hybrid import (is_fast_path,
+                                                    validate_json_auto)
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    schema = {"type": "object",
+              "properties": {"n": {"type": "integer", "minimum": 10}}}
+    assert is_fast_path(schema)
+    rows = [(1, '{"n": 250}'), (2, '{"n": 250.0}'), (3, '{"n": 1.5}'),
+            (4, '{"n": "abc"}'), (5, '{"n": 5}'), (6, '{}'),
+            (7, '{"n": true}')]
+    df = spark.createDataFrame(rows, "id long, json string")
+    fast = {r["id"]: r["valid"] for r in
+            validate_json_auto(df, schema, "json", id_col="id").collect()}
+    slow = {r["id"]: r["_validation"]["valid"] for r in
+            validate_json_column(df, schema, "json").collect()}
+    assert fast == slow
+    assert fast == {1: True, 2: True, 3: False, 4: False, 5: False,
+                    6: True, 7: False}
+
+
 def test_fallback_path_still_validates(spark):
     from json_schema_spark.validator.hybrid import validate_json_auto
 
