@@ -683,6 +683,372 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# §2 keyword-family queries (VERDICT r1 item 2): every family the pytest
+# corpus covers also gets a driver-visible oracle row — combinators,
+# array keywords, object keywords on struct/map, numeric keywords,
+# regex-expressible formats.
+# ---------------------------------------------------------------------------
+
+def _q_kw_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneOf / anyOf / allOf / not / if-then-else over scalar columns."""
+    from json_schema_spark import ConstraintSet, validate
+
+    cset = ConstraintSet(name="combinators", columns={
+        "n_chars": {"oneOf": [{"minimum": 0, "maximum": 150},
+                              {"minimum": 300, "maximum": 600}]},
+        "text": {"anyOf": [{"minLength": 120}, {"pattern": r"\bdata\b"}]},
+        "lang": {"not": {"enum": ["fr", "pt"]}},
+        "source": {"allOf": [{"minLength": 4}, {"pattern": "^src[0-9]+$"}],
+                   "if": {"pattern": "^src1"},
+                   "then": {"maxLength": 5},
+                   "else": {"minLength": 4}},
+    })
+    res = validate(_docs(spark, sf_dir), cset, id_col="doc_id",
+                   observe=False)
+    return res.violations()
+
+
+_SQL_KW_COMBINATORS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'n_chars.oneOf' AS constraint_id,
+       CAST(n_chars AS VARCHAR) AS observed_value
+FROM documents
+WHERE (CASE WHEN n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 150)
+            THEN 1 ELSE 0 END
+     + CASE WHEN n_chars IS NULL OR (n_chars >= 300 AND n_chars <= 600)
+            THEN 1 ELSE 0 END) != 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text.anyOf', text
+FROM documents
+WHERE NOT ((text IS NULL OR length(text) >= 120)
+           OR (text IS NULL OR regexp_matches(text, '\\bdata\\b')))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'lang.not', lang
+FROM documents
+WHERE COALESCE(lang IN ('fr', 'pt'), FALSE)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source.allOf', source
+FROM documents
+WHERE NOT ((source IS NULL OR length(source) >= 4)
+           AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$')))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source.if', source
+FROM documents
+WHERE NOT (CASE WHEN source IS NULL OR regexp_matches(source, '^src1')
+                THEN source IS NULL OR length(source) <= 5
+                ELSE source IS NULL OR length(source) >= 4 END)
+"""
+
+
+def _q_kw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """items (single + tuple form), contains, min/maxItems, uniqueItems
+    on array columns."""
+    from json_schema_spark import ConstraintSet, validate
+    from json_schema_spark.textops.dedup import tokens
+
+    df = (_docs(spark, sf_dir)
+          .select("doc_id", tokens(F.col("text")).alias("words"),
+                  F.array("lang", "source").alias("pair")))
+    cset = ConstraintSet(name="array_kw", columns={
+        "words": {"minItems": 30, "maxItems": 70, "uniqueItems": True,
+                  "items": {"minLength": 3, "maxLength": 6},
+                  "contains": {"const": "data"}},
+        "pair": {"items": [{"enum": DOC_LANGS}, {"pattern": "^src"}],
+                 "minItems": 2},
+    })
+    return validate(df, cset, id_col="doc_id", observe=False).violations()
+
+
+_SQL_KW_ARRAY = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS words,
+         [lang, source] AS pair
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'words.minItems' AS constraint_id,
+       to_json(words)::VARCHAR AS observed_value
+FROM t WHERE words IS NOT NULL AND len(words) < 30
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'words.maxItems', to_json(words)::VARCHAR
+FROM t WHERE words IS NOT NULL AND len(words) > 70
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'words.uniqueItems', to_json(words)::VARCHAR
+FROM t WHERE words IS NOT NULL AND len(words) != len(list_distinct(words))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'words.items', to_json(words)::VARCHAR
+FROM t WHERE words IS NOT NULL AND len(list_filter(words,
+       w -> w IS NULL OR (length(w) >= 3 AND length(w) <= 6)))
+       != len(words)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'words.contains', to_json(words)::VARCHAR
+FROM t WHERE words IS NOT NULL AND NOT list_contains(words, 'data')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'pair.items', to_json(pair)::VARCHAR
+FROM t WHERE NOT ((len(pair) < 1 OR pair[1] IS NULL
+                   OR pair[1] IN ('en','zh','es','de'))
+              AND (len(pair) < 2 OR pair[2] IS NULL
+                   OR regexp_matches(pair[2], '^src')))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'pair.minItems', to_json(pair)::VARCHAR
+FROM t WHERE len(pair) < 2
+"""
+
+
+def _q_kw_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object keywords on struct and map columns + dependencies."""
+    from json_schema_spark import ConstraintSet, validate
+
+    df = (_docs(spark, sf_dir)
+          .select("doc_id", "source",
+                  F.nullif(F.col("lang"), F.lit("fr")).alias("lang_ok"),
+                  F.struct("lang", "source", "n_chars").alias("meta"),
+                  F.create_map(F.lit("lang"), F.col("lang"),
+                               F.lit("source"), F.col("source"))
+                  .alias("attrs")))
+    cset = ConstraintSet(name="object_kw", columns={
+        "meta": {"properties": {"lang": {"enum": DOC_LANGS},
+                                "n_chars": {"minimum": 100}},
+                 "requiredProperties": ["lang", "source"],
+                 "minProperties": 3},
+        "attrs": {"propertyNames": {"pattern": "^[a-z]+$", "maxLength": 6},
+                  "requiredProperties": ["lang"],
+                  "properties": {"lang": {"enum": DOC_LANGS}},
+                  "minProperties": 2, "maxProperties": 2},
+        "source": {"dependencies": ["lang_ok"]},
+    })
+    return validate(df, cset, id_col="doc_id", observe=False).violations()
+
+
+_SQL_KW_OBJECT = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         '{"lang":' || CASE WHEN lang IS NULL THEN 'null'
+                            ELSE '"' || lang || '"' END
+         || ',"source":' || CASE WHEN source IS NULL THEN 'null'
+                                 ELSE '"' || source || '"' END AS mjson
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'meta.properties' AS constraint_id,
+       '{' || substr(mjson, 2) || ',"n_chars":'
+           || COALESCE(CAST(n_chars AS VARCHAR), 'null') || '}'
+         AS observed_value
+FROM t
+WHERE NOT ((lang IS NULL OR lang IN ('en','zh','es','de'))
+           AND (n_chars IS NULL OR n_chars >= 100))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'meta.requiredProperties',
+       '{' || substr(mjson, 2) || ',"n_chars":'
+           || COALESCE(CAST(n_chars AS VARCHAR), 'null') || '}'
+FROM t WHERE lang IS NULL OR source IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'meta.minProperties',
+       '{' || substr(mjson, 2) || ',"n_chars":'
+           || COALESCE(CAST(n_chars AS VARCHAR), 'null') || '}'
+FROM t
+WHERE (CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) < 3
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'attrs.requiredProperties', mjson || '}'
+FROM t WHERE lang IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'attrs.properties', mjson || '}'
+FROM t WHERE NOT (lang IS NULL OR lang IN ('en','zh','es','de'))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source.dependencies', source
+FROM t WHERE source IS NOT NULL AND lang = 'fr'
+"""
+
+
+def _q_kw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multipleOf (integer + decimal-rescale float path), exclusive
+    bounds."""
+    from json_schema_spark import ConstraintSet, validate
+
+    df = (_docs(spark, sf_dir)
+          .select("doc_id", "n_chars",
+                  (F.col("n_chars") / F.lit(8.0)).alias("ratio")))
+    cset = ConstraintSet(name="numeric_kw", columns={
+        "n_chars": {"multipleOf": 7, "exclusiveMinimum": 50,
+                    "exclusiveMaximum": 500},
+        "ratio": {"multipleOf": 0.25},
+    })
+    return validate(df, cset, id_col="doc_id", observe=False).violations()
+
+
+_SQL_KW_NUMERIC = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'n_chars.multipleOf' AS constraint_id,
+       CAST(n_chars AS VARCHAR) AS observed_value
+FROM documents WHERE n_chars IS NOT NULL AND n_chars % 7 != 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'n_chars.exclusiveMinimum',
+       CAST(n_chars AS VARCHAR)
+FROM documents WHERE n_chars IS NOT NULL AND n_chars <= 50
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'n_chars.exclusiveMaximum',
+       CAST(n_chars AS VARCHAR)
+FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 500
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'ratio.multipleOf',
+       CAST(CAST(n_chars AS DOUBLE) / 8 AS VARCHAR)
+FROM documents
+WHERE n_chars IS NOT NULL
+  AND CAST(CAST(n_chars AS DOUBLE) / 8 AS DECIMAL(38,12))
+      % CAST(0.25 AS DECIMAL(38,12)) != 0
+"""
+
+
+def _format_probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic format-probe strings derived from doc_id — the same
+    construction _sql_kw_formats() replays in DuckDB."""
+    i = F.col("doc_id")
+    ip = F.concat_ws(".", ((i * 7) % 300).cast("string"),
+                     ((i * 13) % 256).cast("string"), F.lit("0"), F.lit("1"))
+    day = F.lpad((i % 34).cast("string"), 2, "0")
+    month = F.lpad((i % 15).cast("string"), 2, "0")
+    d = F.concat(F.lit("2024-"), month, F.lit("-"), day)
+    hour = F.lpad((i % 30).cast("string"), 2, "0")
+    dt = F.concat(d, F.lit("T"), hour, F.lit(":05:06Z"))
+    minute = F.lpad((i % 61).cast("string"), 2, "0")
+    tm = F.concat(hour, F.lit(":"), minute, F.lit(":00Z"))
+    em = (F.when(i % 4 == 0, F.lit("user@example.com"))
+          .when(i % 4 == 1, F.lit("user.name+tag@sub.example.org"))
+          .when(i % 4 == 2, F.lit("bad@@x.com"))
+          .otherwise(F.lit("no-at-sign")))
+    host = (F.when(i % 4 == 0, F.lit("example.com"))
+            .when(i % 4 == 1, F.lit("a-b.c-d.org"))
+            .when(i % 4 == 2, F.lit("-bad.com"))
+            .otherwise(F.lit("x" * 64 + ".com")))
+    jp = (F.when(i % 4 == 0, F.lit(""))
+          .when(i % 4 == 1, F.lit("/a/b~0c"))
+          .when(i % 4 == 2, F.lit("/a/~2b"))
+          .otherwise(F.lit("a/b")))
+    u = (F.when(i % 5 == 0, F.lit("https://example.com/a/b?q=1#frag"))
+         .when(i % 5 == 1, F.lit("mailto:user@example.com"))
+         .when(i % 5 == 2, F.lit("http://exa mple.com/x"))
+         .when(i % 5 == 3, F.lit("//missing.scheme/path"))
+         .otherwise(F.lit("ftp://ok.org/file.txt")))
+    return _docs(spark, sf_dir).select(
+        "doc_id", ip.alias("ip"), d.alias("d"), dt.alias("dt"),
+        tm.alias("tm"), em.alias("em"), host.alias("host"),
+        jp.alias("jp"), u.alias("u"))
+
+
+def _q_kw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-expressible format constraints, all JVM-side rlike."""
+    from json_schema_spark import ConstraintSet, validate
+
+    cset = ConstraintSet(name="format_kw", columns={
+        "ip": {"format": "ipv4"}, "d": {"format": "date"},
+        "dt": {"format": "date-time"}, "tm": {"format": "time"},
+        "em": {"format": "email"}, "host": {"format": "hostname"},
+        "jp": {"format": "json-pointer"}, "u": {"format": "uri"},
+    })
+    return validate(_format_probe_df(spark, sf_dir), cset,
+                    id_col="doc_id", observe=False).violations()
+
+
+def _sql_kw_formats() -> str:
+    """DuckDB replay: same probe construction + the SAME regex constants
+    as constraints/formats.py (single-quote-escaped; (?i) and \\b are
+    RE2-compatible)."""
+    from json_schema_spark.constraints import formats as FX
+
+    def rx(pattern: str) -> str:
+        return pattern.replace("'", "''")
+
+    probes = """
+  SELECT doc_id,
+         concat_ws('.', CAST((doc_id * 7) % 300 AS VARCHAR),
+                   CAST((doc_id * 13) % 256 AS VARCHAR), '0', '1') AS ip,
+         '2024-' || lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '-'
+                 || lpad(CAST(doc_id % 34 AS VARCHAR), 2, '0') AS d,
+         '2024-' || lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '-'
+                 || lpad(CAST(doc_id % 34 AS VARCHAR), 2, '0')
+                 || 'T' || lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0')
+                 || ':05:06Z' AS dt,
+         lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0') || ':'
+                 || lpad(CAST(doc_id % 61 AS VARCHAR), 2, '0')
+                 || ':00Z' AS tm,
+         CASE doc_id % 4 WHEN 0 THEN 'user@example.com'
+              WHEN 1 THEN 'user.name+tag@sub.example.org'
+              WHEN 2 THEN 'bad@@x.com' ELSE 'no-at-sign' END AS em,
+         CASE doc_id % 4 WHEN 0 THEN 'example.com'
+              WHEN 1 THEN 'a-b.c-d.org' WHEN 2 THEN '-bad.com'
+              ELSE repeat('x', 64) || '.com' END AS host,
+         CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/a/b~0c'
+              WHEN 2 THEN '/a/~2b' ELSE 'a/b' END AS jp,
+         CASE doc_id % 5 WHEN 0 THEN 'https://example.com/a/b?q=1#frag'
+              WHEN 1 THEN 'mailto:user@example.com'
+              WHEN 2 THEN 'http://exa mple.com/x'
+              WHEN 3 THEN '//missing.scheme/path'
+              ELSE 'ftp://ok.org/file.txt' END AS u
+  FROM documents
+"""
+    hostname_ok = (
+        f"(regexp_matches({{c}}, '{rx(FX.RX_HOSTNAME)}') OR regexp_matches("
+        f"regexp_replace({{c}}, '^\\[([^\\]]+)\\]$', '\\1'), "
+        f"'{rx(FX.RX_IPV6)}'))")
+    # _uri() replay: scheme, authority/host/path/frag extraction with the
+    # same regexes; regexp_extract returns '' on no-match in both engines
+    uri_parts = f"""
+  SELECT doc_id, u,
+         regexp_matches(u, '{rx(FX.RX_URI_SCHEME)}') AS has_scheme,
+         regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://') AS is_hier,
+         regexp_replace(regexp_replace(
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+             '^[^@\\[\\]]*@', ''), ':[0-9]*$', '') AS uhost,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)',
+                        1) AS upath,
+         regexp_extract(u, '#(.*)$', 1) AS ufrag,
+         regexp_replace(u, '{rx(FX.RX_URI_SCHEME)}', '') AS uopaque
+  FROM probes
+"""
+    uri_ok = (
+        "(has_scheme AND ((is_hier AND (uhost = '' OR "
+        + hostname_ok.replace("{c}", "uhost")
+        + f") AND (upath = '' OR regexp_matches(upath, '{rx(FX.RX_PATH_CHARS)}'))"
+        f" AND (ufrag = '' OR regexp_matches(ufrag, '{rx(FX.RX_PATH_CHARS)}')))"
+        " OR ((NOT is_hier) AND "
+        f"regexp_matches(uopaque, '{rx(FX.RX_PATH_CHARS)}'))))")
+    jp_ok = (f"((jp = '' OR regexp_matches(jp, '{rx(FX.RX_JSON_POINTER)}')) "
+             f"AND NOT regexp_matches(jp, '{rx(FX.RX_TILDE_BAD)}'))")
+    return f"""
+WITH probes AS ({probes}),
+uparts AS ({uri_parts})
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'ip.format' AS constraint_id,
+       ip AS observed_value
+FROM probes WHERE NOT regexp_matches(ip, '{rx(FX.RX_IPV4)}')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'd.format', d
+FROM probes WHERE NOT regexp_matches(d, '{rx(FX.RX_DATE)}')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'dt.format', dt
+FROM probes WHERE NOT regexp_matches(dt, '{rx(FX.RX_DATE_TIME)}')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'tm.format', tm
+FROM probes WHERE NOT regexp_matches(tm, '{rx(FX.RX_TIME)}')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'em.format', em
+FROM probes WHERE NOT regexp_matches(em, '{rx(FX.RX_EMAIL)}')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'host.format', host
+FROM probes WHERE NOT {hostname_ok.replace("{c}", "host")}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'jp.format', jp
+FROM probes WHERE NOT {jp_ok}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'u.format', u
+FROM uparts WHERE NOT {uri_ok}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -705,6 +1071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
+        "kw_combinators": _q_kw_combinators,
+        "kw_array": _q_kw_array,
+        "kw_object": _q_kw_object,
+        "kw_numeric": _q_kw_numeric,
+        "kw_formats": _q_kw_formats,
     }
 
 
@@ -730,4 +1101,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
+        "kw_combinators": _SQL_KW_COMBINATORS,
+        "kw_array": _SQL_KW_ARRAY,
+        "kw_object": _SQL_KW_OBJECT,
+        "kw_numeric": _SQL_KW_NUMERIC,
+        "kw_formats": _sql_kw_formats(),
     }
