@@ -326,6 +326,51 @@ FROM votes
 """
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-bit bucketed hamming pairing over the perturbed corpus —
+    the oracle verifies against brute-force all-pairs, which the
+    pigeonhole guarantee (d < n_chunks) makes exactly equivalent."""
+    from json_schema_spark.textops.dedup import simhash_pairs
+
+    return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=3,
+                         n_chunks=4)
+
+
+_SQL_SIMHASH_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extrawordzz'
+  FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+  FROM corpus WHERE text IS NOT NULL AND trim(text) != ''
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), j -> list_aggregate(
+           list_transform(tokens, t ->
+             CASE WHEN CAST(floor(CAST(('0x' || substr(md5(t), 1, 8))
+                                       AS BIGINT) / pow(2, j)) AS BIGINT)
+                       % 2 = 1
+                  THEN 1 ELSE -1 END), 'sum')) AS v
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(0, 32), j ->
+           CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+                ELSE 0 END), 'sum') AS BIGINT) AS simhash
+  FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.similarity import cosine_topk
 
@@ -486,6 +531,115 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
                             ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs
 ) WHERE rank <= 5
+"""
+
+
+_IVF_K = 8        # centroid count: embeddings of vec_id < 8 (no Lloyd —
+_IVF_NPROBE = 2   # deterministic so the oracle replays the same cells)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic centroids: the first _IVF_K vectors by
+    id serve as cells (Lloyd refinement is skipped here because
+    partition-order float summation is not oracle-reproducible; the
+    assignment/probe/rank machinery is identical either way)."""
+    from json_schema_spark.textops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(x) for x in r[0]]
+             for r in (emb.filter(F.col("vec_id") < _IVF_K)
+                       .orderBy("vec_id").select("embedding").collect())]
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                    nprobe=_IVF_NPROBE, centroids=cents)
+
+
+_SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_IVF_K}
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+           (a, b) -> a + b) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists WHERE vec_id < 10
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+           i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+           (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)),
+              (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y))) AS sim
+  FROM probe p JOIN assign a ON p.cell = a.cell
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.checks.drift import ks_by_period
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ks_by_period(ev, "value", "ts")
+            .withColumn("day", F.col("day").cast("string")))
+
+
+_SQL_KS_DRIFT = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(value AS DOUBLE) * 4) AS BIGINT) AS b,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+day_totals AS (SELECT day, sum(n) AS day_n FROM counts GROUP BY 1),
+bucket_totals AS (SELECT b, sum(n) AS all_n FROM counts GROUP BY 1),
+grand AS (SELECT sum(n) AS grand_n FROM counts),
+grid AS (
+  SELECT d.day, bt.b, d.day_n, bt.all_n, g.grand_n,
+         COALESCE(c.n, 0) AS n
+  FROM day_totals d CROSS JOIN bucket_totals bt CROSS JOIN grand g
+  LEFT JOIN counts c ON c.day = d.day AND c.b = bt.b
+),
+cums AS (
+  SELECT day,
+         abs(CAST(sum(n) OVER (PARTITION BY day ORDER BY b
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(day_n AS DOUBLE)
+           - CAST(sum(all_n) OVER (PARTITION BY day ORDER BY b
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(grand_n AS DOUBLE)) AS gap
+  FROM grid
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, round(max(gap), 6) AS ks
+FROM cums GROUP BY day ORDER BY day
 """
 
 
@@ -1061,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_exact_text": _q_dedup_exact_text,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
         "text_analysis": _q_text_analysis,
@@ -1071,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
+        "ks_drift": _q_ks_drift,
+        "ivf_topk": _q_ivf_topk,
         "kw_combinators": _q_kw_combinators,
         "kw_array": _q_kw_array,
         "kw_object": _q_kw_object,
@@ -1091,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_exact_text": _SQL_DEDUP_EXACT_TEXT,
         "simhash": _SQL_SIMHASH,
+        "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_lsh_ann(),
         "text_analysis": _sql_text_analysis(),
@@ -1101,6 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
+        "ks_drift": _SQL_KS_DRIFT,
+        "ivf_topk": _SQL_IVF_TOPK,
         "kw_combinators": _SQL_KW_COMBINATORS,
         "kw_array": _SQL_KW_ARRAY,
         "kw_object": _SQL_KW_OBJECT,

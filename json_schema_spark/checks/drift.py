@@ -122,6 +122,54 @@ def psi_by_period(df: DataFrame, cat_col: str, ts_col: str = "ts",
             .orderBy("day"))
 
 
+def ks_by_period(df: DataFrame, value_col: str, ts_col: str = "ts",
+                 quantize: float = 4.0) -> DataFrame:
+    """Exact distributed KS statistic per day of a numeric column vs the
+    overall (all-days) distribution: (day, ks).
+
+    Exactness demands evaluating |F_day(x) - F_all(x)| at every jump
+    point, so the value axis is first QUANTIZED to buckets of width
+    1/quantize via floor(value*quantize) — floor is deterministic in
+    every engine (round() half-mode is not), making this oracle-
+    reproducible. The grid after quantization is days x distinct
+    buckets; all shuffles are O(grid), independent of row count. At
+    web scale pick `quantize` so the bucket count stays ~1e4 —
+    the KS of the quantized distribution is then exact, with
+    discretization error bounded by the bucket mass.
+
+    Plan: one groupBy(day, bucket) count over the scan, a broadcast
+    grid of days x buckets, two running-sum windows (cumulative ECDFs),
+    one final per-day max."""
+    from pyspark.sql import Window as W
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    b = F.floor(F.col(value_col).cast("double") * F.lit(quantize)) \
+        .cast("bigint").alias("b")
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .select(day, b)
+              .groupBy("day", "b").agg(F.count(F.lit(1)).alias("n")))
+    day_totals = counts.groupBy("day").agg(F.sum("n").alias("day_n"))
+    bucket_totals = counts.groupBy("b").agg(F.sum("n").alias("all_n"))
+    grand = counts.agg(F.sum("n").alias("grand_n"))
+
+    grid = (day_totals.crossJoin(F.broadcast(bucket_totals))
+            .crossJoin(F.broadcast(grand))
+            .join(counts, ["day", "b"], "left")
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    w_day = W.partitionBy("day").orderBy("b") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum_day = F.sum("n").over(w_day).cast("double") \
+        / F.col("day_n").cast("double")
+    w_all = W.partitionBy("day").orderBy("b") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum_all = F.sum("all_n").over(w_all).cast("double") \
+        / F.col("grand_n").cast("double")
+    gaps = grid.withColumn("gap", F.abs(cum_day - cum_all))
+    return (gaps.groupBy("day")
+            .agg(F.round(F.max("gap"), 6).alias("ks"))
+            .orderBy("day"))
+
+
 def drift_report(df: DataFrame,
                  numeric_col,
                  cat_col: str,

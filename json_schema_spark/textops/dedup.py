@@ -352,3 +352,62 @@ def simhash_table(df: DataFrame, text_col: str = "text",
          .otherwise(F.lit(0).cast("bigint")) for j in range(bits)])
     return per_doc.select(F.col("_id").alias(id_col),
                           assembled.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  n_chunks: int = 4, bits: int = 32) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, without the
+    all-pairs cross product.
+
+    Chunked-bit bucketing (Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007): split each
+    fingerprint into ``n_chunks`` contiguous bit ranges. Two
+    fingerprints within hamming distance d < n_chunks differ in at most
+    d chunks, so by pigeonhole they agree EXACTLY on >= 1 chunk — a
+    per-chunk equi-join on (chunk_idx, chunk_val) therefore finds every
+    qualifying pair with zero false negatives. Candidates verify with
+    the exact distance: bit_count(a ^ b) <= max_hamming.
+
+    Scale story: the join shuffles on (chunk_idx, chunk_val) — at
+    web scale use bits=64 and n_chunks = max_hamming+1 sized so
+    chunk_bits stays >= ~12 (4k+ buckets per chunk); AQE splits any
+    residual skewed bucket. Candidate volume is sum of per-bucket m^2,
+    the same cost profile as MinHash LSH banding.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError("need max_hamming < n_chunks for the pigeonhole "
+                         "guarantee (no false negatives)")
+    if bits % n_chunks:
+        raise ValueError("bits must divide evenly into n_chunks")
+    chunk_bits = bits // n_chunks
+    sh = simhash_table(df, text_col, id_col, bits)
+
+    # chunk_val = (simhash >> (chunk_bits*idx)) & (2^chunk_bits - 1),
+    # via exact double pow (simhash < 2^32 << 2^52)
+    idx = F.col("chunk_idx")
+    chunk_val = (
+        F.floor(F.col("simhash")
+                / F.pow(F.lit(2.0), idx * chunk_bits)).cast("bigint")
+        % F.lit(1 << chunk_bits))
+    chunks = (sh.select(F.col(id_col).alias("_id"), "simhash")
+              .select("_id", "simhash",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(n_chunks - 1))).alias("chunk_idx"))
+              .withColumn("chunk_val", chunk_val))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

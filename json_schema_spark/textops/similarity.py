@@ -66,6 +66,24 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     F.round(F.col("cosine_sim"), 6).alias("cosine_sim")))
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 256,
+                  min_planes: int = 4, max_planes: int = 24) -> int:
+    """Size the hyperplane count from the corpus: 2^n_planes buckets with
+    ~target_bucket_size expected rows each, clamped to [min, max].
+
+    This is the scale rule VERDICT r1 asked to encode: a fixed
+    n_planes=6 (64 buckets) that is fine at 10^4 vectors becomes a
+    64-way skewed join at 10^9+ — buckets must GROW with the corpus so
+    per-bucket pair counts stay bounded."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_planes
+    return max(min_planes,
+               min(max_planes,
+                   math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def hyperplanes(dim: int, n_planes: int = 8,
                 seed: str = "jss-lsh") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1)^dim, derived
@@ -112,12 +130,16 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 6, dim: int | None = None,
+             n_planes: int | None = 6, dim: int | None = None,
              seed: str = "jss-lsh") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket. The bucket equi-join replaces the cross product — the
-    shuffle key is the bucket id, so cost scales with bucket sizes
-    (2^n_planes buckets; tune n_planes to corpus size)."""
+    shuffle key is the bucket id, so cost scales with bucket sizes.
+    Pass n_planes=None to auto-size from the corpus row count
+    (auto_n_planes; costs one count() job). dim is probed with a
+    first() when not given — pass it when you call this in a loop."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
@@ -235,11 +257,16 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              n_planes: int = 6,
+                              n_planes: int | None = 6,
+                              dim: int | None = None,
                               seed: str = "jss-lsh") -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
-    within LSH buckets — the embedding analog of MinHash near-dup."""
-    dim = len(df.select(vec_col).first()[0])
+    within LSH buckets — the embedding analog of MinHash near-dup.
+    n_planes=None auto-sizes buckets from the corpus count."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).alias("_v"),

@@ -76,3 +76,39 @@ def test_drift_detects_shifted_window(spark):
     assert by_day["2024-03-09"]["ks_drift"]
     assert by_day["2024-03-09"]["psi_drift"]
     assert not by_day["2024-03-05"]["psi_drift"]
+
+
+def test_ks_by_period_exact(spark):
+    """ks_by_period vs a NumPy-computed exact KS of the quantized
+    distribution, per day."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from json_schema_spark.checks.drift import ks_by_period
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {str(r["day"]): r["ks"] for r in
+           ks_by_period(ev, "value", "ts").collect()}
+
+    rows = ev.select(F.to_date("ts").alias("d"), "value").collect()
+    by_day: dict = {}
+    allb = []
+    for r in rows:
+        if r["value"] is None:
+            continue
+        b = int(np.floor(float(r["value"]) * 4))
+        by_day.setdefault(str(r["d"]), []).append(b)
+        allb.append(b)
+    grid = sorted(set(allb))
+    n_all = len(allb)
+    import collections
+    all_c = collections.Counter(allb)
+    for day, vals in by_day.items():
+        day_c = collections.Counter(vals)
+        cum_d = cum_a = 0.0
+        ks = 0.0
+        for b in grid:
+            cum_d += day_c.get(b, 0) / len(vals)
+            cum_a += all_c.get(b, 0) / n_all
+            ks = max(ks, abs(cum_d - cum_a))
+        assert abs(got[day] - ks) < 1e-5, day

@@ -229,3 +229,58 @@ def test_ivf_topk_recall(emb):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_simhash_pairs_finds_perturbed_clones(spark):
+    """A doc and its one-word-appended clone differ by few vote flips —
+    chunked-bit bucketing must surface the pair, and the bucketed result
+    must equal brute force (pigeonhole: d < n_chunks => no false
+    negatives)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.dedup import simhash_pairs, simhash_table
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    pert = (docs.filter((F.col("doc_id") < 10) & F.col("text").isNotNull())
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat("text", F.lit(" zz")).alias("text")))
+    corpus = docs.unionByName(pert)
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(corpus, max_hamming=3).collect()}
+    # brute force over the same fingerprints
+    sh = {r["doc_id"]: r["simhash"]
+          for r in simhash_table(corpus).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert any(b - a == 100000 for a, b in got)  # clones found
+
+
+def test_simhash_pairs_param_guards(spark):
+    import pytest
+
+    from json_schema_spark.textops.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(df, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError):
+        simhash_pairs(df, n_chunks=5)
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from json_schema_spark.textops.similarity import auto_n_planes
+
+    assert auto_n_planes(100) == 4                 # clamped floor
+    assert auto_n_planes(10_000) < auto_n_planes(10_000_000)
+    assert auto_n_planes(10 ** 12) == 24           # clamped ceiling
+    # target bucket size holds in the unclamped middle
+    n = auto_n_planes(2_000_000)
+    assert 2 ** n >= 2_000_000 / 256
