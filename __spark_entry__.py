@@ -469,7 +469,11 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("text").isNotNull())
              .select("doc_id",
                      F.encode(F.col("text"), "UTF-8").alias("blob")))
-    return extract_media_features(blobs, "blob", "doc_id")
+    # text blobs have no image header: width/height are all-NULL, which
+    # pandas widens to float64 NaN asymmetrically — dims parity is
+    # covered by multimodal_dims, so keep this query's original columns
+    return extract_media_features(blobs, "blob", "doc_id") \
+        .select("id", "media_type", "n_bytes", "digest", "header_hex")
 
 
 _SQL_MULTIMODAL = """
@@ -484,6 +488,86 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        md5(text) AS digest,
        lower(hex(encode(substr(text, 1, 8)))) AS header_hex
 FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dimension extraction from synthesized PNG/GIF/JPEG headers
+    (public byte layouts; width/height derived from doc_id so the oracle
+    recomputes them arithmetically). Digest is omitted — DuckDB's md5
+    is VARCHAR-only and the header bytes are not valid UTF-8."""
+    from json_schema_spark.textops.multimodal import extract_media_features
+
+    i = F.col("doc_id")
+    w = (i % 500) + 1
+    h = (i % 300) + 1
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")          # noqa: E731
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")          # noqa: E731
+    le16 = lambda c: F.concat(F.lpad(F.hex(c % 256), 2, "0"),
+                              F.lpad(F.hex(F.floor(c / 256)), 2, "0"))
+    png_hex = F.concat(F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+                       be32(w), be32(h), F.lit("08060000"))
+    gif_hex = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    jpeg_hex = F.concat(F.lit("FFD8" "FFC0" "0011" "08"), be16(h), be16(w),
+                        F.lit("03" + "00" * 9))
+    blob = (F.when(i % 4 == 0, F.unhex(png_hex))
+            .when(i % 4 == 1, F.unhex(gif_hex))
+            .when(i % 4 == 2, F.unhex(jpeg_hex))
+            .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")),
+                                "UTF-8")))
+    blobs = _docs(spark, sf_dir).select("doc_id", "text",
+                                        blob.alias("blob"))
+    out = extract_media_features(blobs, "blob", "doc_id")
+    # dims as strings: nullable ints round-trip as float64/NaN through
+    # pandas on either engine, which the value-hash comparator sees as a
+    # dtype mismatch (same artifact as the r1 simhash HUGEINT cell)
+    return out.select("id", "media_type", "n_bytes", "header_hex",
+                      F.col("width").cast("string").alias("width"),
+                      F.col("height").cast("string").alias("height"))
+
+
+_SQL_MULTIMODAL_DIMS = """
+WITH probe AS (
+  SELECT doc_id, text,
+         (doc_id % 500) + 1 AS w, (doc_id % 300) + 1 AS h,
+         doc_id % 4 AS kind
+  FROM documents
+),
+built AS (
+  SELECT doc_id, kind, w, h, text,
+         CASE kind
+           WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+                       || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+                       || '08060000'
+           WHEN 1 THEN '474946383961'
+                       || lpad(hex(w % 256), 2, '0')
+                       || lpad(hex(w // 256), 2, '0')
+                       || lpad(hex(h % 256), 2, '0')
+                       || lpad(hex(h // 256), 2, '0')
+           WHEN 2 THEN 'FFD8FFC0001108' || lpad(hex(h), 4, '0')
+                       || lpad(hex(w), 4, '0') || '03'
+                       || repeat('00', 9)
+           ELSE hex(encode(COALESCE(text, ''))) END AS blob_hex
+  FROM probe
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'image/jpeg'
+            ELSE CASE
+              WHEN lower(substr(COALESCE(text, ''), 1, 4)) = 'gif8'
+                THEN 'image/gif'
+              WHEN lower(substr(COALESCE(text, ''), 1, 4)) = 'riff'
+                THEN 'audio/wav'
+              WHEN lower(substr(COALESCE(text, ''), 1, 3)) = 'id3'
+                THEN 'audio/mpeg'
+              WHEN lower(substr(COALESCE(text, ''), 1, 4))
+                   IN ('<htm', '<!do') THEN 'text/html'
+              ELSE 'application/octet-stream' END END AS media_type,
+       CAST(length(blob_hex) / 2 AS BIGINT) AS n_bytes,
+       lower(substr(blob_hex, 1, 16)) AS header_hex,
+       CASE WHEN kind IN (0, 1, 2) THEN CAST(w AS VARCHAR) END AS width,
+       CASE WHEN kind IN (0, 1, 2) THEN CAST(h AS VARCHAR) END AS height
+FROM built
 """
 
 
@@ -1220,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_ann,
         "text_analysis": _q_text_analysis,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_dims": _q_multimodal_dims,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "containment_winnowing": _q_containment,
@@ -1253,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_lsh_ann(),
         "text_analysis": _sql_text_analysis(),
         "multimodal_features": _SQL_MULTIMODAL,
+        "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "containment_winnowing": _SQL_CONTAINMENT,

@@ -156,7 +156,15 @@ def _referential_constraints(df: DataFrame,
     value outside the list fails)."""
     out = []
     for col_name, allowed in cset.referential.items():
-        if isinstance(allowed, DataFrame) or col_name not in df.columns:
+        if isinstance(allowed, DataFrame):
+            continue
+        if col_name not in df.columns:
+            # a typo'd column name must not make the check silently pass
+            # — same policy as `required` on a missing column
+            # (compiler.compile_constraints): an always-fail constraint
+            out.append(CompiledConstraint(
+                f"{col_name}.referential", col_name,
+                F.lit(False), F.lit(None).cast("string")))
             continue
         col = F.col(col_name)
         pred = F.coalesce(col.isNull() | col.isin(list(allowed)), F.lit(False))

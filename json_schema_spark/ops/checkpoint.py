@@ -86,8 +86,17 @@ def list_partitions(df: DataFrame, partition_col: str) -> list[str]:
 
 
 def input_files_for(df: DataFrame) -> list[str]:
+    """Files ACTUALLY read for ``df`` — distinct input_file_name() from
+    the filtered plan. df.inputFiles() would list the relation's entire
+    file inventory, ignoring partition filters, so every manifest would
+    (wrongly) record the whole table as its lineage. Costs one
+    metadata-sized job; partition pruning keeps the scan to the
+    partition itself."""
     try:
-        return sorted(df.inputFiles())
+        return sorted(
+            r[0] for r in
+            df.select(F.input_file_name().alias("f")).distinct().collect()
+            if r[0])
     except Exception:
         return []
 

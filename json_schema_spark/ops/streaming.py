@@ -46,13 +46,25 @@ def annotate_stream(stream_df: DataFrame, cset: ConstraintSet) -> DataFrame:
 
 
 def stream_violations(stream_df: DataFrame, cset: ConstraintSet,
-                      id_col: str = "url") -> DataFrame:
+                      id_col: str = "url",
+                      ts_col: str | None = None) -> DataFrame:
     """Streaming violation feed: (id, constraint_id, observed_value,
-    event_ts) — append-mode safe (stateless projection + filter)."""
+    event_ts) — append-mode safe (stateless projection + filter).
+
+    ``ts_col`` names the event-time column explicitly; when omitted the
+    schema must contain at most ONE timestamp column (ambiguity raises
+    instead of silently stamping the wrong event time), falling back to
+    processing time when there is none."""
     ann = annotate_stream(stream_df, cset)
-    ts_cols = [f.name for f in stream_df.schema.fields
-               if f.dataType.typeName() == "timestamp"]
-    ts = F.col(ts_cols[0]) if ts_cols else F.current_timestamp()
+    if ts_col is not None:
+        ts = F.col(ts_col)
+    else:
+        ts_cols = [f.name for f in stream_df.schema.fields
+                   if f.dataType.typeName() == "timestamp"]
+        if len(ts_cols) > 1:
+            raise ValueError(
+                f"multiple timestamp columns {ts_cols}; pass ts_col=")
+        ts = F.col(ts_cols[0]) if ts_cols else F.current_timestamp()
     return (ann.filter(F.size("_violations") > 0)
             .select(F.col(id_col).cast("string").alias(id_col),
                     F.explode("_violations").alias("v"),

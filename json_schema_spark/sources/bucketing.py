@@ -54,12 +54,22 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     replicated once per salt value. The shuffle key becomes (on, salt),
     splitting each hot key's rows across ``salt`` reducers.
 
-    Right-side columns must not collide with left's except ``on``.
+    Only inner/left joins are supported: the right side is REPLICATED
+    per salt, so right/full outer joins would emit each unmatched right
+    row ``salt`` times. Right-side columns must not collide with left's
+    except ``on``.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r} — the "
+            "replicated right side would duplicate unmatched right rows")
+    salt_col = "__jss_salt__"
+    if salt_col in left.columns or salt_col in right.columns:
+        raise ValueError(f"column {salt_col} already exists on an input")
     left_s = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
-                        F.lit(salt)).cast("int"))
-    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                         F.lit(salt)).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(salt_col)
     right_r = right.select("*", salts)
-    out = left_s.join(right_r, [on, "_salt"], how)
-    return out.drop("_salt")
+    out = left_s.join(right_r, [on, salt_col], how)
+    return out.drop(salt_col)

@@ -37,6 +37,8 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType()),
     T.StructField("digest", T.StringType()),
     T.StructField("header_hex", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
 ])
 
 _MAGIC = {
@@ -57,6 +59,52 @@ def sniff_media_type(blob: bytes | None) -> str | None:
         if blob[:len(magic)].lower() == magic.lower():
             return mtype
     return "application/octet-stream"
+
+
+# JPEG start-of-frame markers that carry dimensions (public byte layout,
+# ITU T.81): C0-C3, C5-C7, C9-CB, CD-CF
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_dimensions(blob: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from PNG IHDR / GIF logical-screen descriptor /
+    JPEG SOF headers — pure byte arithmetic, no codec library. These are
+    public, stable layouts:
+    - PNG: 8-byte signature, then the IHDR chunk; width/height are
+      big-endian u32 at offsets 16/20.
+    - GIF: 'GIF87a'/'GIF89a', then little-endian u16 width/height at 6/8.
+    - JPEG: marker segments after SOI; the SOF segment carries height at
+      +5 and width at +7 (big-endian u16).
+    Returns None for other/truncated blobs (full pixel decode stays
+    behind decode_image's optional-PIL stub)."""
+    if blob is None:
+        return None
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR" \
+                and len(blob) >= 24:
+            w = int.from_bytes(blob[16:20], "big")
+            h = int.from_bytes(blob[20:24], "big")
+            return (w, h)
+        if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+            w = int.from_bytes(blob[6:8], "little")
+            h = int.from_bytes(blob[8:10], "little")
+            return (w, h)
+        if blob[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 9 < len(blob) and blob[pos] == 0xFF:
+                marker = blob[pos + 1]
+                if marker in _JPEG_SOF:
+                    h = int.from_bytes(blob[pos + 5:pos + 7], "big")
+                    w = int.from_bytes(blob[pos + 7:pos + 9], "big")
+                    return (w, h)
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone markers carry no length
+                    continue
+                pos += 2 + int.from_bytes(blob[pos + 2:pos + 4], "big")
+    except (IndexError, ValueError):
+        return None
+    return None
 
 
 def decode_image(blob: bytes) -> Any:
@@ -114,6 +162,7 @@ def extract_media_features(df: DataFrame, blob_col: str,
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_name]
+            dims = [parse_image_dimensions(b) for b in blobs]
             out = pd.DataFrame({
                 "id": pdf[id_name].astype(str),
                 "media_type": [sniff_media_type(b) for b in blobs],
@@ -123,6 +172,10 @@ def extract_media_features(df: DataFrame, blob_col: str,
                     for b in blobs],
                 "header_hex": [
                     b[:8].hex() if b is not None else None for b in blobs],
+                "width": pd.array(
+                    [d[0] if d else None for d in dims], dtype="Int64"),
+                "height": pd.array(
+                    [d[1] if d else None for d in dims], dtype="Int64"),
             })
             yield out
 

@@ -188,24 +188,27 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     return centroids
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared L2 distance — a when-chain over precomputed
-    distance expressions (n_centroids dot products per row)."""
-    def dist2(plane: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(x) for x in plane])
-        diff = F.zip_with(vec, lit_c,
-                          lambda x, y: (x.cast("double") - y)
-                          * (x.cast("double") - y))
-        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+def _dist2(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(x) for x in centroid])
+    diff = F.zip_with(vec, lit_c,
+                      lambda x, y: (x.cast("double") - y)
+                      * (x.cast("double") - y))
+    return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
 
-    dists = [dist2(c) for c in centroids]
-    best = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(centroids)):
-        is_closer = dists[i] < best_d
-        best = F.when(is_closer, F.lit(i)).otherwise(best)
-        best_d = F.when(is_closer, dists[i]).otherwise(best_d)
-    return best
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance via array_sort of (d, i) structs.
+
+    NOT a min-tracking when-chain: that form nests each when inside the
+    next's `otherwise`, so dist expressions get re-referenced (and
+    re-evaluated — no CSE across when branches) a number of times that
+    grows with n_centroids. Here every distance is evaluated exactly
+    once; ties break to the lowest centroid index (lexicographic struct
+    sort), matching ORDER BY d, cid in oracle SQL."""
+    entries = F.array(*[
+        F.struct(_dist2(vec, cent).alias("d"), F.lit(i).alias("i"))
+        for i, cent in enumerate(centroids)])
+    return F.array_sort(entries)[0]["i"]
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,

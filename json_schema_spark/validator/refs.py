@@ -1,21 +1,35 @@
-"""Driver-side $ref / definitions resolution (pre-compile pass).
+"""Driver-side $ref / $id / definitions resolution (pre-compile pass).
 
 The analog of the reference's Ref pre-pass (/root/reference/src/Ref.php):
-local JSON-pointer references (#/definitions/..., #/properties/x, ...) are
-replaced by the referenced node itself — shared object identity, so
-ref-to-ref chains and cycles become shared/self-referential Python
-structures. The schema compiler's path-depth guard (document._MAX_PATH_DEPTH,
-mirroring Schema.php:186-190) cuts cyclic compilation off to `true`.
-
-Runs entirely on the driver before compilation; executors only ever see the
-compiled schema. Remote (http://) refs are intentionally NOT fetched here —
-data-plane code must never do network I/O; unresolvable refs are left in
-place and compile as inert keywords.
+- `$id` interning (Ref.php:114-145 registerIdentifications): every object
+  node carrying a string `$id` is registered under that value and the
+  `$id` key removed; a `$ref` whose value EXACTLY matches a registered
+  `$id` resolves to that node (checked before URL/pointer dispatch, same
+  order as Ref.php:162-171).
+- remote refs (Ref.php:295-333 downloadJsonResource): http(s):// and
+  file:// refs are fetched ON THE DRIVER with a small timeout and a
+  per-resolution URL cache, mirroring CURL_TIMEOUT/urlCache. Executors
+  never fetch anything — the data-plane no-I/O invariant holds because
+  resolution happens before compilation. (The reference dispatches only
+  on the literal prefix 'http://' — Ref.php:174 checks it twice where
+  https was clearly intended; we accept https and file too.)
+- local JSON-pointer references (#/definitions/..., #/properties/x, ...)
+  are replaced by the referenced node itself — shared object identity,
+  so ref-to-ref chains and cycles become shared/self-referential Python
+  structures. The schema compiler's path-depth guard
+  (document._MAX_PATH_DEPTH, mirroring Schema.php:186-190) cuts cyclic
+  compilation off to `true`.
 """
 
 from __future__ import annotations
 
+import json
 from typing import Any
+
+from json_schema_spark.errors import SchemaError
+
+REMOTE_TIMEOUT_SECONDS = 1.0  # Ref.php:11 CURL_TIMEOUT = 1000 ms
+_REMOTE_SCHEMES = ("http://", "https://", "file://")
 
 
 def _unescape(segment: str) -> str:
@@ -42,25 +56,91 @@ def _lookup(root: Any, pointer: str) -> Any:
     return node
 
 
-def resolve_refs(root: Any) -> Any:
-    """Replace every local {'$ref': '#/...'} node with the referenced node
-    (shared identity). Unresolvable or non-local refs are left untouched."""
+def collect_ids(root: Any) -> dict[str, Any]:
+    """Pre-pass: register every object node with a string `$id` under
+    that value and REMOVE the `$id` key (Ref.php:122-131 stores the node
+    and unsets the property). Cycle-safe."""
+    ids: dict[str, Any] = {}
+    seen: set[int] = set()
+
+    def walk(node: Any) -> None:
+        if id(node) in seen:
+            return
+        if isinstance(node, dict):
+            seen.add(id(node))
+            anchor = node.get("$id")
+            if isinstance(anchor, str):
+                ids[anchor] = node
+                del node["$id"]
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            seen.add(id(node))
+            for v in node:
+                walk(v)
+
+    walk(root)
+    return ids
+
+
+def fetch_remote_schema(url: str, cache: dict[str, Any] | None = None,
+                        timeout: float = REMOTE_TIMEOUT_SECONDS) -> Any:
+    """Driver-side remote schema fetch with URL cache
+    (Ref.php:295-333): one request per distinct URL per resolution,
+    SchemaError on transport or JSON errors (RefException analog)."""
+    if cache is not None and url in cache:
+        return cache[url]
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            data = resp.read()
+    except Exception as exc:  # transport error → RefException parity
+        raise SchemaError(
+            f'external reference download problem: "{exc}" ({url})'
+        ) from exc
+    try:
+        doc = json.loads(data)
+    except ValueError as exc:
+        raise SchemaError(f'invalid json response for url "{url}"') from exc
+    if cache is not None:
+        cache[url] = doc
+    return doc
+
+
+def resolve_refs(root: Any, fetch_remote: bool = True,
+                 url_cache: dict[str, Any] | None = None) -> Any:
+    """Resolve every `$ref` in place (shared identity), dispatching in
+    the reference's order: $id anchor match, then remote URL, then local
+    JSON pointer. Unresolvable refs are left untouched (they compile as
+    inert keywords)."""
+    ids = collect_ids(root)
+    if url_cache is None:
+        url_cache = {}
     resolving: set[int] = set()
 
     def walk(node: Any) -> Any:
         if isinstance(node, dict):
             ref = node.get("$ref")
-            if isinstance(ref, str) and ref.startswith("#") \
-                    and id(node) not in resolving:
-                try:
-                    target = _lookup(root, ref)
-                except (KeyError, IndexError, ValueError):
-                    return node
-                resolving.add(id(node))
-                try:
-                    return walk(target)
-                finally:
-                    resolving.discard(id(node))
+            if isinstance(ref, str) and id(node) not in resolving:
+                target = None
+                if ref in ids:
+                    target = ids[ref]
+                elif ref.startswith(_REMOTE_SCHEMES):
+                    if fetch_remote:
+                        target = fetch_remote_schema(ref, url_cache)
+                elif ref.startswith("#"):
+                    try:
+                        target = _lookup(root, ref)
+                    except (KeyError, IndexError, ValueError):
+                        target = None
+                if target is not None:
+                    resolving.add(id(node))
+                    try:
+                        return walk(target)
+                    finally:
+                        resolving.discard(id(node))
+                return node
             if id(node) in resolving:
                 return node
             resolving.add(id(node))

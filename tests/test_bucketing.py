@@ -48,3 +48,23 @@ def test_salted_join_matches_plain_join(spark):
               for r in salted_join(left, right, "k", salt=4).collect()}
     assert salted == plain
     assert len(salted) == 502
+
+
+def test_salted_join_rejects_outer_and_collisions(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.sources.bucketing import salted_join
+
+    left = spark.range(10).select(F.col("id").alias("k"))
+    right = spark.range(3).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("v"))
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(left.withColumn("__jss_salt__", F.lit(1)), right, "k")
+    # left join keeps unmatched left rows exactly once
+    out = salted_join(left, right, "k", how="left")
+    assert out.count() == 10

@@ -161,3 +161,46 @@ def test_stateful_host_monitor(spark, webtext_dir, tmp_path):
                   F.sum((~F.col("_ok")).cast("long")).alias("f"))
              .collect()}
     assert got == truth
+
+
+def test_stream_violations_ts_col_disambiguation(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from json_schema_spark import ConstraintSet
+    from json_schema_spark.ops.streaming import stream_violations
+
+    cset = ConstraintSet(name="t", columns={"v": {"minimum": 0}})
+    two_ts = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "url string, v long, t1 string, t2 string") \
+        .select("url", "v", F.col("t1").cast("timestamp").alias("t1"),
+                F.col("t2").cast("timestamp").alias("t2"))
+    with pytest.raises(ValueError, match="multiple timestamp"):
+        stream_violations(two_ts, cset)
+    out = stream_violations(two_ts, cset, ts_col="t2")
+    assert "event_ts" in out.columns
+
+
+def test_manifest_input_files_respect_partition_filter(spark, tmp_path):
+    """Each partition manifest must list only the files of ITS partition
+    (ADVICE r1: df.inputFiles() ignored the filter)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark import ConstraintSet
+    from json_schema_spark.ops.checkpoint import run_validation
+
+    src = str(tmp_path / "src")
+    (spark.range(100)
+     .select(F.col("id").cast("string").alias("url"),
+             (F.col("id") % 2).cast("string").alias("day"),
+             (F.col("id") % 10).alias("v"))
+     .write.partitionBy("day").parquet(src))
+    df = spark.read.parquet(src)
+    cset = ConstraintSet(name="t", columns={"v": {"minimum": 0}})
+    stats = run_validation(spark, df, cset, str(tmp_path / "out"),
+                           partition_col="day", id_col="url")
+    for part, manifest in stats.manifests.items():
+        files = manifest["input_files"]
+        assert files, part
+        assert all(f"day={part}" in f for f in files), (part, files)

@@ -1,0 +1,109 @@
+"""$id anchor interning + remote $ref resolution (Ref.php:114-145,
+295-333 parity)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def test_collect_ids_registers_and_strips():
+    from json_schema_spark.validator.refs import collect_ids
+
+    schema = {"definitions": {"pos": {"$id": "#positive", "type": "number",
+                                      "exclusiveMinimum": 0}}}
+    ids = collect_ids(schema)
+    assert "#positive" in ids
+    assert "$id" not in schema["definitions"]["pos"]  # Ref.php:130 unset
+    assert ids["#positive"]["type"] == "number"
+
+
+def test_id_anchor_ref_resolves():
+    from json_schema_spark.validator.refs import resolve_refs
+
+    schema = {
+        "definitions": {"pos": {"$id": "#positive", "type": "number",
+                                "exclusiveMinimum": 0}},
+        "properties": {"x": {"$ref": "#positive"}},
+    }
+    out = resolve_refs(schema)
+    assert out["properties"]["x"] is out["definitions"]["pos"]
+    assert out["properties"]["x"]["exclusiveMinimum"] == 0
+
+
+def test_id_anchor_validates_documents():
+    """OpenAPI-style component schema referenced by $id anchor — the gap
+    VERDICT r1 flagged (the $ref used to stay inert)."""
+    from json_schema_spark.validator.document import (DocumentValidator,
+                                                      ValidationError,
+                                                      compile_schema)
+
+    schema = {
+        "type": "object",
+        "definitions": {
+            "lang": {"$id": "#lang", "type": "string",
+                     "enum": ["en", "de"]}},
+        "properties": {"lang": {"$ref": "#lang"}},
+    }
+    cs = compile_schema(schema)
+    v = DocumentValidator()
+    assert v.validate({"lang": "en"}, cs) == {"lang": "en"}
+    for bad in ({"lang": "xx"}, {"lang": 5}):
+        with pytest.raises(ValidationError):
+            v.validate(bad, cs)
+
+
+def test_remote_ref_file_url(tmp_path):
+    from json_schema_spark.validator.document import compile_schema
+    from json_schema_spark.validator.refs import resolve_refs
+
+    remote = tmp_path / "remote.json"
+    remote.write_text(json.dumps({"type": "integer", "minimum": 5}))
+    url = remote.as_uri()
+    schema = {"type": "object", "properties": {"n": {"$ref": url}}}
+    out = resolve_refs(schema)
+    assert out["properties"]["n"]["minimum"] == 5
+    from json_schema_spark.validator.document import (DocumentValidator,
+                                                      ValidationError)
+
+    cs = compile_schema({"type": "object",
+                         "properties": {"n": {"$ref": url}}})
+    v = DocumentValidator()
+    assert v.validate({"n": 7}, cs) == {"n": 7}
+    with pytest.raises(ValidationError):
+        v.validate({"n": 3}, cs)
+
+
+def test_remote_ref_url_cache(tmp_path):
+    """Same URL fetched once per resolution (Ref.php urlCache)."""
+    from json_schema_spark.validator.refs import resolve_refs
+
+    remote = tmp_path / "r.json"
+    remote.write_text(json.dumps({"type": "string"}))
+    url = remote.as_uri()
+    cache: dict = {}
+    schema = {"properties": {"a": {"$ref": url}, "b": {"$ref": url}}}
+    out = resolve_refs(schema, url_cache=cache)
+    assert list(cache) == [url]
+    # both sites share the cached doc (identity, like referenceStorage)
+    assert out["properties"]["a"] is out["properties"]["b"]
+
+
+def test_remote_ref_errors_are_schema_errors():
+    from json_schema_spark.errors import SchemaError
+    from json_schema_spark.validator.refs import fetch_remote_schema
+
+    with pytest.raises(SchemaError, match="download problem"):
+        fetch_remote_schema("file:///nonexistent/nope.json", {})
+
+
+def test_remote_fetch_can_be_disabled(tmp_path):
+    from json_schema_spark.validator.refs import resolve_refs
+
+    remote = tmp_path / "r.json"
+    remote.write_text(json.dumps({"type": "string"}))
+    url = remote.as_uri()
+    schema = {"properties": {"a": {"$ref": url}}}
+    out = resolve_refs(schema, fetch_remote=False)
+    assert out["properties"]["a"] == {"$ref": url}  # left inert

@@ -112,3 +112,16 @@ def test_ks_by_period_exact(spark):
             cum_a += all_c.get(b, 0) / n_all
             ks = max(ks, abs(cum_d - cum_a))
         assert abs(got[day] - ks) < 1e-5, day
+
+
+def test_referential_missing_column_fails_hard(spark):
+    """A typo'd referential column must surface as an always-fail
+    constraint, not a silent pass (ADVICE r1)."""
+    from json_schema_spark import ConstraintSet, validate
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    cset = ConstraintSet(name="t", columns={},
+                         referential={"langg": ["en"]})
+    viols = validate(df, cset, id_col="doc_id",
+                     observe=False).violations().collect()
+    assert [v["constraint_id"] for v in viols] == ["langg.referential"]

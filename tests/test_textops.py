@@ -284,3 +284,23 @@ def test_auto_n_planes_scales_with_corpus():
     # target bucket size holds in the unclamped middle
     n = auto_n_planes(2_000_000)
     assert 2 ** n >= 2_000_000 / 256
+
+
+def test_parse_image_dimensions_header_layouts():
+    from json_schema_spark.textops.multimodal import parse_image_dimensions
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 9)
+    assert parse_image_dimensions(png) == (640, 480)
+    assert parse_image_dimensions(gif) == (320, 200)
+    assert parse_image_dimensions(jpeg) == (640, 480)   # SOF after APP0
+    assert parse_image_dimensions(b"plain text") is None
+    assert parse_image_dimensions(b"\x89PNG\r\n\x1a\n trunc") is None
+    assert parse_image_dimensions(None) is None
