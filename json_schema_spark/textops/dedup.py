@@ -160,20 +160,36 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             num_hashes: int = DEFAULT_NUM_HASHES,
-                            bands: int = DEFAULT_BANDS) -> DataFrame:
+                            bands: int = DEFAULT_BANDS,
+                            max_bucket_size: int | None = None
+                            ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing an LSH band bucket.
 
     Plan: shingle-at-a-time signatures (minhash_signature_table) -> band
     hashes; posexplode to (band_idx, band_hash, id); self-join on the
     bucket key. The join is the only data-sized shuffle; bucket skew is
-    handled by AQE skew-join (session default) — at web scale add a
-    bucket-size cap upstream.
-    """
+    handled by AQE skew-join (session default).
+
+    ``max_bucket_size`` is the web-scale guard: a band bucket holding m
+    docs contributes m^2/2 candidate pairs, so one degenerate bucket
+    (boilerplate pages, empty-ish docs hashing alike) can dominate the
+    whole job. Buckets above the cap are DROPPED before the self-join
+    (one count-aggregate on the bucket key, the same shape as the
+    doc-frequency cap in containment_pairs). Dropping is the standard
+    trade — docs that near-dup via such a bucket overwhelmingly share a
+    non-degenerate bucket too. None = uncapped (exact candidates; right
+    at test scale, where the oracle compares against uncapped SQL)."""
     sig = minhash_signature_table(df, text_col, id_col, k, num_hashes)
     buckets = sig.select(
         "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
                                             num_hashes))
         .alias("band_idx", "band_hash"))
+    if max_bucket_size is not None:
+        small = (buckets.groupBy("band_idx", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("_m"))
+                 .filter(F.col("_m") <= max_bucket_size)
+                 .drop("_m"))
+        buckets = buckets.join(small, ["band_idx", "band_hash"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, ["band_idx", "band_hash"])
@@ -187,11 +203,14 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3,
                     num_hashes: int = DEFAULT_NUM_HASHES,
                     bands: int = DEFAULT_BANDS,
-                    threshold: float = 0.7) -> DataFrame:
+                    threshold: float = 0.7,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH candidates verified by exact shingle Jaccard:
-    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    (id_a, id_b, jaccard) with jaccard >= threshold. Set
+    ``max_bucket_size`` at web scale to bound per-bucket m^2 candidate
+    blow-up (see minhash_candidate_pairs)."""
     pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_hashes,
-                                    bands)
+                                    bands, max_bucket_size)
     # materialize each doc's DISTINCT shingle set once (aggregated array
     # attribute) — joining the raw shingle *expression* would re-derive
     # it for every candidate pair and every jaccard sub-term

@@ -119,3 +119,33 @@ def test_partition_pruning_on_day(spark, tmp_path):
     # dynamic partition pruning shows the partition filter at the scan
     assert "PartitionFilters" in plan
     assert "warc_day" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_text_analysis_is_shuffle_free_and_single_eval(docs):
+    """Round-2 rewrite guard: analyze() must stay two stacked
+    projections — no Exchange (zero shuffle at any corpus size), no
+    Generate (the explode form re-evaluated char features per token),
+    and each per-language stopword filter appearing exactly once in the
+    optimized plan (CollapseProject must not re-inline them into the
+    argmax when-chain)."""
+    from json_schema_spark.textops.textanalysis import STOPWORDS, analyze
+
+    out = analyze(docs)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    assert "Generate" not in phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("array_contains") == len(STOPWORDS)
+
+
+def test_minhash_bucket_cap_prunes_hot_buckets(docs):
+    """max_bucket_size must drop degenerate band buckets before the
+    self-join (the m^2/2 guard)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.dedup import minhash_candidate_pairs
+
+    corpus = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    uncapped = minhash_candidate_pairs(corpus).count()
+    capped = minhash_candidate_pairs(corpus, max_bucket_size=2).count()
+    assert capped <= uncapped
