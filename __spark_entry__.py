@@ -797,6 +797,80 @@ def _q_validate_json_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_auto(js, schema, "json", id_col="doc_id")
 
 
+def _q_validate_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant exact fast path over an adversarial JSON corpus built
+    from doc_id (malformed docs, non-object roots, explicit null vs
+    absent, numbers-vs-strings) — the oracle replays the verdicts with
+    DuckDB's json_type/json_extract."""
+    from json_schema_spark.validator.hybrid import validate_json_variant
+
+    i = F.col("doc_id")
+    j = (F.when(i % 6 == 0,
+                F.concat(F.lit('{"a": "'), F.col("source"),
+                         F.lit('", "n": '),
+                         F.col("n_chars").cast("string"), F.lit("}")))
+         .when(i % 6 == 1, F.lit('{"a": 123}'))
+         .when(i % 6 == 2, F.lit('{"a": null}'))
+         .when(i % 6 == 3, F.lit("{}"))
+         .when(i % 6 == 4, F.lit("not json"))
+         .otherwise(F.lit("[1, 2]")))
+    df = _docs(spark, sf_dir).select("doc_id", j.alias("json"))
+    schema = {
+        "type": "object",
+        "required": ["a"],
+        "properties": {
+            "a": {"type": ["string", "integer"], "minLength": 5},
+            "n": {"minimum": 100},
+        },
+    }
+    return validate_json_variant(df, schema, "json", id_col="doc_id")
+
+
+_SQL_VALIDATE_JSON_VARIANT = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN '{"a": "' || source || '", "n": '
+                       || CAST(n_chars AS VARCHAR) || '}'
+           WHEN 1 THEN '{"a": 123}'
+           WHEN 2 THEN '{"a": null}'
+           WHEN 3 THEN '{}'
+           WHEN 4 THEN 'not json'
+           ELSE '[1, 2]' END AS j
+  FROM documents
+),
+typed AS (
+  -- TRY_CAST -> NULL for malformed docs; json_type on NULL is NULL
+  -- (json_type on a raw malformed string THROWS even under CASE)
+  SELECT doc_id, TRY_CAST(j AS JSON) AS jj FROM corpus
+),
+shapes AS (
+  SELECT doc_id, jj,
+         json_type(jj) AS rt,
+         json_type(jj, '$.a') AS ta,
+         json_type(jj, '$.n') AS tn
+  FROM typed
+)
+SELECT doc_id,
+       COALESCE(
+         jj IS NOT NULL
+         AND rt = 'OBJECT'
+         AND ta IS NOT NULL                                   -- required
+         AND (ta IS NULL OR ta IN ('VARCHAR')                 -- type
+              OR ta IN ('BIGINT', 'UBIGINT')
+              OR (ta = 'DOUBLE'
+                  AND TRY_CAST(json_extract(jj, '$.a') AS DOUBLE)
+                      = floor(TRY_CAST(json_extract(jj, '$.a') AS DOUBLE))))
+         AND (ta IS DISTINCT FROM 'VARCHAR'                   -- minLength
+              OR length(json_extract_string(jj, '$.a')) >= 5)
+         AND (tn IS NULL
+              OR tn NOT IN ('BIGINT', 'UBIGINT', 'DOUBLE')    -- minimum
+              OR TRY_CAST(json_extract(jj, '$.n') AS DOUBLE) >= 100),
+         FALSE) AS valid
+FROM shapes
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user over the events
     stream table — F.session_window, the same operator Structured
@@ -1307,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dims": _q_multimodal_dims,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
+        "validate_json_variant": _q_validate_json_variant,
         "containment_winnowing": _q_containment,
         "sessionize": _q_sessionize,
         "cast_props": _q_cast_props,
@@ -1341,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
+        "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,
         "containment_winnowing": _SQL_CONTAINMENT,
         "sessionize": _SQL_SESSIONIZE,
         "cast_props": _SQL_CAST_PROPS,

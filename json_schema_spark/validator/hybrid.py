@@ -25,6 +25,8 @@ Pick the document path when those distinctions matter.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_, or_
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -132,12 +134,215 @@ def columnar_plan(
         bare_required
 
 
+# ---------------------------------------------------------------------------
+# VARIANT exact fast path: one try_parse_json, field sub-variants, type
+# checks against schema_of_variant — closes every caveat of the
+# from_json struct path (string coercion, explicit-null-vs-absent,
+# non-object roots, union property types) while staying zero-Python.
+# ---------------------------------------------------------------------------
+
+_VARIANT_PROP_KEYWORDS = {
+    "type", "enum", "const", "minLength", "maxLength", "pattern",
+    "format", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "default",
+}
+_VARIANT_TYPES = {"string", "integer", "number", "boolean", "null"}
+
+
+def variant_plan(schema: dict) -> dict | None:
+    """Normalized {props, required, root_must_be_object} when the schema
+    is variant-path-expressible: a (possibly untyped) object schema of
+    scalar-constrained properties. Unlike the struct path, union
+    property types and absent top-level `type` are fine — the JSON type
+    is read per row from schema_of_variant."""
+    if not isinstance(schema, dict):
+        return None
+    if schema.get("type") not in ("object", None):
+        return None
+    if set(schema) - {"type", "properties", "required",
+                      "$schema", "title", "description"}:
+        return None
+    props = schema.get("properties", {})
+    if not isinstance(props, dict):
+        return None
+    for spec in props.values():
+        if not isinstance(spec, dict):
+            return None
+        if set(spec) - _VARIANT_PROP_KEYWORDS:
+            return None
+        t = spec.get("type")
+        types = [t] if isinstance(t, str) else (t or [])
+        if not set(types) <= _VARIANT_TYPES:
+            return None
+    required = schema.get("required", [])
+    if not (isinstance(required, list)
+            and all(isinstance(r, str) for r in required)):
+        return None
+    if not props and not required and schema.get("type") != "object":
+        return None  # nothing to check — let the document path decide
+    return {"props": props, "required": required,
+            "root_must_be_object": schema.get("type") == "object"}
+
+
+def _variant_prop_pred(v: Column, spec: dict) -> Column:
+    """Pass-predicate for one property sub-variant. Never NULL.
+
+    Applicability mirrors the document path: absent property (NULL
+    variant) passes everything except `required` (handled by the
+    caller); each keyword applies only to values of its JSON type —
+    gates use schema_of_variant because try_variant_get COERCES across
+    types (BIGINT -> '123', true -> 1.0), which is exactly the
+    fidelity hole the struct path had."""
+    jt = F.schema_of_variant(v)
+    present = v.isNotNull()
+    is_string = jt == "STRING"
+    is_bool = jt == "BOOLEAN"
+    is_void = jt == "VOID"
+    is_num = (jt == "BIGINT") | (jt == "DOUBLE") | jt.startswith("DECIMAL")
+    sval = F.try_variant_get(v, "$", "string")
+    dval = F.try_variant_get(v, "$", "double")
+    bval = F.try_variant_get(v, "$", "boolean")
+
+    def never_null(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    def gated(applies: Column, pred: Column) -> Column:
+        return never_null(~never_null(present & applies) | pred)
+
+    def type_ok(types: list[str]) -> Column:
+        opts = []
+        for t in types:
+            if t == "string":
+                opts.append(is_string)
+            elif t == "integer":
+                # numeric unification: fraction-free values are integers
+                opts.append((jt == "BIGINT")
+                            | (is_num & (dval == F.floor(dval))))
+            elif t == "number":
+                opts.append(is_num)
+            elif t == "boolean":
+                opts.append(is_bool)
+            elif t == "null":
+                opts.append(is_void)
+        if not opts:
+            return F.lit(False)
+        return reduce(or_, opts)
+
+    def member_match(values: list) -> Column:
+        strs = [x for x in values if isinstance(x, str)]
+        bools = [x for x in values if isinstance(x, bool)]
+        nums = [float(x) for x in values
+                if isinstance(x, (int, float)) and not isinstance(x, bool)]
+        opts = []
+        if strs:
+            opts.append(is_string & sval.isin(strs))
+        if nums:
+            opts.append(is_num & dval.isin(nums))
+        if bools:
+            opts.append(is_bool & bval.isin(bools))
+        if any(x is None for x in values):
+            opts.append(is_void)
+        if not opts:
+            return F.lit(False)
+        return reduce(or_, opts)
+
+    preds: list[Column] = []
+    for kw, arg in spec.items():
+        if kw == "type":
+            types = [arg] if isinstance(arg, str) else list(arg)
+            preds.append(never_null(~present | type_ok(types)))
+        elif kw == "enum":
+            scalars = [x for x in arg
+                       if not isinstance(x, (dict, list))]
+            preds.append(never_null(~present | member_match(scalars)))
+        elif kw == "const":
+            if not isinstance(arg, (dict, list)):
+                preds.append(never_null(~present | member_match([arg])))
+        elif kw == "minLength":
+            preds.append(gated(is_string, F.length(sval) >= int(arg)))
+        elif kw == "maxLength":
+            preds.append(gated(is_string, F.length(sval) <= int(arg)))
+        elif kw == "pattern":
+            preds.append(gated(is_string, sval.rlike(arg)))
+        elif kw == "format":
+            # the reference applies format to ANY present value
+            # (Validator.php:245-271 calls the check before the type
+            # dispatch) and every Check.php function returns false for
+            # non-strings — so a present non-string FAILS, absent passes
+            from json_schema_spark.constraints.formats import (
+                format_predicate)
+            preds.append(never_null(
+                ~present | (is_string & format_predicate(arg, sval))))
+        elif kw == "minimum":
+            preds.append(gated(is_num, dval >= F.lit(arg)))
+        elif kw == "maximum":
+            preds.append(gated(is_num, dval <= F.lit(arg)))
+        elif kw == "exclusiveMinimum":
+            preds.append(gated(is_num, dval > F.lit(arg)))
+        elif kw == "exclusiveMaximum":
+            preds.append(gated(is_num, dval < F.lit(arg)))
+        elif kw == "multipleOf":
+            if arg == 0:
+                continue
+            dec = T.DecimalType(38, 12)
+            preds.append(gated(
+                is_num,
+                (dval.cast(dec) % F.lit(arg).cast(dec))
+                == F.lit(0).cast(dec)))
+    if not preds:
+        return F.lit(True)
+    return never_null(reduce(and_, preds))
+
+
+def validate_json_variant(df: DataFrame, schema: dict,
+                          column: str | Column = "json",
+                          id_col: str = "id") -> DataFrame:
+    """(id, valid) with exact document-path verdicts for flat scalar
+    object schemas — single try_parse_json, zero Python.
+
+    Fidelity the struct fast path cannot offer:
+    - '123' (JSON string) vs 123 (number) distinguished for type checks;
+    - explicit null vs absent key distinguished: `required` passes on
+      explicit null (PHP property_exists semantics);
+    - absent top-level `type`: non-object roots VALIDATE (required and
+      properties apply to objects only), while malformed JSON fails.
+    """
+    plan = variant_plan(schema)
+    if plan is None:
+        raise ValueError("schema is not variant-path-expressible")
+    col = F.col(column) if isinstance(column, str) else column
+    root = F.try_parse_json(col)
+    root_jt = F.schema_of_variant(root)
+    parse_ok = root.isNotNull()
+    is_obj = root_jt.startswith("OBJECT")
+
+    field_ok = F.lit(True)
+    for name, spec in plan["props"].items():
+        v = F.variant_get(root, f"$.{name}", "variant")
+        field_ok = field_ok & _variant_prop_pred(v, spec)
+    for req in plan["required"]:
+        field_ok = field_ok & F.variant_get(
+            root, f"$.{req}", "variant").isNotNull()
+
+    if plan["root_must_be_object"]:
+        ok = parse_ok & F.coalesce(is_obj, F.lit(False)) & field_ok
+    else:
+        # object keywords are ignored for non-object roots
+        ok = parse_ok & F.coalesce(
+            F.when(is_obj, field_ok).otherwise(F.lit(True)), F.lit(False))
+    return df.select(F.col(id_col),
+                     F.coalesce(ok, F.lit(False)).alias("valid"))
+
+
 def validate_json_auto(df: DataFrame, schema: dict,
                        column: str | Column = "json",
                        id_col: str = "id",
                        version: str = "7") -> DataFrame:
-    """(id, valid) per document, by the fastest capable path."""
+    """(id, valid) per document, by the fastest capable path:
+    variant exact path > from_json struct path > Arrow document path."""
     col = F.col(column) if isinstance(column, str) else column
+    if variant_plan(schema) is not None:
+        return validate_json_variant(df, schema, column, id_col)
     plan = columnar_plan(schema)
     if plan is None:
         from json_schema_spark.validator.json_column import (

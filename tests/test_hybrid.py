@@ -124,6 +124,84 @@ def test_fast_path_numeric_type_fidelity(spark):
                     6: True, 7: False}
 
 
+def test_variant_path_exact_document_parity(spark):
+    """The variant fast path must agree with the document path on the
+    full adversarial matrix: malformed docs, non-object roots, explicit
+    null vs absent, numbers-as-strings, union types, format gating."""
+    import itertools
+    import json
+
+    from json_schema_spark.validator.hybrid import (validate_json_variant,
+                                                    variant_plan)
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    schemas = [
+        {"type": "object", "required": ["a"],
+         "properties": {"a": {"type": "string", "minLength": 3}}},
+        {"properties": {"a": {"type": ["integer", "null"],
+                              "minimum": 5}}},          # no top-level type
+        {"type": "object",
+         "properties": {"a": {"enum": ["x", 2, True, None]}}},
+        {"type": "object",
+         "properties": {"a": {"type": "number", "multipleOf": 0.5}}},
+        {"type": "object",
+         "properties": {"a": {"format": "ipv4"}}},
+        {"type": "object", "required": ["a", "b"]},     # bare required
+    ]
+    values = ['"xyz"', '"xy"', '"123"', "123", "4", "2", "1.0", "1.5",
+              "2.0", "true", "false", "null", '"x"', '"1.2.3.4"',
+              '"999.0.0.1"', "[1]", '{"n": 1}']
+    docs = (["not json", "42", '"scalar"', "[1,2]", "null", "{}",
+             '{"b": 1}', '{"a": null, "b": null}']
+            + [f'{{"a": {v}}}' for v in values])
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, json string")
+
+    for si, schema in enumerate(schemas):
+        assert variant_plan(schema) is not None, si
+        fast = {r["id"]: r["valid"] for r in
+                validate_json_variant(df, schema, "json",
+                                      id_col="id").collect()}
+        slow = {r["id"]: r["_validation"]["valid"] for r in
+                validate_json_column(df, schema, "json").collect()}
+        diffs = {i: (fast[i], slow[i], docs[i])
+                 for i in fast if fast[i] != slow[i]}
+        assert not diffs, (si, schema, diffs)
+    # sanity: the matrix actually exercises both verdicts
+    assert len(set(itertools.chain(fast.values()))) == 2
+    json  # keep import
+
+
+def test_variant_path_null_vs_absent_required(spark):
+    """PHP property_exists semantics: required passes on explicit null
+    (the struct path's documented caveat — closed by the variant path)."""
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    schema = {"type": "object", "required": ["a"]}
+    df = spark.createDataFrame(
+        [(1, '{"a": null}'), (2, "{}"), (3, '{"a": 1}')],
+        "id long, json string")
+    out = {r["id"]: r["valid"] for r in
+           validate_json_auto(df, schema, "json", id_col="id").collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_variant_path_string_number_fidelity(spark):
+    """'123' (JSON string) is not an integer; 123 is not a string —
+    the struct path's Jackson-coercion hole, closed."""
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    schema = {"type": "object", "properties": {"a": {"type": "string"}}}
+    df = spark.createDataFrame(
+        [(1, '{"a": "123"}'), (2, '{"a": 123}'), (3, '{"a": {}}'),
+         (4, '{"a": []}')],
+        "id long, json string")
+    out = {r["id"]: r["valid"] for r in
+           validate_json_auto(df, schema, "json", id_col="id").collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False}
+
+
 def test_fallback_path_still_validates(spark):
     from json_schema_spark.validator.hybrid import validate_json_auto
 
