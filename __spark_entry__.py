@@ -1361,6 +1361,86 @@ FROM uparts WHERE NOT {uri_ok}
 """
 
 
+def _q_kw_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contentEncoding (base64) + contentMediaType (application/json)
+    on derived columns with planted violations."""
+    from json_schema_spark import ConstraintSet, validate
+
+    i = F.col("doc_id")
+    b64 = (F.when(i % 3 == 0, F.base64(F.encode(F.col("source"), "UTF-8")))
+           .when(i % 3 == 1, F.lit("not-base64!!"))
+           .otherwise(F.lit("QUJD")))
+    js = (F.when(i % 3 == 0, F.lit('{"k": 1}'))
+          .when(i % 3 == 1, F.lit("nope"))
+          .otherwise(F.lit("[1, 2, 3]")))
+    df = _docs(spark, sf_dir).select("doc_id", b64.alias("b64"),
+                                     js.alias("js"))
+    cset = ConstraintSet(name="content_kw", columns={
+        "b64": {"contentEncoding": "base64"},
+        "js": {"contentMediaType": "application/json"},
+    })
+    return validate(df, cset, id_col="doc_id", observe=False).violations()
+
+
+_SQL_KW_CONTENT = """
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN to_base64(encode(source))
+           WHEN 1 THEN 'not-base64!!' ELSE 'QUJD' END AS b64,
+         CASE doc_id % 3
+           WHEN 0 THEN '{"k": 1}'
+           WHEN 1 THEN 'nope' ELSE '[1, 2, 3]' END AS js
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'b64.contentEncoding' AS constraint_id, b64 AS observed_value
+FROM t WHERE NOT regexp_matches(b64,
+  '^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'js.contentMediaType', js
+FROM t WHERE TRY_CAST(js AS JSON) IS NULL
+"""
+
+
+def _q_cast_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE_CAST scalar conversions (Cast.php string->integer/number/
+    boolean, numeric->string) as one projection; failed casts -> NULL
+    (try_cast policy, counted by cast_failures elsewhere)."""
+    from json_schema_spark.constraints.transforms import cast_columns
+
+    i = F.col("doc_id")
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 4 == 3, F.lit("12a"))
+         .otherwise((i * 3).cast("string")).alias("s_int"),
+        F.concat(i.cast("string"), F.lit(".25")).alias("s_num"),
+        (F.when(i % 5 == 0, F.lit("1")).when(i % 5 == 1, F.lit("true"))
+          .when(i % 5 == 2, F.lit("0")).when(i % 5 == 3, F.lit("FALSE"))
+          .otherwise(F.lit("x"))).alias("s_bool"),
+        F.col("n_chars").alias("n_int"))
+    casted = cast_columns(df, {"s_int": "integer", "s_num": "number",
+                               "s_bool": "boolean", "n_int": "string"})
+    # nullable int/bool render as strings: pandas widens them to
+    # float64/object asymmetrically in the comparator otherwise
+    return casted.select(
+        "doc_id", F.col("s_int").cast("string").alias("s_int"), "s_num",
+        F.col("s_bool").cast("string").alias("s_bool"), "n_int")
+
+
+_SQL_CAST_SCALARS = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN TRY_CAST('12a' AS BIGINT)
+            ELSE doc_id * 3 END AS VARCHAR) AS s_int,
+       CAST(doc_id AS DOUBLE) + 0.25 AS s_num,
+       CAST(CASE doc_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN TRUE
+            WHEN 2 THEN FALSE WHEN 3 THEN FALSE
+            ELSE CAST(NULL AS BOOLEAN) END AS VARCHAR) AS s_bool,
+       CAST(n_chars AS VARCHAR) AS n_int
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -1393,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_object": _q_kw_object,
         "kw_numeric": _q_kw_numeric,
         "kw_formats": _q_kw_formats,
+        "kw_content": _q_kw_content,
+        "cast_scalars": _q_cast_scalars,
     }
 
 
@@ -1428,4 +1510,6 @@ def oracle_sql() -> dict[str, str]:
         "kw_object": _SQL_KW_OBJECT,
         "kw_numeric": _SQL_KW_NUMERIC,
         "kw_formats": _sql_kw_formats(),
+        "kw_content": _SQL_KW_CONTENT,
+        "cast_scalars": _SQL_CAST_SCALARS,
     }

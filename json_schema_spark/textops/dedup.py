@@ -180,10 +180,13 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     non-degenerate bucket too. None = uncapped (exact candidates; right
     at test scale, where the oracle compares against uncapped SQL)."""
     sig = minhash_signature_table(df, text_col, id_col, k, num_hashes)
+    # persist: the bucket self-join would otherwise recompute the whole
+    # shingle-explode + min-agg signature pipeline for BOTH join sides;
+    # the bucket table is (id, band_idx, 32-hex) x bands — tiny
     buckets = sig.select(
         "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
                                             num_hashes))
-        .alias("band_idx", "band_hash"))
+        .alias("band_idx", "band_hash")).persist()
     if max_bucket_size is not None:
         small = (buckets.groupBy("band_idx", "band_hash")
                  .agg(F.count(F.lit(1)).alias("_m"))
@@ -213,10 +216,12 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
                                     bands, max_bucket_size)
     # materialize each doc's DISTINCT shingle set once (aggregated array
     # attribute) — joining the raw shingle *expression* would re-derive
-    # it for every candidate pair and every jaccard sub-term
+    # it for every candidate pair and every jaccard sub-term; persisted
+    # because it joins on BOTH pair sides (two scans of the same plan
+    # otherwise; MEMORY_AND_DISK spills if the corpus outgrows memory)
     sh = (shingle_rows(df, text_col, id_col, k)
           .groupBy("_id")
-          .agg(F.collect_set("s").alias("_shingles")))
+          .agg(F.collect_set("s").alias("_shingles"))).persist()
     joined = (pairs
               .join(sh.withColumnRenamed("_id", "id_a")
                       .withColumnRenamed("_shingles", "sh_a"), "id_a")
@@ -296,7 +301,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     fingerprint shared by m documents would alone contribute m^2/2 pair
     rows, which is both skew and noise; capping document frequency is the
     standard winnowing practice and keeps every join bucket O(cap^2)."""
-    fp = winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+    # persist: fp feeds the doc-frequency filter AND both self-join
+    # sides — three full recomputes of the posexplode + window-min
+    # winnowing pipeline otherwise ((id, 16-hex) rows, far smaller than
+    # the text they summarize; MEMORY_AND_DISK spills beyond memory)
+    fp = winnowing_fingerprint_rows(df, text_col, id_col, k, w).persist()
     if max_doc_freq:
         rare = (fp.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -402,7 +411,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     if bits % n_chunks:
         raise ValueError("bits must divide evenly into n_chunks")
     chunk_bits = bits // n_chunks
-    sh = simhash_table(df, text_col, id_col, bits)
+    # persist the fingerprints: a self-join recomputes BOTH branches of
+    # its input otherwise (no ReuseExchange across join sides), doubling
+    # the token-explode + bit-vote work. The table is (id, int64) —
+    # ~16 bytes/doc — so it stays cacheable at any corpus size.
+    sh = simhash_table(df, text_col, id_col, bits).persist()
 
     # chunk_val = (simhash >> (chunk_bits*idx)) & (2^chunk_bits - 1),
     # via exact double pow (simhash < 2^32 << 2^52)
