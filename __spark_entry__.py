@@ -1058,15 +1058,23 @@ def _q_kw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark import ConstraintSet, validate
     from json_schema_spark.textops.dedup import tokens
 
+    i = F.col("doc_id")
+    trip = (F.when(i % 2 == 0, F.array("lang", "source"))
+            .otherwise(F.array("lang", "source", "lang")))
     df = (_docs(spark, sf_dir)
           .select("doc_id", tokens(F.col("text")).alias("words"),
-                  F.array("lang", "source").alias("pair")))
+                  F.array("lang", "source").alias("pair"),
+                  trip.alias("tf"), trip.alias("ts")))
     cset = ConstraintSet(name="array_kw", columns={
         "words": {"minItems": 30, "maxItems": 70, "uniqueItems": True,
                   "items": {"minLength": 3, "maxLength": 6},
                   "contains": {"const": "data"}},
         "pair": {"items": [{"enum": DOC_LANGS}, {"pattern": "^src"}],
                  "minItems": 2},
+        # additionalItems interplay with tuple-form items: False forbids
+        # the third element; a schema constrains it (lang is 2 chars)
+        "tf": {"items": [{}, {}], "additionalItems": False},
+        "ts": {"items": [{}, {}], "additionalItems": {"minLength": 3}},
     })
     return validate(df, cset, id_col="doc_id", observe=False).violations()
 
@@ -1077,7 +1085,9 @@ WITH t AS (
          CASE WHEN text IS NULL THEN NULL
               WHEN trim(text) = '' THEN []
               ELSE string_split_regex(trim(text), '\\s+') END AS words,
-         [lang, source] AS pair
+         [lang, source] AS pair,
+         CASE WHEN doc_id % 2 = 0 THEN [lang, source]
+              ELSE [lang, source, lang] END AS trip
   FROM documents
 )
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1107,6 +1117,15 @@ FROM t WHERE NOT ((len(pair) < 1 OR pair[1] IS NULL
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR), 'pair.minItems', to_json(pair)::VARCHAR
 FROM t WHERE len(pair) < 2
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'tf.additionalItems',
+       to_json(trip)::VARCHAR
+FROM t WHERE len(trip) > 2
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'ts.additionalItems',
+       to_json(trip)::VARCHAR
+FROM t WHERE len(list_filter(trip[3:], e -> e IS NULL OR length(e) >= 3))
+             != len(trip[3:])
 """
 
 

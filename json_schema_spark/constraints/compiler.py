@@ -126,6 +126,28 @@ def _enum_canon(v: Any) -> Any:
     return v
 
 
+def _additional_items_pred(col: Column, dtype: T.DataType,
+                           spec: dict[str, Any],
+                           path: str) -> Column | None:
+    """additionalItems is only meaningful alongside tuple-form items
+    (Validator.php:1258-1284): False forbids elements beyond the tuple;
+    a schema constrains every element past the tuple prefix."""
+    arg = spec.get("additionalItems")
+    items = spec.get("items")
+    if arg is None or arg is True or not isinstance(items, list):
+        return None
+    if not isinstance(dtype, T.ArrayType):
+        return None
+    n = len(items)
+    if arg is False:
+        return _pass_on_null(col, F.size(col) <= n)
+    extra = F.slice(col, n + 1, F.greatest(F.size(col) - n, F.lit(0)))
+    return _pass_on_null(
+        col,
+        F.forall(extra, lambda e: _spec_predicate(
+            e, dtype.elementType, arg, f"{path}/additionalItems")))
+
+
 def _spec_predicate(col: Column, dtype: T.DataType,
                     spec: dict[str, Any], path: str) -> Column:
     """AND of every keyword predicate in a (sub-)spec — used standalone by
@@ -135,6 +157,9 @@ def _spec_predicate(col: Column, dtype: T.DataType,
         built = _keyword_predicate(kw, col, dtype, arg, path)
         if built is not None:
             preds.append(built)
+    ai = _additional_items_pred(col, dtype, spec, path)
+    if ai is not None:
+        preds.append(ai)
     if not preds:
         return F.lit(True)
     return _never_null(reduce(and_, preds))
@@ -260,7 +285,9 @@ def _keyword_predicate(kw: str, col: Column, dtype: T.DataType,
                 F.exists(col, lambda e: _spec_predicate(
                     e, elem_t, arg, f"{path}/contains")))
         if kw == "additionalItems":
-            # only meaningful with tuple-form items; compiled by the caller
+            # standalone (no sibling tuple-form items) it constrains
+            # nothing; the tuple-items interplay is compiled by
+            # _additional_items_pred from the spec level
             return None
 
     # ---- object keywords on struct/map columns (Validator.php:909-1183) ----
@@ -440,6 +467,11 @@ def compile_constraints(cset, schema: T.StructType) -> list[CompiledConstraint]:
                 continue
             out.append(CompiledConstraint(f"{col_name}.{kw}", col_name,
                                           pred, obs))
+
+        ai = _additional_items_pred(col, dtype, spec, f"#{col_name}")
+        if ai is not None:
+            out.append(CompiledConstraint(
+                f"{col_name}.additionalItems", col_name, ai, obs))
 
         # dependencies: presence of this column implies presence/specs of
         # other columns (Validator.php:1132-1146; array form → required,

@@ -223,3 +223,34 @@ def test_observe_metrics(spark):
     assert m["rows_total"] == 2
     assert m["rows_failed"] == 1
     assert m["violations_total"] == 1
+
+
+def test_columnar_additional_items(spark):
+    """additionalItems interplay with tuple-form items, columnar path:
+    False forbids extras; a schema constrains each extra element."""
+    from json_schema_spark import ConstraintSet, validate
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b", "c"]), (3, ["a", "b", "xyz"]),
+         (4, None)],
+        "id long, arr array<string>")
+    viol_false = validate(
+        df, ConstraintSet(columns={
+            "arr": {"items": [{}, {}], "additionalItems": False}}),
+        id_col="id", observe=False).violations().collect()
+    assert sorted(v["id"] for v in viol_false) == ["2", "3"]
+
+    viol_schema = validate(
+        df, ConstraintSet(columns={
+            "arr": {"items": [{}, {}],
+                    "additionalItems": {"minLength": 3}}}),
+        id_col="id", observe=False).violations().collect()
+    assert [v["id"] for v in viol_schema] == ["2"]
+
+    # additionalItems alongside single-schema items constrains nothing
+    none_v = validate(
+        df, ConstraintSet(columns={
+            "arr": {"items": {"minLength": 1},
+                    "additionalItems": False}}),
+        id_col="id", observe=False).violations().collect()
+    assert none_v == []
