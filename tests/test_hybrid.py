@@ -212,3 +212,73 @@ def test_fallback_path_still_validates(spark):
            validate_json_auto(df, NESTED_SCHEMA, "json",
                               id_col="id").collect()}
     assert out == {1: True, 2: False}
+
+
+def test_variant_path_randomized_parity(spark):
+    """Seeded fuzz: 15 random scalar schemas x 40 random docs — variant
+    fast path and document path must agree on every verdict."""
+    import json
+    import random
+
+    from json_schema_spark.validator.hybrid import (validate_json_variant,
+                                                    variant_plan)
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    rng = random.Random(20260817)
+    type_choices = [["string"], ["integer"], ["number"], ["boolean"],
+                    ["null"], ["string", "null"], ["integer", "number"],
+                    ["string", "integer"], None]
+
+    def rand_spec():
+        spec = {}
+        t = rng.choice(type_choices)
+        if t:
+            spec["type"] = t
+        if rng.random() < 0.4:
+            spec["minLength"] = rng.randint(0, 6)
+        if rng.random() < 0.3:
+            spec["pattern"] = rng.choice(["^a", "[0-9]$", "xy"])
+        if rng.random() < 0.4:
+            spec["minimum"] = rng.randint(-5, 5)
+        if rng.random() < 0.3:
+            spec["multipleOf"] = rng.choice([2, 0.5, 3])
+        if rng.random() < 0.25:
+            spec["enum"] = rng.sample(
+                ["abc", "xyz", 1, 2, 2.5, True, False, None], k=3)
+        return spec
+
+    def rand_value():
+        return rng.choice([
+            "abc", "a1", "", "xy9", 0, 1, 2, -3, 2.5, 3.0, 1.5, True,
+            False, None, [1], {"z": 1}])
+
+    def rand_doc():
+        r = rng.random()
+        if r < 0.08:
+            return "not json {"
+        if r < 0.16:
+            return json.dumps(rand_value())
+        keys = rng.sample(["a", "b", "c"], k=rng.randint(0, 3))
+        return json.dumps({k: rand_value() for k in keys})
+
+    docs = [rand_doc() for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "id long, json string")
+    for si in range(15):
+        schema = {"properties": {k: rand_spec()
+                                 for k in rng.sample(["a", "b", "c"],
+                                                     k=rng.randint(1, 3))}}
+        if rng.random() < 0.5:
+            schema["type"] = "object"
+        if rng.random() < 0.5:
+            schema["required"] = rng.sample(["a", "b", "c"], k=1)
+        assert variant_plan(schema) is not None, (si, schema)
+        fast = {r["id"]: r["valid"] for r in
+                validate_json_variant(df, schema, "json",
+                                      id_col="id").collect()}
+        slow = {r["id"]: r["_validation"]["valid"] for r in
+                validate_json_column(df, schema, "json").collect()}
+        diffs = {i: (fast[i], slow[i], docs[i])
+                 for i in fast if fast[i] != slow[i]}
+        assert not diffs, (si, schema, diffs)
