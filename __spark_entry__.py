@@ -1148,6 +1148,7 @@ def _q_kw_object(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attrs": {"propertyNames": {"pattern": "^[a-z]+$", "maxLength": 6},
                   "requiredProperties": ["lang"],
                   "properties": {"lang": {"enum": DOC_LANGS}},
+                  "patternProperties": {"^so": {"pattern": "^src[0-9]$"}},
                   "minProperties": 2, "maxProperties": 2},
         "source": {"dependencies": ["lang_ok"]},
     })
@@ -1190,6 +1191,10 @@ FROM t WHERE lang IS NULL
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR), 'attrs.properties', mjson || '}'
 FROM t WHERE NOT (lang IS NULL OR lang IN ('en','zh','es','de'))
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'attrs.patternProperties', mjson || '}'
+FROM t WHERE NOT (source IS NULL
+                  OR regexp_matches(source, '^src[0-9]$'))
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR), 'source.dependencies', source
 FROM t WHERE source IS NOT NULL AND lang = 'fr'

@@ -148,10 +148,28 @@ def _additional_items_pred(col: Column, dtype: T.DataType,
             e, dtype.elementType, arg, f"{path}/additionalItems")))
 
 
+def _canonicalize_spec(spec: dict[str, Any]) -> dict[str, Any]:
+    """Draft-4 boolean exclusive form ({"minimum": m,
+    "exclusiveMinimum": true} — Validator.php:756-780) rewritten to the
+    draft-6+ numeric form before compilation; a bare boolean flag with
+    no sibling bound constrains nothing."""
+    out = spec
+    for kw, bound in (("exclusiveMinimum", "minimum"),
+                      ("exclusiveMaximum", "maximum")):
+        if isinstance(spec.get(kw), bool):
+            if out is spec:
+                out = dict(spec)
+            flag = out.pop(kw)
+            if flag and bound in out:
+                out[kw] = out.pop(bound)
+    return out
+
+
 def _spec_predicate(col: Column, dtype: T.DataType,
                     spec: dict[str, Any], path: str) -> Column:
     """AND of every keyword predicate in a (sub-)spec — used standalone by
     combinators; always null-disciplined."""
+    spec = _canonicalize_spec(spec)
     preds = []
     for kw, arg in spec.items():
         built = _keyword_predicate(kw, col, dtype, arg, path)
@@ -444,6 +462,7 @@ def compile_constraints(cset, schema: T.StructType) -> list[CompiledConstraint]:
         dtype = by_name[col_name]
         col = F.col(col_name)
         obs = _observed(col, dtype)
+        spec = _canonicalize_spec(spec)
 
         # if/then/else folds to a single conditional predicate
         # (Validator.php:280-335; F.when keeps it a pure expression)

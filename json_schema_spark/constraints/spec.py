@@ -86,8 +86,16 @@ def _check_column_spec(col: str, spec: dict[str, Any]) -> None:
 
     for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
                "multipleOf"):
-        if kw in spec and (isinstance(spec[kw], bool)
-                           or not isinstance(spec[kw], (int, float))):
+        if kw not in spec:
+            continue
+        # draft-4 boolean exclusive form (a flag modifying the sibling
+        # bound, Validator.php:756-780) is accepted and canonicalized by
+        # the compiler; draft-6+ values must be numeric
+        if kw in ("exclusiveMinimum", "exclusiveMaximum") \
+                and isinstance(spec[kw], bool):
+            continue
+        if isinstance(spec[kw], bool) \
+                or not isinstance(spec[kw], (int, float)):
             raise SchemaError(f"{kw} must be numeric", path)
     if ("minimum" in spec and "maximum" in spec
             and spec["minimum"] > spec["maximum"]):

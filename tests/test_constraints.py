@@ -254,3 +254,29 @@ def test_columnar_additional_items(spark):
                     "additionalItems": False}}),
         id_col="id", observe=False).violations().collect()
     assert none_v == []
+
+
+def test_columnar_draft4_boolean_exclusive_form(spark):
+    """{"minimum": 5, "exclusiveMinimum": true} (draft-4 boolean form)
+    must compile to a strict bound — and the bare flag without a sibling
+    bound constrains nothing."""
+    from json_schema_spark import ConstraintSet, validate
+
+    df = spark.createDataFrame([(1, 4), (2, 5), (3, 6)],
+                               "id long, n long")
+    viol = validate(
+        df, ConstraintSet(columns={
+            "n": {"minimum": 5, "exclusiveMinimum": True}}),
+        id_col="id", observe=False).violations().collect()
+    assert sorted(v["id"] for v in viol) == ["1", "2"]
+
+    viol_false = validate(
+        df, ConstraintSet(columns={
+            "n": {"maximum": 5, "exclusiveMaximum": False}}),
+        id_col="id", observe=False).violations().collect()
+    assert sorted(v["id"] for v in viol_false) == ["3"]
+
+    none_v = validate(
+        df, ConstraintSet(columns={"n": {"exclusiveMinimum": True}}),
+        id_col="id", observe=False).violations().collect()
+    assert none_v == []
