@@ -1385,6 +1385,56 @@ FROM uparts WHERE NOT {uri_ok}
 """
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: five raw variants per resource (host
+    case, default port, trailing slash, fragment, tracking params) fold
+    to a canonical form; the oracle derives the canonical independently
+    from doc_id arithmetic."""
+    from json_schema_spark.textops.urls import duplicate_urls
+
+    i = F.col("doc_id")
+    base = F.concat(F.lit("example"), (i % 50).cast("string"),
+                    F.lit(".com"))
+    url = (F.when(i % 5 == 0, F.concat(F.lit("https://"), base,
+                                       F.lit("/path/a")))
+           .when(i % 5 == 1, F.concat(F.lit("HTTPS://"), F.upper(base),
+                                      F.lit("/path/a")))
+           .when(i % 5 == 2, F.concat(F.lit("https://"), base,
+                                      F.lit(":443/path/a/")))
+           .when(i % 5 == 3, F.concat(F.lit("https://"), base,
+                                      F.lit("/path/a?utm_source=x&b=2&a=1")))
+           .otherwise(F.concat(F.lit("https://"), base,
+                               F.lit("/path/a?a=1&b=2#frag"))))
+    df = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return duplicate_urls(df)
+
+
+_SQL_URL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS base,
+         doc_id % 5 AS v
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'https://' || base || '/path/a'
+           WHEN 1 THEN 'HTTPS://' || upper(base) || '/path/a'
+           WHEN 2 THEN 'https://' || base || ':443/path/a/'
+           WHEN 3 THEN 'https://' || base || '/path/a?utm_source=x&b=2&a=1'
+           ELSE 'https://' || base || '/path/a?a=1&b=2#frag' END AS url,
+         -- canonical derived INDEPENDENTLY of the normalizer
+         'https://' || base || '/path/a'
+           || CASE WHEN v IN (3, 4) THEN '?a=1&b=2' ELSE '' END AS canon
+  FROM raw
+)
+SELECT canon AS canonical_url, count(*) AS dup_count,
+       array_to_string(list_sort(list(url)), ',') AS urls
+FROM built GROUP BY canon HAVING count(*) > 1
+"""
+
+
 def _q_kw_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contentEncoding (base64) + contentMediaType (application/json)
     on derived columns with planted violations."""
@@ -1499,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_formats": _q_kw_formats,
         "kw_content": _q_kw_content,
         "cast_scalars": _q_cast_scalars,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -1536,4 +1587,5 @@ def oracle_sql() -> dict[str, str]:
         "kw_formats": _sql_kw_formats(),
         "kw_content": _SQL_KW_CONTENT,
         "cast_scalars": _SQL_CAST_SCALARS,
+        "url_dedup": _SQL_URL_DEDUP,
     }

@@ -304,3 +304,27 @@ def test_parse_image_dimensions_header_layouts():
     assert parse_image_dimensions(b"plain text") is None
     assert parse_image_dimensions(b"\x89PNG\r\n\x1a\n trunc") is None
     assert parse_image_dimensions(None) is None
+
+
+def test_normalize_url_canonical_forms(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.urls import normalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80", "http://example.com/"),
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+        ("https://example.com/a?utm_source=x&z=1&a=2#f",
+         "https://example.com/a?a=2&z=1"),
+        ("https://example.com/a?utm_campaign=y", "https://example.com/a"),
+        ("https://example.com", "https://example.com/"),
+        ("mailto:user@example.com", "mailto:user@example.com"),  # pass-through
+        ("ftp://example.com/f", "ftp://example.com/f"),          # pass-through
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
