@@ -462,6 +462,58 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.textanalysis import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bgs
+  FROM toks WHERE len(t) > 0
+),
+bgc AS (
+  SELECT doc_id, bg, count(*) AS n
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY 1, 2
+),
+bstat AS (
+  SELECT doc_id, max(n) AS top_bg, sum(n) AS total_bg FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN COALESCE(s.total_bg, 0) > 0
+                  THEN CAST(s.top_bg AS DOUBLE) / s.total_bg
+                  ELSE 0.0 END, 6) AS top_bigram_frac
+FROM base b LEFT JOIN bstat s ON b.doc_id = s.doc_id
+"""
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.textanalysis import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir), min_tokens=30,
+                          min_quality=0.4)
+
+
+def _sql_quality_filter() -> str:
+    return (f"SELECT doc_id, n_tokens, quality FROM ("
+            f"{_sql_text_analysis()}) "
+            "WHERE n_tokens >= 30 AND alpha_ratio >= 0.5 "
+            "AND quality >= 0.4")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import extract_media_features
 
@@ -1531,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
         "text_analysis": _q_text_analysis,
+        "repetition_features": _q_repetition,
+        "quality_filter": _q_quality_filter,
         "multimodal_features": _q_multimodal_features,
         "multimodal_dims": _q_multimodal_dims,
         "validate_json_dynamic": _q_validate_json_dynamic,
@@ -1569,6 +1623,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_lsh_ann(),
         "text_analysis": _sql_text_analysis(),
+        "repetition_features": _SQL_REPETITION,
+        "quality_filter": _sql_quality_filter(),
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,

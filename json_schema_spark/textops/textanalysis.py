@@ -104,6 +104,70 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+    - dup_token_ratio: 1 - distinct_tokens/total_tokens;
+    - top_bigram_frac: occurrences of the most frequent bigram over
+      total bigrams (boilerplate/spam markers).
+
+    Shape: tokens explode once; bigrams come from a doc-partitioned
+    lead() window (each bigram string materialized once — the
+    zip-with-slice HOF form re-evaluates per element); one groupBy per
+    doc per bigram, one per doc. Shuffles carry counts, not text.
+    """
+    col = F.col(text_col)
+    toks = (df.filter(col.isNotNull())
+            .select(F.col(id_col),
+                    F.posexplode(tokens(F.lower(col))).alias("pos", "t")))
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("t").over(W.partitionBy(id_col).orderBy("pos"))
+    bigrams = (toks.withColumn("_nxt", nxt)
+               .filter(F.col("_nxt").isNotNull())
+               .withColumn("bg", F.concat_ws(" ", F.col("t"),
+                                             F.col("_nxt"))))
+    bg_counts = (bigrams.groupBy(id_col, "bg")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    bg_stats = (bg_counts.groupBy(id_col)
+                .agg(F.max("n").alias("top_bg"),
+                     F.sum("n").alias("total_bg")))
+    tok_stats = (toks.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_tokens"),
+                      F.count_distinct("t").alias("n_distinct")))
+    joined = tok_stats.join(bg_stats, id_col, "left")
+    dup_ratio = F.when(
+        F.col("n_tokens") > 0,
+        1 - F.col("n_distinct").cast("double")
+        / F.col("n_tokens").cast("double")).otherwise(F.lit(0.0))
+    top_bg_frac = F.when(
+        F.coalesce(F.col("total_bg"), F.lit(0)) > 0,
+        F.col("top_bg").cast("double")
+        / F.col("total_bg").cast("double")).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(dup_ratio, 6).alias("dup_token_ratio"),
+        F.round(top_bg_frac, 6).alias("top_bigram_frac"))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_tokens: int = 10,
+                   min_alpha_ratio: float = 0.5,
+                   min_quality: float = 0.2) -> DataFrame:
+    """C4-style heuristic quality gate composed from analyze():
+    keep documents with enough tokens, mostly-alphabetic text, and a
+    quality score above threshold. Returns (id, kept reason-free) —
+    the projection composes into any pipeline without extra scans."""
+    feats = analyze(df, text_col, id_col)
+    return (feats.filter((F.col("n_tokens") >= min_tokens)
+                         & (F.col("alpha_ratio") >= min_alpha_ratio)
+                         & (F.col("quality") >= min_quality))
+            .select(F.col(id_col), "n_tokens", "quality"))
+
+
 def analyze(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Full text-analysis pass: two stacked projections, zero shuffle.

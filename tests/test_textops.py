@@ -328,3 +328,35 @@ def test_normalize_url_canonical_forms(spark):
            df.select("id", normalize_url(F.col("url")).alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_repetition_features_signals(spark):
+    from json_schema_spark.textops.textanalysis import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all tokens here are different words entirely"),
+         (3, "buy now buy now buy now buy now")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rows[1]["dup_token_ratio"] > 0.8       # one token repeated
+    assert rows[1]["top_bigram_frac"] == 1.0      # 'spam spam' everywhere
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_bigram_frac"] < 0.2
+    assert rows[3]["top_bigram_frac"] > 0.4       # 'buy now' dominates
+
+
+def test_quality_filter_gates(spark):
+    from json_schema_spark.textops.textanalysis import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a very fine day today "
+             "for all of the cats in the house to sit on all the mats"),
+         (2, "x"),
+         (3, "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( "
+             "))))" * 3)],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in quality_filter(df).collect()}
+    assert 1 in kept        # fluent english
+    assert 2 not in kept    # too short
+    assert 3 not in kept    # no alphabetic content
