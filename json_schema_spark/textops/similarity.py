@@ -283,3 +283,24 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"), "cosine_sim")
             .distinct())
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """recall@k of an approximate ANN result against the exact result:
+    (query_id, n_exact, n_hit, recall). Both inputs are
+    (query_id, neighbor_id, ...) as produced by cosine_topk / lsh_topk /
+    ivf_topk. One inner join on (query_id, neighbor_id) + two tiny
+    aggregations — result cardinality is the query count, so this is a
+    cheap evaluation harness to tune n_planes / nprobe against."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (e.join(a, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    totals = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (totals.join(hits, "query_id", "left")
+            .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+            .withColumn("recall",
+                        F.round(F.col("n_hit").cast("double")
+                                / F.col("n_exact").cast("double"), 6))
+            .select("query_id", "n_exact", "n_hit", "recall"))

@@ -360,3 +360,29 @@ def test_quality_filter_gates(spark):
     assert 1 in kept        # fluent english
     assert 2 not in kept    # too short
     assert 3 not in kept    # no alphabetic content
+
+
+def test_ann_recall_harness(emb):
+    from json_schema_spark.textops.similarity import (ann_recall,
+                                                      cosine_topk,
+                                                      ivf_topk, lsh_topk)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5)
+    # exact vs itself -> recall 1.0 everywhere
+    perfect = ann_recall(exact, exact).collect()
+    assert all(r["recall"] == 1.0 for r in perfect)
+
+    lsh = lsh_topk(q, emb, k=5, n_planes=4, dim=64)
+    rec = {r["query_id"]: r["recall"]
+           for r in ann_recall(lsh, exact).collect()}
+    assert set(rec) == {0, 1, 2, 3, 4}
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # synthetic embeddings are near-random, so single-table LSH recall
+    # is modest — but it must beat the random-bucket floor (~31/500)
+    assert sum(rec.values()) / len(rec) > 0.05
+
+    ivf = ivf_topk(q, emb, k=5, n_centroids=8, nprobe=8)
+    rec_ivf = [r["recall"] for r in ann_recall(ivf, exact).collect()]
+    # nprobe == n_centroids probes every cell -> exact
+    assert all(v == 1.0 for v in rec_ivf)
