@@ -204,3 +204,37 @@ def test_manifest_input_files_respect_partition_filter(spark, tmp_path):
         files = manifest["input_files"]
         assert files, part
         assert all(f"day={part}" in f for f in files), (part, files)
+
+
+def test_variant_fast_path_works_on_streams(spark, tmp_path):
+    """validate_json_variant is a pure projection, so it must compose
+    with Structured Streaming unchanged (stateless, append-safe)."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from json_schema_spark.validator.hybrid import validate_json_variant
+
+    src = str(tmp_path / "json_src")
+    rows = [{"id": 1, "json": '{"a": "hello"}'},
+            {"id": 2, "json": '{"a": 7}'},
+            {"id": 3, "json": "not json"}]
+    spark.createDataFrame([(r["id"], r["json"]) for r in rows],
+                          "id long, json string").write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("id long, json string").parquet(src))
+    schema = {"type": "object",
+              "properties": {"a": {"type": "string", "minLength": 3}}}
+    out_df = validate_json_variant(stream, schema, "json", id_col="id")
+    assert out_df.isStreaming
+
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    q = (out_df.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: r["valid"] for r in spark.read.parquet(sink).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    json  # keep import
