@@ -86,19 +86,40 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     normalize: bool = True) -> DataFrame:
+                     normalize: bool = True,
+                     max_examples: int | None = None) -> DataFrame:
     """Groups of byte-identical (optionally whitespace/case-normalized)
-    documents: (digest, dup_count, doc_ids). One partial+final hash agg."""
+    documents: (digest, dup_count, doc_ids). One partial+final hash agg.
+
+    ``max_examples`` bounds the per-group id sample to the first N ids
+    (sorted): at web scale one ubiquitous document (empty page,
+    boilerplate error page) would otherwise collect millions of ids
+    into a single aggregation buffer. The capped path filters to N rows
+    per digest with a window BEFORE collecting, so the buffer itself is
+    bounded; dup_count stays exact either way."""
     col = F.col(text_col)
     if normalize:
         col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     digest = F.md5(col)
-    return (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col), digest.alias("digest"))
-            .groupBy("digest")
-            .agg(F.count(F.lit(1)).alias("dup_count"),
-                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-            .filter(F.col("dup_count") > 1))
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), digest.alias("digest")))
+    if max_examples is None:
+        return (base.groupBy("digest")
+                .agg(F.count(F.lit(1)).alias("dup_count"),
+                     F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+                .filter(F.col("dup_count") > 1))
+    from pyspark.sql import Window as W
+
+    counts = (base.groupBy("digest")
+              .agg(F.count(F.lit(1)).alias("dup_count"))
+              .filter(F.col("dup_count") > 1))
+    rn = F.row_number().over(W.partitionBy("digest").orderBy(id_col))
+    examples = (base.withColumn("_rn", rn)
+                .filter(F.col("_rn") <= max_examples)
+                .groupBy("digest")
+                .agg(F.sort_array(F.collect_list(id_col))
+                     .alias("doc_ids")))
+    return counts.join(examples, "digest")
 
 
 def shingle_projection(df: DataFrame, text_col: str = "text",

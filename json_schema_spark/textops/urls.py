@@ -51,15 +51,37 @@ def normalize_url(col: Column) -> Column:
     return F.when(scheme.isin("http", "https"), rebuilt).otherwise(col)
 
 
-def duplicate_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def duplicate_urls(df: DataFrame, url_col: str = "url",
+                   max_examples: int | None = None) -> DataFrame:
     """(canonical_url, dup_count, urls) for canonical forms reached by
-    more than one raw url — one groupBy on the canonical key."""
+    more than one raw url — one groupBy on the canonical key.
+
+    ``max_examples`` bounds the per-group url sample to the first N
+    (sorted): at web scale one hot canonical (a redirect target, a link
+    farm) would otherwise collect millions of raw urls into a single
+    aggregation buffer. The capped path window-limits to N rows per
+    canonical BEFORE collecting, so the buffer itself is bounded;
+    dup_count stays exact either way."""
     canon = normalize_url(F.col(url_col))
-    return (df.filter(F.col(url_col).isNotNull())
+    base = (df.filter(F.col(url_col).isNotNull())
             .select(canon.alias("canonical_url"),
-                    F.col(url_col).alias("_raw"))
-            .groupBy("canonical_url")
-            .agg(F.count(F.lit(1)).alias("dup_count"),
-                 F.concat_ws(",", F.array_sort(F.collect_list("_raw")))
-                 .alias("urls"))
-            .filter(F.col("dup_count") > 1))
+                    F.col(url_col).alias("_raw")))
+    if max_examples is None:
+        return (base.groupBy("canonical_url")
+                .agg(F.count(F.lit(1)).alias("dup_count"),
+                     F.concat_ws(",", F.array_sort(F.collect_list("_raw")))
+                     .alias("urls"))
+                .filter(F.col("dup_count") > 1))
+    from pyspark.sql import Window as W
+
+    counts = (base.groupBy("canonical_url")
+              .agg(F.count(F.lit(1)).alias("dup_count"))
+              .filter(F.col("dup_count") > 1))
+    rn = F.row_number().over(
+        W.partitionBy("canonical_url").orderBy("_raw"))
+    examples = (base.withColumn("_rn", rn)
+                .filter(F.col("_rn") <= max_examples)
+                .groupBy("canonical_url")
+                .agg(F.concat_ws(",", F.array_sort(F.collect_list("_raw")))
+                     .alias("urls")))
+    return counts.join(examples, "canonical_url")

@@ -386,3 +386,28 @@ def test_ann_recall_harness(emb):
     rec_ivf = [r["recall"] for r in ann_recall(ivf, exact).collect()]
     # nprobe == n_centroids probes every cell -> exact
     assert all(v == 1.0 for v in rec_ivf)
+
+
+def test_dup_group_example_caps(spark):
+    """max_examples bounds the per-group sample while dup_count stays
+    exact (the web-scale hot-group guard)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from json_schema_spark.textops.dedup import exact_duplicates
+    from json_schema_spark.textops.urls import duplicate_urls
+
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(20)] + [(99, "unique thing")],
+        "doc_id long, text string")
+    rows = exact_duplicates(df, max_examples=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 20          # exact
+    assert len(rows[0]["doc_ids"]) == 3        # capped sample
+
+    urls = spark.createDataFrame(
+        [(i, f"https://ex.com/a?utm_source={i}") for i in range(10)],
+        "id long, url string")
+    out = duplicate_urls(urls, max_examples=2).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 10
+    assert out[0]["urls"].count(",") == 1      # two samples
