@@ -963,6 +963,63 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event joined to the latest prior purchase of
+    the same user (inclusive) — DuckDB replays with its native
+    ASOF LEFT JOIN."""
+    from json_schema_spark.ops.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), purchases,
+                    on="ts", by="user_id", right_cols=["value"])
+    return out.select(
+        "event_id",
+        F.round(F.col("value_asof"), 2).cast("string")
+        .alias("last_purchase_value"))
+
+
+_SQL_ASOF_JOIN = """
+SELECT l.event_id,
+       CAST(round(r.value, 2) AS VARCHAR) AS last_purchase_value
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: events falling inside 2-hour windows
+    opened by sampled events of the same user."""
+    from json_schema_spark.ops.joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = (ev.filter(F.col("event_id") % 97 == 0)
+                 .select("user_id",
+                         F.col("event_id").alias("interval_id"),
+                         F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                         .alias("end")))
+    probes = ev.select(F.col("event_id").alias("probe_id"), "user_id",
+                       "ts")
+    out = range_join(probes, intervals, probe_ts="ts",
+                     start_col="start", end_col="end", by="user_id",
+                     bucket=7200.0)
+    return out.select("probe_id", "interval_id")
+
+
+_SQL_RANGE_JOIN = """
+SELECT l.event_id AS probe_id, i.event_id AS interval_id
+FROM events l
+JOIN (SELECT user_id, event_id, ts FROM events
+      WHERE event_id % 97 = 0) i
+  ON l.user_id = i.user_id
+ AND l.ts >= i.ts AND l.ts < i.ts + INTERVAL 2 HOUR
+"""
+
+
 def _q_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODE_CAST analog: JSON-string column -> typed struct (Cast.php:59-72
     -> from_json), then field extraction."""
@@ -1592,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_variant": _q_validate_json_variant,
         "containment_winnowing": _q_containment,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
         "ks_drift": _q_ks_drift,
@@ -1632,6 +1691,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,
         "containment_winnowing": _SQL_CONTAINMENT,
         "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF_JOIN,
+        "range_join": _SQL_RANGE_JOIN,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
         "ks_drift": _SQL_KS_DRIFT,

@@ -1,0 +1,121 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame operators (the
+task's preferred order: composition > pandas-UDF > mapPartitions):
+
+- ``asof_join``: the classic union-and-carry formulation — tag both
+  sides, sort within each key partition by (ts, side), and carry the
+  most recent right-side payload forward with last(ignorenulls) over an
+  unbounded-preceding window. ONE shuffle on the key, one local sort —
+  the same cost profile as a sort-merge join, with no range explosion.
+- ``range_join``: equi-bucketized interval join — index intervals and
+  probes onto coarse time buckets, equi-join on (key, bucket), then
+  filter to the exact containment. Turns the O(rows x intervals)
+  cross-range comparison into bucket-local work, with AQE handling any
+  residual bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str | list[str] | None = None,
+              right_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For every left row, attach the payload of the LATEST right row
+    with right.on <= left.on (inclusive), optionally per ``by`` key —
+    matching DuckDB/kdb ASOF JOIN semantics. Left rows with no prior
+    right row get NULLs.
+
+    Columns: all left columns + each requested right column renamed
+    with ``suffix``. ``right_cols`` defaults to every non-key right
+    column.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c != on and c not in by_cols]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols])
+    r_tag = right.select(
+        *[(F.col(c) if (c in by_cols or c == on)
+           else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+          for c in left.columns],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal ts (_side 0 < 1), making
+    # the match inclusive; a right row's payload is carried by
+    # last(ignorenulls) to every later left row in the key partition.
+    # A right row carrying a genuinely-NULL payload value cannot be
+    # distinguished from "no right row yet" per column, so the carried
+    # marker is a struct (non-null as a whole once ANY right row was
+    # seen), unpacked after the window.
+    w = (Window.partitionBy(*by_cols) if by_cols else
+         Window.partitionBy(F.lit(1)))
+    w = w.orderBy(F.col(on).asc(), F.col("_side").asc()) \
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marker = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols]))
+    carried = F.last(marker, ignorenulls=True).over(w)
+    out = (unioned.withColumn("_carried", carried)
+           .filter(F.col("_side") == 1))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_carried").getField(c).alias(f"{c}{suffix}")
+          for c in right_cols])
+
+
+def range_join(probes: DataFrame, intervals: DataFrame,
+               probe_ts: str = "ts", start_col: str = "start",
+               end_col: str = "end",
+               by: str | list[str] | None = None,
+               bucket: float = 3600.0) -> DataFrame:
+    """Rows of ``probes`` joined to every interval containing them:
+    start <= probe_ts < end (per optional ``by`` key).
+
+    Each interval is exploded onto the coarse buckets it overlaps; each
+    probe maps to exactly one bucket — the join is then an equi-join on
+    (key, bucket) plus the exact range filter. Bucket width trades
+    replication (long intervals explode onto more buckets) against
+    bucket-local pair counts; pick it near the typical interval length.
+    """
+    from pyspark.sql import types as T
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    b = float(bucket)
+
+    def _epoch(df: DataFrame, name: str):
+        c = F.col(name)
+        if isinstance(df.schema[name].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # TIMESTAMP_NTZ has no direct double cast; route via
+            # timestamp (epoch seconds) — bucketing only needs a
+            # monotonic mapping consistent within this engine
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    p_b = F.floor(_epoch(probes, probe_ts) / b).cast("long")
+    s_b = F.floor(_epoch(intervals, start_col) / b).cast("long")
+    e_b = F.floor(_epoch(intervals, end_col) / b).cast("long")
+
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(s_b, e_b)))
+    pr = probes.withColumn("_bucket", p_b)
+    cond = [pr["_bucket"] == iv["_bucket"]] + [
+        pr[c] == iv[c] for c in by_cols]
+    joined = (pr.join(iv, cond)
+              .filter((pr[probe_ts] >= iv[start_col])
+                      & (pr[probe_ts] < iv[end_col])))
+    keep = [pr[c] for c in probes.columns] + [
+        iv[c] for c in intervals.columns if c not in by_cols]
+    return joined.select(*keep)

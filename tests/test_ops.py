@@ -238,3 +238,50 @@ def test_variant_fast_path_works_on_streams(spark, tmp_path):
     got = {r["id"]: r["valid"] for r in spark.read.parquet(sink).collect()}
     assert got == {1: True, 2: False, 3: False}
     json  # keep import
+
+
+def test_asof_join_semantics(spark):
+    from json_schema_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 20), (3, "u1", 5), (4, "u2", 15)],
+        "id long, user string, ts long")
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 18, 200.0), ("u2", 99, 300.0)],
+        "user string, ts long, price double")
+    out = {r["id"]: r["price_asof"] for r in
+           asof_join(left, right, on="ts", by="user",
+                     right_cols=["price"]).collect()}
+    assert out == {1: 100.0,   # inclusive: right at ts==10 matches
+                   2: 200.0,   # latest prior (18 <= 20)
+                   3: None,    # nothing at or before ts=5
+                   4: None}    # u2's only right row is later
+
+
+def test_asof_join_carries_null_payloads(spark):
+    """A right row whose payload is NULL still 'occurs' — later left
+    rows must see NULL from it, not fall back to an earlier payload."""
+    from json_schema_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 30)], "id long, user string, ts long")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, None)],
+        "user string, ts long, price double")
+    out = asof_join(left, right, on="ts", by="user",
+                    right_cols=["price"]).collect()
+    assert out[0]["price_asof"] is None
+
+
+def test_range_join_containment(spark):
+    from json_schema_spark.ops.joins import range_join
+
+    probes = spark.createDataFrame(
+        [(1, "u", 5.0), (2, "u", 15.0), (3, "u", 25.0), (4, "v", 15.0)],
+        "id long, user string, ts double")
+    ivs = spark.createDataFrame(
+        [("u", 100, 10.0, 20.0), ("v", 200, 0.0, 100.0)],
+        "user string, iid long, start double, end double")
+    out = {(r["id"], r["iid"]) for r in
+           range_join(probes, ivs, probe_ts="ts", by="user",
+                      bucket=7.0).collect()}
+    assert out == {(2, 100), (4, 200)}   # half-open [start, end)
