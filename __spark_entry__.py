@@ -963,6 +963,32 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style day+hour rollup of events.value in one
+    grouping-sets pass."""
+    from json_schema_spark.checks.stats import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev, "value", "ts", ("day", "hour"))
+
+
+_SQL_TIME_ROLLUP = """
+WITH base AS (
+  SELECT date_trunc('day', ts) AS g_day,
+         date_trunc('hour', ts) AS g_hour, value AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT CASE WHEN g_day IS NOT NULL THEN 'day' ELSE 'hour' END AS grain,
+       strftime(COALESCE(g_day, g_hour), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       count(*) AS n, round(sum(v), 2) AS sum_v,
+       min(v) AS min_v, max(v) AS max_v, round(avg(v), 6) AS avg_v
+FROM base
+GROUP BY GROUPING SETS ((g_day), (g_hour))
+ORDER BY grain, bucket_start
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event joined to the latest prior purchase of
     the same user (inclusive) — DuckDB replays with its native
@@ -1650,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_winnowing": _q_containment,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "time_rollup": _q_time_rollup,
         "range_join": _q_range_join,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
@@ -1692,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_winnowing": _SQL_CONTAINMENT,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
+        "time_rollup": _SQL_TIME_ROLLUP,
         "range_join": _SQL_RANGE_JOIN,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,

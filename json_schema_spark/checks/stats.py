@@ -92,3 +92,44 @@ def numeric_quantiles(df: DataFrame, col: str,
     probs = probs or [i / 20 for i in range(21)]
     row = df.agg(F.percentile_approx(col, probs, accuracy).alias("q")).head()
     return list(row["q"]) if row and row["q"] is not None else []
+
+
+def time_rollup(df, value_col: str, ts_col: str = "ts",
+                granularities: tuple[str, ...] = ("day", "hour")):
+    """Hypertable-style multi-granularity rollup in ONE pass: for each
+    granularity, (grain, bucket_start, n, sum, min, max, avg) — a
+    GROUPING SETS aggregation over pre-truncated bucket columns, so the
+    scan and the partial aggregation happen once for all grains instead
+    of once per grain.
+
+    Shuffle carries one partial row per (grain, bucket) per task; at
+    10^12 rows the output stays O(sum of bucket counts). Valid grains:
+    anything date_trunc accepts (year/quarter/month/week/day/hour/
+    minute/second)."""
+    from pyspark.sql import functions as F
+
+    value = F.col(value_col)
+    truncs = [F.date_trunc(g, F.col(ts_col)).alias(f"_g_{g}")
+              for g in granularities]
+    base = df.filter(F.col(ts_col).isNotNull() & value.isNotNull()) \
+        .select(*truncs, value.alias("_v"))
+    sets = ", ".join(f"(_g_{g})" for g in granularities)
+    base.createOrReplaceTempView("_rollup_in")
+    cols = ", ".join(f"_g_{g}" for g in granularities)
+    grain = "CASE " + " ".join(
+        f"WHEN _g_{g} IS NOT NULL THEN '{g}'" for g in granularities
+    ) + " END"
+    bucket = "COALESCE(" + ", ".join(
+        f"_g_{g}" for g in granularities) + ")"
+    return df.sparkSession.sql(f"""
+        SELECT {grain} AS grain, {bucket} AS bucket_start,
+               count(*) AS n, round(sum(_v), 2) AS sum_v,
+               min(_v) AS min_v, max(_v) AS max_v,
+               round(avg(_v), 6) AS avg_v
+        FROM _rollup_in
+        GROUP BY GROUPING SETS ({sets})
+        ORDER BY grain, bucket_start
+    """).selectExpr("grain",
+                    "date_format(bucket_start, 'yyyy-MM-dd HH:mm:ss')"
+                    " AS bucket_start",
+                    "n", "sum_v", "min_v", "max_v", "avg_v")

@@ -411,3 +411,21 @@ def test_dup_group_example_caps(spark):
     assert len(out) == 1
     assert out[0]["dup_count"] == 10
     assert out[0]["urls"].count(",") == 1      # two samples
+
+
+def test_bloom_seen_filter_no_false_negatives(spark):
+    from json_schema_spark.textops.dedup import novel_documents, seen_filter
+
+    ref = spark.range(1000).selectExpr("concat('k', id) AS digest")
+    # candidates: 500 overlapping + 500 new
+    cand = spark.range(500, 1500).selectExpr("concat('k', id) AS digest")
+    tagged = seen_filter(ref, cand, n_bits=1 << 16)
+    seen = {r["digest"] for r in
+            tagged.filter("_maybe_seen").collect()}
+    overlap = {f"k{i}" for i in range(500, 1000)}
+    assert overlap <= seen                      # no false negatives
+    novel = {r["digest"] for r in novel_documents(ref, cand,
+                                                  n_bits=1 << 16)
+             .collect()}
+    assert novel.isdisjoint(overlap)            # definite-new is exact
+    assert len(novel) > 400                     # low false-positive rate
