@@ -963,6 +963,37 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample + train/val/test split: both keyed
+    off md5(seed:doc_id), so the oracle reproduces row-for-row."""
+    from json_schema_spark.textops.sampling import (deterministic_sample,
+                                                    hash_split)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sampled = deterministic_sample(docs, 0.6, strata_col="lang",
+                                   fractions={"fr": 0.1})
+    return hash_split(sampled, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+_SQL_HASH_SPLIT = """
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('jss-sample:'
+               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS us,
+         CAST(('0x' || substr(md5('jss-split:'
+               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS up
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN up < 0.8 THEN 'train'
+            WHEN up < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM u
+WHERE us < CASE WHEN lang = 'fr' THEN 0.1 ELSE 0.6 END
+"""
+
+
 def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style day+hour rollup of events.value in one
     grouping-sets pass."""
@@ -1677,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "time_rollup": _q_time_rollup,
+        "hash_split": _q_hash_split,
         "range_join": _q_range_join,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
@@ -1720,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "time_rollup": _SQL_TIME_ROLLUP,
+        "hash_split": _SQL_HASH_SPLIT,
         "range_join": _SQL_RANGE_JOIN,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,

@@ -1,0 +1,67 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+`sample()`/`sampleBy()` draw from a per-task RNG — results change with
+partitioning, retries, and engine, which breaks reproducible corpus
+construction and oracle checks. These operators key every decision off
+md5(seed:id) instead: pure projections, stable under any partitioning,
+identical in any engine that has md5 (the repo-wide determinism trick).
+
+The hash value u = first-8-hex-digits(md5) / 16^8 is uniform on [0,1);
+selection is `u < fraction` (or bucket boundaries for splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 32)
+
+
+def _unit_hash(col: Column, seed: str) -> Column:
+    """Deterministic uniform [0,1) from md5(seed:key)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 8),
+        16, 10).cast("double")
+    return h / F.lit(_DENOM)
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id",
+                         seed: str = "jss-sample",
+                         strata_col: str | None = None,
+                         fractions: dict | None = None) -> DataFrame:
+    """Keep ~fraction of rows, decided per row by hash(seed:id) — same
+    rows survive regardless of partitioning, retries, or engine.
+    With ``strata_col``/``fractions``, each stratum gets its own rate
+    (absent strata default to ``fraction``)."""
+    u = _unit_hash(F.col(id_col), seed)
+    if strata_col is None:
+        return df.filter(u < F.lit(float(fraction)))
+    rate = F.lit(float(fraction))
+    for value, frac in (fractions or {}).items():
+        rate = F.when(F.col(strata_col) == value,
+                      F.lit(float(frac))).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               id_col: str = "doc_id",
+               seed: str = "jss-split",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to one named split (train/val/test/...) by hash
+    bucket — disjoint, exhaustive, reproducible; weights need not sum
+    to 1 (they are normalized)."""
+    total = sum(weights.values())
+    u = _unit_hash(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -429,3 +429,38 @@ def test_bloom_seen_filter_no_false_negatives(spark):
              .collect()}
     assert novel.isdisjoint(overlap)            # definite-new is exact
     assert len(novel) > 400                     # low false-positive rate
+
+
+def test_deterministic_sampling_and_split(spark):
+    from json_schema_spark.textops.sampling import (deterministic_sample,
+                                                    hash_split)
+
+    df = spark.range(10000).selectExpr("id AS doc_id",
+                                       "CASE WHEN id % 4 = 0 THEN 'fr' "
+                                       "ELSE 'en' END AS lang")
+    s1 = {r["doc_id"] for r in
+          deterministic_sample(df, 0.5).collect()}
+    # stable under repartitioning — the core property sample() lacks
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(df.repartition(13), 0.5).collect()}
+    assert s1 == s2
+    assert 0.45 < len(s1) / 10000 < 0.55
+
+    strat = deterministic_sample(df, 0.5, strata_col="lang",
+                                 fractions={"fr": 0.1})
+    by_lang = {r["lang"]: r["n"] for r in
+               strat.groupBy("lang").agg(
+                   __import__("pyspark.sql.functions",
+                              fromlist=["count"]).count("*").alias("n"))
+               .collect()}
+    assert by_lang["fr"] < 0.2 * 2500        # ~10% of the fr stratum
+    assert by_lang["en"] > 0.4 * 7500
+
+    split = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in
+              split.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 7500
+    assert abs(counts["val"] - 1000) < 300
+    # disjoint + exhaustive
+    assert sum(counts.values()) == 10000
