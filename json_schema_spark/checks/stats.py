@@ -98,7 +98,7 @@ def time_rollup(df, value_col: str, ts_col: str = "ts",
                 granularities: tuple[str, ...] = ("day", "hour")):
     """Hypertable-style multi-granularity rollup in ONE pass: for each
     granularity, (grain, bucket_start, n, sum, min, max, avg) — a
-    GROUPING SETS aggregation over pre-truncated bucket columns, so the
+    grouping-sets aggregation over pre-truncated bucket columns, so the
     scan and the partial aggregation happen once for all grains instead
     of once per grain.
 
@@ -109,27 +109,25 @@ def time_rollup(df, value_col: str, ts_col: str = "ts",
     from pyspark.sql import functions as F
 
     value = F.col(value_col)
-    truncs = [F.date_trunc(g, F.col(ts_col)).alias(f"_g_{g}")
-              for g in granularities]
-    base = df.filter(F.col(ts_col).isNotNull() & value.isNotNull()) \
-        .select(*truncs, value.alias("_v"))
-    sets = ", ".join(f"(_g_{g})" for g in granularities)
-    base.createOrReplaceTempView("_rollup_in")
-    cols = ", ".join(f"_g_{g}" for g in granularities)
-    grain = "CASE " + " ".join(
-        f"WHEN _g_{g} IS NOT NULL THEN '{g}'" for g in granularities
-    ) + " END"
-    bucket = "COALESCE(" + ", ".join(
-        f"_g_{g}" for g in granularities) + ")"
-    return df.sparkSession.sql(f"""
-        SELECT {grain} AS grain, {bucket} AS bucket_start,
-               count(*) AS n, round(sum(_v), 2) AS sum_v,
-               min(_v) AS min_v, max(_v) AS max_v,
-               round(avg(_v), 6) AS avg_v
-        FROM _rollup_in
-        GROUP BY GROUPING SETS ({sets})
-        ORDER BY grain, bucket_start
-    """).selectExpr("grain",
-                    "date_format(bucket_start, 'yyyy-MM-dd HH:mm:ss')"
-                    " AS bucket_start",
-                    "n", "sum_v", "min_v", "max_v", "avg_v")
+    gcols = [f"_g_{g}" for g in granularities]
+    base = (df.filter(F.col(ts_col).isNotNull() & value.isNotNull())
+            .select(*[F.date_trunc(g, F.col(ts_col)).alias(f"_g_{g}")
+                      for g in granularities],
+                    value.alias("_v")))
+    agg = (base.groupingSets([[c] for c in gcols], *[F.col(c)
+                                                     for c in gcols])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("_v"), 2).alias("sum_v"),
+                F.min("_v").alias("min_v"), F.max("_v").alias("max_v"),
+                F.round(F.avg("_v"), 6).alias("avg_v")))
+    grain = None
+    for g in granularities:
+        cond = F.col(f"_g_{g}").isNotNull()
+        grain = F.when(cond, F.lit(g)) if grain is None \
+            else grain.when(cond, F.lit(g))
+    bucket = F.coalesce(*[F.col(c) for c in gcols])
+    return (agg.select(grain.alias("grain"),
+                       F.date_format(bucket, "yyyy-MM-dd HH:mm:ss")
+                       .alias("bucket_start"),
+                       "n", "sum_v", "min_v", "max_v", "avg_v")
+            .orderBy("grain", "bucket_start"))

@@ -149,3 +149,23 @@ def test_minhash_bucket_cap_prunes_hot_buckets(docs):
     uncapped = minhash_candidate_pairs(corpus).count()
     capped = minhash_candidate_pairs(corpus, max_bucket_size=2).count()
     assert capped <= uncapped
+
+
+def test_new_operator_plan_shapes(spark):
+    """Round-2 operators: exchange counts and zero-Python locked in.
+    asof_join = ONE shuffle (the key sort); range_join and hash_split
+    need none on this input (broadcast / pure projection); time_rollup
+    aggregates all grains behind ONE exchange."""
+    import __spark_entry__ as e
+
+    sf = SF_DIR
+    budgets = {"asof_join": 1, "range_join": 1, "time_rollup": 1,
+               "hash_split": 0, "url_dedup": 1}
+    for name, max_exchanges in budgets.items():
+        df = e.queries()[name](spark, sf)
+        plan = _plan(df)
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_exchanges, (name, n, max_exchanges)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                       "MapInPandas"):
+            assert marker not in plan, (name, marker)
