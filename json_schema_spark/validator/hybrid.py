@@ -105,6 +105,10 @@ def columnar_plan(
             return None
         if set(spec) - _COLUMNAR_KEYWORDS - {"default"}:
             return None
+        if isinstance(spec.get("const"), (dict, list)):
+            return None
+        if any(isinstance(v, (dict, list)) for v in spec.get("enum", [])):
+            return None
         dtype = _property_spark_type(spec)
         if dtype is None:
             return None
@@ -173,6 +177,12 @@ def variant_plan(schema: dict) -> dict | None:
         t = spec.get("type")
         types = [t] if isinstance(t, str) else (t or [])
         if not set(types) <= _VARIANT_TYPES:
+            return None
+        # composite const/enum members need deep equality — the scalar
+        # member matcher would silently mis-verdict them: fall back
+        if isinstance(spec.get("const"), (dict, list)):
+            return None
+        if any(isinstance(v, (dict, list)) for v in spec.get("enum", [])):
             return None
     required = schema.get("required", [])
     if not (isinstance(required, list)

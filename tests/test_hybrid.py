@@ -282,3 +282,16 @@ def test_variant_path_randomized_parity(spark):
         diffs = {i: (fast[i], slow[i], docs[i])
                  for i in fast if fast[i] != slow[i]}
         assert not diffs, (si, schema, diffs)
+
+
+def test_variant_plan_rejects_composite_const_enum():
+    """Composite const/enum members need deep equality — must route to
+    the document path, not silently mis-verdict on the variant path."""
+    from json_schema_spark.validator.hybrid import variant_plan
+
+    assert variant_plan({"type": "object", "properties": {
+        "a": {"const": {"x": 1}}}}) is None
+    assert variant_plan({"type": "object", "properties": {
+        "a": {"enum": ["ok", [1, 2]]}}}) is None
+    assert variant_plan({"type": "object", "properties": {
+        "a": {"enum": ["ok", 1]}}}) is not None
