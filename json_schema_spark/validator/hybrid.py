@@ -109,6 +109,9 @@ def columnar_plan(
             return None
         if any(isinstance(v, (dict, list)) for v in spec.get("enum", [])):
             return None
+        if isinstance(spec.get("exclusiveMinimum"), bool) \
+                or isinstance(spec.get("exclusiveMaximum"), bool):
+            return None  # per-draft behavior lives in the document path
         dtype = _property_spark_type(spec)
         if dtype is None:
             return None
@@ -183,6 +186,12 @@ def variant_plan(schema: dict) -> dict | None:
         if isinstance(spec.get("const"), (dict, list)):
             return None
         if any(isinstance(v, (dict, list)) for v in spec.get("enum", [])):
+            return None
+        # draft-4 boolean exclusive form: the document path implements
+        # the per-draft behavior (rewrite under draft 4, SchemaError
+        # under 6/7) — route there rather than guess a version here
+        if isinstance(spec.get("exclusiveMinimum"), bool) \
+                or isinstance(spec.get("exclusiveMaximum"), bool):
             return None
     required = schema.get("required", [])
     if not (isinstance(required, list)

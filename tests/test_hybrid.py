@@ -295,3 +295,28 @@ def test_variant_plan_rejects_composite_const_enum():
         "a": {"enum": ["ok", [1, 2]]}}}) is None
     assert variant_plan({"type": "object", "properties": {
         "a": {"enum": ["ok", 1]}}}) is not None
+
+
+def test_boolean_exclusive_routes_to_document_path(spark):
+    """Draft-4 boolean exclusiveMinimum: draft-7 documents path raises
+    SchemaError (reference parity); draft-4 validates the rewritten
+    strict bound. Fast paths must not swallow either behavior."""
+    import pytest
+
+    from json_schema_spark.errors import SchemaError
+    from json_schema_spark.validator.hybrid import (columnar_plan,
+                                                    validate_json_auto,
+                                                    variant_plan)
+
+    schema = {"type": "object",
+              "properties": {"a": {"minimum": 5,
+                                   "exclusiveMinimum": True}}}
+    assert variant_plan(schema) is None
+    assert columnar_plan(schema) is None
+    df = spark.createDataFrame([(1, '{"a": 6}')], "id long, json string")
+    with pytest.raises(SchemaError):
+        validate_json_auto(df, schema, "json", id_col="id").collect()
+    out = {r["id"]: r["valid"] for r in
+           validate_json_auto(df, schema, "json", id_col="id",
+                              version="4").collect()}
+    assert out == {1: True}
