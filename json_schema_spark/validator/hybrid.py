@@ -91,10 +91,10 @@ def columnar_plan(
     if schema.get("type") != "object":
         return None
     unsupported = set(schema) - {"type", "properties", "required",
-                                 "additionalProperties", "$schema",
-                                 "title", "description"}
+                                 "$schema", "title", "description"}
     if unsupported:
-        return None
+        return None  # incl. additionalProperties: the struct parse
+        # cannot see undeclared keys, so it cannot enforce False
     props = schema.get("properties", {})
     if not isinstance(props, dict) or not props:
         return None
@@ -167,8 +167,12 @@ def variant_plan(schema: dict) -> dict | None:
     if schema.get("type") not in ("object", None):
         return None
     if set(schema) - {"type", "properties", "required",
-                      "$schema", "title", "description"}:
+                      "additionalProperties", "$schema", "title",
+                      "description"}:
         return None
+    ap = schema.get("additionalProperties", True)
+    if ap is not True and ap is not False:
+        return None  # schema-form needs per-extra-key validation
     props = schema.get("properties", {})
     if not isinstance(props, dict):
         return None
@@ -197,9 +201,11 @@ def variant_plan(schema: dict) -> dict | None:
     if not (isinstance(required, list)
             and all(isinstance(r, str) for r in required)):
         return None
-    if not props and not required and schema.get("type") != "object":
+    if not props and not required and ap is True \
+            and schema.get("type") != "object":
         return None  # nothing to check — let the document path decide
     return {"props": props, "required": required,
+            "no_additional": ap is False,
             "root_must_be_object": schema.get("type") == "object"}
 
 
@@ -342,6 +348,12 @@ def validate_json_variant(df: DataFrame, schema: dict,
     for req in plan["required"]:
         field_ok = field_ok & F.variant_get(
             root, f"$.{req}", "variant").isNotNull()
+    if plan["no_additional"]:
+        declared = list(plan["props"])
+        keys_ok = F.forall(
+            F.json_object_keys(col),
+            lambda k: k.isin(declared) if declared else F.lit(False))
+        field_ok = field_ok & F.coalesce(keys_ok, F.lit(False))
 
     if plan["root_must_be_object"]:
         ok = parse_ok & F.coalesce(is_obj, F.lit(False)) & field_ok

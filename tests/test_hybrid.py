@@ -320,3 +320,38 @@ def test_boolean_exclusive_routes_to_document_path(spark):
            validate_json_auto(df, schema, "json", id_col="id",
                               version="4").collect()}
     assert out == {1: True}
+
+
+def test_variant_path_additional_properties_false(spark):
+    """additionalProperties: false is enforced via json_object_keys —
+    the struct path (which cannot see undeclared keys) must refuse such
+    schemas instead of silently ignoring the keyword."""
+    from json_schema_spark.validator.hybrid import (columnar_plan,
+                                                    validate_json_auto,
+                                                    variant_plan)
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"}},
+              "additionalProperties": False}
+    assert variant_plan(schema) is not None
+    assert columnar_plan(schema) is None
+    docs = [(1, '{"a": 1}'), (2, '{"a": 1, "b": 2}'), (3, "{}"),
+            (4, '{"b": 2}'), (5, "[1]"), (6, "bad")]
+    df = spark.createDataFrame(docs, "id long, json string")
+    fast = {r["id"]: r["valid"] for r in
+            validate_json_auto(df, schema, "json", id_col="id").collect()}
+    slow = {r["id"]: r["_validation"]["valid"] for r in
+            validate_json_column(df, schema, "json").collect()}
+    assert fast == slow
+    assert fast == {1: True, 2: False, 3: True, 4: False, 5: False,
+                    6: False}
+
+    closed_empty = {"type": "object", "additionalProperties": False}
+    fast2 = {r["id"]: r["valid"] for r in
+             validate_json_auto(df, closed_empty, "json",
+                                id_col="id").collect()}
+    slow2 = {r["id"]: r["_validation"]["valid"] for r in
+             validate_json_column(df, closed_empty, "json").collect()}
+    assert fast2 == slow2
