@@ -355,3 +355,63 @@ def test_variant_path_additional_properties_false(spark):
     slow2 = {r["id"]: r["_validation"]["valid"] for r in
              validate_json_column(df, closed_empty, "json").collect()}
     assert fast2 == slow2
+
+
+def test_auto_routing_randomized_parity(spark):
+    """Fuzz validate_json_auto itself: whatever path a schema routes to
+    (variant / struct / document), verdicts must equal the document
+    path — including additionalProperties and composite enum members
+    that force fallbacks."""
+    import json
+    import random
+
+    from json_schema_spark.validator.hybrid import validate_json_auto
+    from json_schema_spark.validator.json_column import (
+        validate_json_column)
+
+    rng = random.Random(99)
+
+    def rand_spec():
+        spec = {}
+        t = rng.choice([["string"], ["integer"], None, ["number", "null"]])
+        if t:
+            spec["type"] = t
+        if rng.random() < 0.3:
+            spec["minLength"] = rng.randint(0, 5)
+        if rng.random() < 0.3:
+            spec["minimum"] = rng.randint(-3, 3)
+        if rng.random() < 0.25:
+            spec["enum"] = rng.sample(
+                ["a", "b", 1, 2.5, None, [1], {"z": 1}], k=3)
+        return spec
+
+    def rand_doc():
+        r = rng.random()
+        if r < 0.1:
+            return "oops {"
+        if r < 0.2:
+            return json.dumps(rng.choice([1, "s", [2], None, True]))
+        keys = rng.sample(["a", "b", "c", "d"], k=rng.randint(0, 4))
+        vals = ["a", "b", 1, 2.5, None, [1], {"z": 1}, True]
+        return json.dumps({k: rng.choice(vals) for k in keys})
+
+    docs = [rand_doc() for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "id long, json string")
+    for si in range(12):
+        schema = {"type": "object",
+                  "properties": {k: rand_spec()
+                                 for k in rng.sample(["a", "b", "c"],
+                                                     k=rng.randint(1, 3))}}
+        if rng.random() < 0.5:
+            schema["required"] = rng.sample(["a", "b"], k=1)
+        if rng.random() < 0.4:
+            schema["additionalProperties"] = rng.choice([True, False])
+        fast = {r["id"]: r["valid"] for r in
+                validate_json_auto(df, schema, "json",
+                                   id_col="id").collect()}
+        slow = {r["id"]: r["_validation"]["valid"] for r in
+                validate_json_column(df, schema, "json").collect()}
+        diffs = {i: (fast[i], slow[i], docs[i])
+                 for i in fast if fast[i] != slow[i]}
+        assert not diffs, (si, schema, diffs)
