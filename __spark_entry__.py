@@ -500,6 +500,33 @@ FROM base b LEFT JOIN bstat s ON b.doc_id = s.doc_id
 """
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+_SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+vocab AS (SELECT t, count(*) AS n_t FROM toks GROUP BY t),
+tot AS (SELECT sum(n_t) AS N, count(*) AS V FROM vocab),
+scored AS (
+  SELECT toks.doc_id,
+         -ln(CAST(COALESCE(v.n_t, 0) + 1 AS DOUBLE)
+             / CAST(tot.N + tot.V AS DOUBLE)) AS nlp
+  FROM toks LEFT JOIN vocab v ON toks.t = v.t CROSS JOIN tot
+)
+SELECT c.doc_id, c.n_tokens, round(s.avg_nlp, 6) AS avg_neg_logprob
+FROM (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1) c
+JOIN (SELECT doc_id, avg(nlp) AS avg_nlp FROM scored GROUP BY 1) s
+  ON c.doc_id = s.doc_id
+"""
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.textanalysis import quality_filter
 
@@ -1699,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
+        "unigram_logprob": _q_unigram_logprob,
         "multimodal_features": _q_multimodal_features,
         "multimodal_dims": _q_multimodal_dims,
         "validate_json_dynamic": _q_validate_json_dynamic,
@@ -1743,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _sql_text_analysis(),
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
+        "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,

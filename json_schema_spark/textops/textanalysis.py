@@ -251,3 +251,37 @@ def analyze(df: DataFrame, text_col: str = "text",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
         F.col("_fingerprint").alias("fingerprint"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """CCNet-style perplexity proxy: per-document mean negative log
+    probability under a unigram model (Wenzek et al. 2020 filter
+    corpora by LM perplexity; a unigram model is its SQL-expressible
+    core). Low scores = typical text; high = gibberish/outliers.
+
+    Two aggregations over one token explode: (1) corpus unigram counts
+    (the "model" — pass ``vocab`` to score against a reference corpus
+    instead), (2) per-doc mean of -ln((n_t + 1) / (N + V))
+    (add-one smoothing covers OOV when scoring against an external
+    vocab). The vocab side is broadcast — vocabulary cardinality, not
+    corpus cardinality. Returns (id, n_tokens, avg_neg_logprob)."""
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("t")))
+    if vocab is None:
+        vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = vocab.agg(F.sum("n_t").alias("N"),
+                       F.count(F.lit(1)).alias("V"))
+    vb = F.broadcast(vocab.crossJoin(F.broadcast(totals)))
+    scored = (toks.join(vb, "t", "left")
+              .withColumn("_nlp", -F.log(
+                  (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
+                  / (F.col("N") + F.col("V")).cast("double"))))
+    return (toks.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .join(scored.groupBy(id_col)
+                  .agg(F.round(F.avg("_nlp"), 6)
+                       .alias("avg_neg_logprob")), id_col))

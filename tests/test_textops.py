@@ -464,3 +464,18 @@ def test_deterministic_sampling_and_split(spark):
     assert abs(counts["val"] - 1000) < 300
     # disjoint + exhaustive
     assert sum(counts.values()) == 10000
+
+
+def test_unigram_logprob_flags_gibberish(spark):
+    """Docs of corpus-typical tokens score low; rare-token docs score
+    high — the perplexity-filter signal."""
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    common = "the cat and the dog and the cat and the dog"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(20)]
+        + [(99, "zxqv wvut qqzz xkcd")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["avg_neg_logprob"]
+            for r in unigram_logprob(df).collect()}
+    assert rows[99] > rows[0]
