@@ -25,6 +25,7 @@ Pick the document path when those distinctions matter.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from operator import and_, or_
 from typing import Any
@@ -51,6 +52,18 @@ _SCALAR_TYPE_MAP = {
 # struct field that captures Jackson parse failures; name is unlikely to
 # collide with real JSON properties
 _CORRUPT = "__jss_corrupt__"
+
+# Property / required names must survive three literal interpolations on
+# the fast paths: variant_get / get_json_object JSON paths ("$.{name}" —
+# '.' navigates into nesting, '[' is an index accessor and a hard error,
+# '*' is a wildcard) and the constraint compiler's F.col(name) attribute
+# parsing ('.' and '`'). Names outside this allowlist route to the
+# document path, whose dict lookups are exact for any name.
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def _names_safe(*names: str) -> bool:
+    return all(isinstance(n, str) and _SAFE_NAME.match(n) for n in names)
 
 # keywords the columnar compiler expresses with identical verdicts for
 # scalar-typed, flat object schemas
@@ -97,6 +110,10 @@ def columnar_plan(
         # cannot see undeclared keys, so it cannot enforce False
     props = schema.get("properties", {})
     if not isinstance(props, dict) or not props:
+        return None
+    required = schema.get("required", [])
+    if not isinstance(required, list) \
+            or not _names_safe(*props, *required):
         return None
 
     fields, columns = [], {}
@@ -200,6 +217,8 @@ def variant_plan(schema: dict) -> dict | None:
     required = schema.get("required", [])
     if not (isinstance(required, list)
             and all(isinstance(r, str) for r in required)):
+        return None
+    if not _names_safe(*props, *required):
         return None
     if not props and not required and ap is True \
             and schema.get("type") != "object":

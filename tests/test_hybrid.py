@@ -415,3 +415,51 @@ def test_auto_routing_randomized_parity(spark):
         diffs = {i: (fast[i], slow[i], docs[i])
                  for i in fast if fast[i] != slow[i]}
         assert not diffs, (si, schema, diffs)
+
+
+def test_unsafe_property_names_route_to_document_path(spark):
+    """Names with '.', '[', '*', quotes, or spaces cannot be literally
+    interpolated into variant_get / get_json_object JSON paths ('$.a.b'
+    navigates into NESTING) — such schemas must fall back to the
+    document path, whose dict lookups are exact for any name.
+
+    Regression for the silently-inverted verdicts: {"a.b": "x"} judged
+    invalid and {"a": {"b": "x"}} judged valid by the old variant path.
+    """
+    from json_schema_spark.validator.hybrid import (
+        columnar_plan, validate_json_auto, variant_plan)
+
+    schema = {"type": "object",
+              "properties": {"a.b": {"type": "string"}},
+              "required": ["a.b"]}
+    assert variant_plan(schema) is None
+    assert columnar_plan(schema) is None
+
+    df = spark.createDataFrame(
+        [(1, '{"a.b": "x"}'),        # flat key literally named "a.b": VALID
+         (2, '{"a": {"b": "x"}}'),   # nested: required "a.b" missing
+         (3, '{"a.b": 7}')],         # present but wrong type
+        "id long, json string")
+    got = {r["id"]: r["valid"]
+           for r in validate_json_auto(df, schema, "json",
+                                       id_col="id").collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+    for bad in ("a[0]", "a*", "a`b", 'a"b', "", "a b"):
+        s = {"type": "object", "properties": {bad: {"type": "string"}}}
+        assert variant_plan(s) is None, bad
+        assert columnar_plan(s) is None, bad
+
+    # plain names (incl. dash/underscore) still take the fast path
+    ok = {"type": "object",
+          "properties": {"a-b": {"type": "string"},
+                         "c_1": {"type": "integer"}},
+          "required": ["a-b"]}
+    assert variant_plan(ok) is not None
+    df2 = spark.createDataFrame(
+        [(1, '{"a-b": "x", "c_1": 3}'), (2, '{"c_1": 3}')],
+        "id long, json string")
+    got2 = {r["id"]: r["valid"]
+            for r in validate_json_auto(df2, ok, "json",
+                                        id_col="id").collect()}
+    assert got2 == {1: True, 2: False}
