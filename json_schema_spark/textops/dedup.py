@@ -342,10 +342,38 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("shared") >= min_shared))
 
 
+def _bit_literal(j: int) -> Column:
+    """2^j as a LongType literal. Bit 63 is the sign bit: 1 << 63
+    overflows a signed long literal (NumberFormatException), but its
+    two's-complement value -(1 << 63) has exactly that bit pattern, and
+    summing it with any subset of bits 0-62 stays in long range — so
+    addition of distinct _bit_literal terms equals bitwise OR."""
+    return F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint")
+
+
+def _token_bit_vote(h_lo: Column, h_hi: Column, j: int) -> Column:
+    """+1/-1 vote for bit j of a 64-bit token hash assembled from two
+    32-bit halves (literal shift counts keep the extraction exact for
+    all 64 bits — double-precision pow would lose exactness past
+    2^53 and shiftright needs a literal)."""
+    h, off = (h_lo, j) if j < 32 else (h_hi, j - 32)
+    bit = F.shiftright(h, off).bitwiseAND(F.lit(1))
+    return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: per-token 32-bit hash from the md5
     prefix, +/-1 vote per bit position, sign of the vote total sets the
-    output bit. Pure expression — one aggregate() fold per row."""
+    output bit. Pure expression — one aggregate() fold per row.
+
+    Capped at 32 bits: the bit position is a lambda variable here, so
+    extraction must go through double-precision pow (shiftright needs a
+    literal count), which is only exact below 2^53, and the 2^j output
+    weights overflow under ANSI casts at j=63. For 33-64 bit
+    fingerprints use `simhash_table` (literal per-bit shifts)."""
+    if not 1 <= bits <= 32:
+        raise ValueError("simhash supports 1-32 bits; use simhash_table "
+                         "for up to 64")
     toks = tokens(col)
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
 
@@ -376,28 +404,42 @@ def simhash(col: Column, bits: int = 32) -> Column:
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(id, simhash) for non-empty documents, token-at-a-time: explode
-    tokens, hash each ONCE, aggregate the 32 bit votes as sums (the
+    tokens, hash each ONCE, aggregate the per-bit votes as sums (the
     pure-expression `simhash` re-derives the token hash per bit position
     — no CSE inside lambdas — costing bits x the md5 work).
 
+    Supports 1-64 bits. The token hash is assembled from two 32-bit md5
+    halves (hex chars 1-8 and 9-16); for bits <= 32 only the first half
+    is read, so fingerprints are identical to earlier 32-bit builds and
+    to the DuckDB oracle replay. At 64 bits the fingerprint uses the
+    full signed-long range (bit 63 = sign bit) — downstream consumers
+    must treat it as a bit pattern, which `simhash_pairs` does via
+    shiftrightunsigned/bit_count.
+
     Near-dup pairs are docs with small hamming distance:
     bit_count(a ^ b) <= d — pair via the LSH bands above or by
-    chunked-bit bucketing at scale."""
+    chunked-bit bucketing at scale (simhash_pairs)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
     rows = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
                     F.explode(tokens(F.col(text_col))).alias("t"))
-            .withColumn("h", F.conv(F.substring(F.md5("t"), 1, 8),
-                                    16, 10).cast("bigint")))
+            .withColumn("h_lo", F.conv(F.substring(F.md5("t"), 1, 8),
+                                       16, 10).cast("bigint")))
+    if bits > 32:
+        rows = rows.withColumn(
+            "h_hi", F.conv(F.substring(F.md5("t"), 9, 8),
+                           16, 10).cast("bigint"))
     vote_aggs = [
-        F.sum(F.when(
-            F.floor(F.col("h") / F.pow(F.lit(2.0), F.lit(j)))
-            .cast("bigint") % 2 == 1, 1).otherwise(-1)).alias(f"v{j}")
+        F.sum(_token_bit_vote(
+            F.col("h_lo"),
+            F.col("h_hi") if bits > 32 else F.lit(0),
+            j)).alias(f"v{j}")
         for j in range(bits)]
     per_doc = rows.groupBy("_id").agg(*vote_aggs)
     assembled = reduce(
         Column.__add__,
-        [F.when(F.col(f"v{j}") > 0,
-                F.lit(1 << j).cast("bigint"))
+        [F.when(F.col(f"v{j}") > 0, _bit_literal(j))
          .otherwise(F.lit(0).cast("bigint")) for j in range(bits)])
     return per_doc.select(F.col("_id").alias(id_col),
                           assembled.alias("simhash"))
@@ -438,18 +480,26 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # ~16 bytes/doc — so it stays cacheable at any corpus size.
     sh = simhash_table(df, text_col, id_col, bits).persist()
 
-    # chunk_val = (simhash >> (chunk_bits*idx)) & (2^chunk_bits - 1),
-    # via exact double pow (simhash < 2^32 << 2^52)
-    idx = F.col("chunk_idx")
-    chunk_val = (
-        F.floor(F.col("simhash")
-                / F.pow(F.lit(2.0), idx * chunk_bits)).cast("bigint")
-        % F.lit(1 << chunk_bits))
+    # chunk_val = (simhash >>> (chunk_bits*idx)) & (2^chunk_bits - 1).
+    # Literal shift counts (one struct per chunk, inlined to rows) keep
+    # the extraction exact for all 64 bits and correct for NEGATIVE
+    # fingerprints (bit 63 set): the old floor(x / pow(2, idx*cb)) form
+    # was only exact below 2^53 and rounded toward zero for negatives,
+    # which at bits=64 made high chunks degenerate and the pigeonhole
+    # equi-join quadratic.
+    def chunk_val(i: int) -> Column:
+        v = F.col("simhash") if i == 0 else \
+            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+        if chunk_bits < 64:
+            v = v.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        return v
+
     chunks = (sh.select(F.col(id_col).alias("_id"), "simhash")
               .select("_id", "simhash",
-                      F.explode(F.sequence(
-                          F.lit(0), F.lit(n_chunks - 1))).alias("chunk_idx"))
-              .withColumn("chunk_val", chunk_val))
+                      F.inline(F.array(*[
+                          F.struct(F.lit(i).alias("chunk_idx"),
+                                   chunk_val(i).alias("chunk_val"))
+                          for i in range(n_chunks)]))))
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))

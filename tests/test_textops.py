@@ -479,3 +479,82 @@ def test_unigram_logprob_flags_gibberish(spark):
     rows = {r["doc_id"]: r["avg_neg_logprob"]
             for r in unigram_logprob(df).collect()}
     assert rows[99] > rows[0]
+
+def test_simhash_64bit_uses_full_width(spark):
+    """Regression: the per-token hash was hard-coded to 8 md5 hex chars
+    (32 bits), so at bits=64 every vote for bits 32-63 was -1, the high
+    word of every fingerprint was 0, and chunked pairing degenerated to
+    all-pairs. bits=64 must now populate the high word while keeping the
+    low 32 bits identical to the bits=32 fingerprint (oracle parity)."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.dedup import simhash, simhash_table
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    sh64 = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+            for r in simhash_table(docs, bits=64).collect()}
+    sh32 = {r["doc_id"]: r["simhash"]
+            for r in simhash_table(docs, bits=32).collect()}
+
+    high_words = {v >> 32 for v in sh64.values()}
+    assert len(high_words) > 32          # genuinely 64-bit fingerprints
+    assert all(sh64[k] & 0xFFFFFFFF == sh32[k] for k in sh32)
+
+    # the pure-Column form documents its 32-bit cap
+    import pytest
+    with pytest.raises(ValueError):
+        docs.select(simhash(F.col("text"), bits=64))
+
+
+def test_simhash_pairs_64bit_linear_candidates(spark):
+    """At bits=64 / n_chunks=8 the chunk buckets must spread: every
+    chunk index (including those covering bits 32-63) sees many distinct
+    values, keeping candidate volume far below all-pairs, and the
+    bucketed pairs still equal brute force on planted clones."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.dedup import simhash_pairs, simhash_table
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    pert = (docs.filter((F.col("doc_id") < 10) & F.col("text").isNotNull())
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat("text", F.lit(" zz")).alias("text")))
+    corpus = docs.unionByName(pert)
+
+    sh = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+          for r in simhash_table(corpus, bits=64).collect()}
+    # 16-bit chunks: the web-scale config the docstring recommends
+    # (chunk_bits >= ~12 so buckets stay sparse)
+    mask = 0xFFFF
+    chunk_vals = {i: {(v >> (16 * i)) & mask for v in sh.values()}
+                  for i in range(4)}
+    # regression signature: a constant chunk (1 value) for every chunk
+    # covering bits >= 32; healthy SimHash bits correlate across docs
+    # sharing common tokens, so expect hundreds of values here
+    for i in range(4):
+        assert len(chunk_vals[i]) > 100, f"chunk {i} degenerate"
+
+    # candidate volume: pairs sharing >= 1 chunk, vs all-pairs
+    # (measured 1.5% on this corpus; the broken high chunks made it 100%)
+    ids = sorted(sh)
+    n_cand = sum(
+        1 for a, b in combinations(ids, 2)
+        if any((sh[a] >> (16 * i)) & mask == (sh[b] >> (16 * i)) & mask
+               for i in range(4)))
+    all_pairs = len(ids) * (len(ids) - 1) // 2
+    assert n_cand < 0.05 * all_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(corpus, max_hamming=3, n_chunks=4,
+                                  bits=64).collect()}
+    want = {}
+    for a, b in combinations(ids, 2):
+        h = bin(sh[a] ^ sh[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert any(b - a == 100000 for a, b in got)  # clones found
