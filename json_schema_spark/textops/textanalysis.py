@@ -255,28 +255,47 @@ def analyze(df: DataFrame, text_col: str = "text",
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    vocab: DataFrame | None = None) -> DataFrame:
+                    vocab: DataFrame | None = None,
+                    min_count: int = 1) -> DataFrame:
     """CCNet-style perplexity proxy: per-document mean negative log
     probability under a unigram model (Wenzek et al. 2020 filter
     corpora by LM perplexity; a unigram model is its SQL-expressible
     core). Low scores = typical text; high = gibberish/outliers.
 
     Two aggregations over one token explode: (1) corpus unigram counts
-    (the "model" — pass ``vocab`` to score against a reference corpus
-    instead), (2) per-doc mean of -ln((n_t + 1) / (N + V))
-    (add-one smoothing covers OOV when scoring against an external
-    vocab). The vocab side is broadcast — vocabulary cardinality, not
-    corpus cardinality. Returns (id, n_tokens, avg_neg_logprob)."""
+    (the "model" — pass ``vocab`` (t, n_t) to score against a reference
+    corpus instead), (2) per-doc mean of -ln((n_t + 1) / (N + V)).
+    Totals ride a separate one-row broadcast cross-join, so an OOV
+    token (left-join miss against the model) still sees N and V and
+    scores the documented add-one floor -ln(1 / (N + V)) — previously
+    N/V rode the vocab join and OOV rows silently dropped out of the
+    average.
+
+    Scale story: a caller-supplied ``vocab`` is a bounded reference
+    model — broadcast it. A DERIVED vocab is all distinct corpus tokens
+    (billions at web scale: URLs, typos, numbers), so that join is left
+    UNHINTED — Spark shuffles or, with AQE, broadcasts only when it
+    measures the vocab small. ``min_count`` frequency-floors the
+    derived model (the dropped long tail scores as OOV via the same
+    add-one smoothing); N and V are computed AFTER flooring so the
+    model is self-consistent. Returns (id, n_tokens, avg_neg_logprob).
+    """
     toks = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("t")))
     if vocab is None:
-        vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
-    totals = vocab.agg(F.sum("n_t").alias("N"),
+        model = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+        if min_count > 1:
+            model = model.filter(F.col("n_t") >= min_count)
+        join_model = model          # unhinted: size unknown, often huge
+    else:
+        model = vocab
+        join_model = F.broadcast(vocab)
+    totals = model.agg(F.sum("n_t").alias("N"),
                        F.count(F.lit(1)).alias("V"))
-    vb = F.broadcast(vocab.crossJoin(F.broadcast(totals)))
-    scored = (toks.join(vb, "t", "left")
+    scored = (toks.crossJoin(F.broadcast(totals))
+              .join(join_model, "t", "left")
               .withColumn("_nlp", -F.log(
                   (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
                   / (F.col("N") + F.col("V")).cast("double"))))

@@ -169,3 +169,31 @@ def test_new_operator_plan_shapes(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
                        "MapInPandas"):
             assert marker not in plan, (name, marker)
+
+
+def test_unigram_logprob_derived_vocab_not_broadcast(docs):
+    """The derived vocabulary is every distinct corpus token — billions
+    of rows at web scale — so the model join must NOT carry a broadcast
+    hint. With size estimation disabled (simulating a vocab Spark
+    cannot prove small) the derived model join must degrade to a
+    shuffle join, while an external vocab — a bounded reference model —
+    keeps its explicit broadcast hint regardless."""
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    def t_keyed_broadcast_joins(plan: str) -> list[str]:
+        return [ln for ln in plan.splitlines()
+                if "BroadcastHashJoin" in ln and "[t#" in ln]
+
+    spark = docs.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        derived = unigram_logprob(docs)
+        plan = _plan(derived)
+        assert not t_keyed_broadcast_joins(plan)  # model join unhinted
+        vocab = spark.createDataFrame(
+            [("the", 100), ("a", 50)], "t string, n_t long")
+        external = unigram_logprob(docs, vocab=vocab)
+        assert t_keyed_broadcast_joins(_plan(external))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

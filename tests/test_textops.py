@@ -558,3 +558,47 @@ def test_simhash_pairs_64bit_linear_candidates(spark):
             want[(a, b)] = h
     assert got == want
     assert any(b - a == 100000 for a, b in got)  # clones found
+
+
+def test_unigram_logprob_external_vocab_oov_smoothing(spark):
+    """OOV tokens against an external vocab must score the documented
+    add-one floor -ln(1/(N+V)) instead of silently dropping out of the
+    average (regression: N and V rode the left-joined vocab, so a join
+    miss nulled the whole term)."""
+    import math
+
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    df = spark.createDataFrame([(1, "aaa bbb zzz")],
+                               "doc_id long, text string")
+    vocab = spark.createDataFrame([("aaa", 1), ("bbb", 1)],
+                                  "t string, n_t long")
+    row = unigram_logprob(df, vocab=vocab).first()
+    n, v = 2, 2
+    in_vocab = -math.log((1 + 1) / (n + v))     # n_t=1
+    oov = -math.log(1 / (n + v))                # n_t=0
+    want = round((2 * in_vocab + oov) / 3, 6)
+    assert row["n_tokens"] == 3
+    assert abs(row["avg_neg_logprob"] - want) < 1e-6
+
+
+def test_unigram_logprob_min_count_floor(spark):
+    """min_count drops the long tail from the DERIVED model; floored
+    tokens score as OOV under the same smoothing, and N/V reflect the
+    floored model."""
+    import math
+
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa bbb"), (2, "aaa ccc")],
+        "doc_id long, text string")
+    # counts: aaa=3, bbb=1, ccc=1 -> floored model {aaa: 3}, N=3, V=1
+    rows = {r["doc_id"]: r for r in
+            unigram_logprob(df, min_count=2).collect()}
+    in_v = -math.log((3 + 1) / 4)
+    oov = -math.log(1 / 4)
+    assert abs(rows[1]["avg_neg_logprob"]
+               - round((2 * in_v + oov) / 3, 6)) < 1e-6
+    assert abs(rows[2]["avg_neg_logprob"]
+               - round((in_v + oov) / 2, 6)) < 1e-6
