@@ -365,18 +365,22 @@ class CompiledSchema:
 
 
 def compile_schema(schema: Any, version: str = "7",
-                   resolve_refs: bool = True) -> CompiledSchema:
+                   resolve_refs: bool = True,
+                   fetch_remote: bool = False) -> CompiledSchema:
     """Driver-side eager compile (SchemaError on malformed input).
 
     ``schema`` is a decoded JSON value (dict/bool); pass a JSON string to
     have it decoded first. $ref/$id/definitions are resolved in a pre-pass
-    (validator/refs.py) unless ``resolve_refs=False``.
+    (validator/refs.py) unless ``resolve_refs=False``; http(s)://file://
+    refs are only downloaded when ``fetch_remote=True`` (untrusted
+    schemas must not read driver-local files or probe endpoints).
+    The caller's schema object is never mutated.
     """
     if isinstance(schema, str):
         schema = json.loads(schema)
     if resolve_refs and isinstance(schema, (dict, list)):
         from json_schema_spark.validator.refs import resolve_refs as _rr
-        schema = _rr(schema)
+        schema = _rr(schema, fetch_remote=fetch_remote)
     return CompiledSchema(schema, version)
 
 

@@ -12,7 +12,11 @@ The analog of the reference's Ref pre-pass (/root/reference/src/Ref.php):
   never fetch anything — the data-plane no-I/O invariant holds because
   resolution happens before compilation. (The reference dispatches only
   on the literal prefix 'http://' — Ref.php:174 checks it twice where
-  https was clearly intended; we accept https and file too.)
+  https was clearly intended; we accept https and file too.) Fetching
+  is OPT-IN (``fetch_remote=True``): compiling an untrusted schema must
+  not be able to read driver-local files (file://) or probe internal
+  endpoints (SSRF) by default — a wider surface than the reference's
+  'http://'-only dispatch would be.
 - local JSON-pointer references (#/definitions/..., #/properties/x, ...)
   are replaced by the referenced node itself — shared object identity,
   so ref-to-ref chains and cycles become shared/self-referential Python
@@ -23,6 +27,7 @@ The analog of the reference's Ref pre-pass (/root/reference/src/Ref.php):
 
 from __future__ import annotations
 
+import copy
 import json
 from typing import Any
 
@@ -108,12 +113,23 @@ def fetch_remote_schema(url: str, cache: dict[str, Any] | None = None,
     return doc
 
 
-def resolve_refs(root: Any, fetch_remote: bool = True,
-                 url_cache: dict[str, Any] | None = None) -> Any:
-    """Resolve every `$ref` in place (shared identity), dispatching in
-    the reference's order: $id anchor match, then remote URL, then local
-    JSON pointer. Unresolvable refs are left untouched (they compile as
-    inert keywords)."""
+def resolve_refs(root: Any, fetch_remote: bool = False,
+                 url_cache: dict[str, Any] | None = None,
+                 copy_input: bool = True) -> Any:
+    """Resolve every `$ref`, dispatching in the reference's order: $id
+    anchor match, then remote URL, then local JSON pointer. Resolved
+    nodes share object identity, so ref-to-ref chains and cycles become
+    shared/self-referential structures. Unresolvable refs are left
+    untouched (they compile as inert keywords).
+
+    ``fetch_remote`` is opt-in: by default http(s):// and file:// refs
+    stay unresolved, so an untrusted schema cannot read driver-local
+    files or reach internal endpoints. ``copy_input`` (default) works on
+    a deep copy — resolution strips `$id` keys and rewires nodes, and
+    callers should not see their schema dict mutated; pass False only
+    on a throwaway tree where the copy is measurable."""
+    if copy_input:
+        root = copy.deepcopy(root)
     ids = collect_ids(root)
     if url_cache is None:
         url_cache = {}

@@ -152,7 +152,8 @@ def _schema_case(schema_raw: Any, version: str) -> tuple[bool, str | None]:
     try:
         schema = copy.deepcopy(schema_raw)
         if isinstance(schema, (dict, list)):
-            schema = resolve_refs(schema)
+            # the harness owns this fresh copy: skip the defensive copy
+            schema = resolve_refs(schema, copy_input=False)
         compiled = CompiledSchema(schema, version)
         DocumentValidator(0).validate("", compiled)
         return True, None
@@ -174,7 +175,7 @@ def _data_case(schema_raw: Any, version: str, test: dict,
     try:
         schema = copy.deepcopy(schema_raw)
         if isinstance(schema, (dict, list)):
-            schema = resolve_refs(schema)
+            schema = resolve_refs(schema, copy_input=False)
         compiled = CompiledSchema(schema, version)
         if pickle_roundtrip:
             # analog of run.php:145's serialize/unserialize round-trip —

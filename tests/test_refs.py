@@ -62,13 +62,14 @@ def test_remote_ref_file_url(tmp_path):
     remote.write_text(json.dumps({"type": "integer", "minimum": 5}))
     url = remote.as_uri()
     schema = {"type": "object", "properties": {"n": {"$ref": url}}}
-    out = resolve_refs(schema)
+    out = resolve_refs(schema, fetch_remote=True)
     assert out["properties"]["n"]["minimum"] == 5
     from json_schema_spark.validator.document import (DocumentValidator,
                                                       ValidationError)
 
     cs = compile_schema({"type": "object",
-                         "properties": {"n": {"$ref": url}}})
+                         "properties": {"n": {"$ref": url}}},
+                        fetch_remote=True)
     v = DocumentValidator()
     assert v.validate({"n": 7}, cs) == {"n": 7}
     with pytest.raises(ValidationError):
@@ -84,7 +85,7 @@ def test_remote_ref_url_cache(tmp_path):
     url = remote.as_uri()
     cache: dict = {}
     schema = {"properties": {"a": {"$ref": url}, "b": {"$ref": url}}}
-    out = resolve_refs(schema, url_cache=cache)
+    out = resolve_refs(schema, fetch_remote=True, url_cache=cache)
     assert list(cache) == [url]
     # both sites share the cached doc (identity, like referenceStorage)
     assert out["properties"]["a"] is out["properties"]["b"]
@@ -98,12 +99,31 @@ def test_remote_ref_errors_are_schema_errors():
         fetch_remote_schema("file:///nonexistent/nope.json", {})
 
 
-def test_remote_fetch_can_be_disabled(tmp_path):
+def test_remote_fetch_disabled_by_default(tmp_path):
+    """Untrusted schemas must not read driver-local files (file://) or
+    probe endpoints unless the caller opts in."""
     from json_schema_spark.validator.refs import resolve_refs
 
     remote = tmp_path / "r.json"
     remote.write_text(json.dumps({"type": "string"}))
     url = remote.as_uri()
     schema = {"properties": {"a": {"$ref": url}}}
-    out = resolve_refs(schema, fetch_remote=False)
+    out = resolve_refs(schema)
     assert out["properties"]["a"] == {"$ref": url}  # left inert
+
+
+def test_resolve_refs_does_not_mutate_caller_schema():
+    """Resolution strips $id keys and rewires nodes — on a deep copy,
+    never the caller's dict."""
+    from json_schema_spark.validator.refs import resolve_refs
+
+    schema = {
+        "definitions": {"pos": {"$id": "#positive", "type": "number"}},
+        "properties": {"x": {"$ref": "#positive"}},
+    }
+    import copy
+    before = copy.deepcopy(schema)
+    out = resolve_refs(schema)
+    assert schema == before                      # caller untouched
+    assert "$id" not in out["definitions"]["pos"]
+    assert out["properties"]["x"] is out["definitions"]["pos"]
