@@ -27,6 +27,37 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows at the default signature size
 
+# Cached intermediates registered by the pair-finding operators. Spark
+# keeps a persisted table alive for the application's lifetime, and
+# these functions return LAZY DataFrames — the cache cannot be released
+# before the caller's consuming action, so the CALLER owns cleanup:
+# call release_caches() (or spark.catalog.clearCache()) once results
+# are materialized. Repeated pipeline invocations without cleanup
+# accumulate executor storage until eviction pressure hurts other jobs.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup pair-finders
+    (minhash/near-dup buckets, shingle sets, winnowing fingerprints,
+    simhash tables) since the last release. Safe to call anytime after
+    the consuming action; returns the number of tables released."""
+    n = 0
+    while _ACTIVE_CACHES:
+        df = _ACTIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens; empty/blank text -> empty array."""
@@ -204,10 +235,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     # persist: the bucket self-join would otherwise recompute the whole
     # shingle-explode + min-agg signature pipeline for BOTH join sides;
     # the bucket table is (id, band_idx, 32-hex) x bands — tiny
-    buckets = sig.select(
+    buckets = _register_cache(sig.select(
         "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
                                             num_hashes))
-        .alias("band_idx", "band_hash")).persist()
+        .alias("band_idx", "band_hash")))
     if max_bucket_size is not None:
         small = (buckets.groupBy("band_idx", "band_hash")
                  .agg(F.count(F.lit(1)).alias("_m"))
@@ -240,9 +271,10 @@ def near_duplicates(df: DataFrame, text_col: str = "text",
     # it for every candidate pair and every jaccard sub-term; persisted
     # because it joins on BOTH pair sides (two scans of the same plan
     # otherwise; MEMORY_AND_DISK spills if the corpus outgrows memory)
-    sh = (shingle_rows(df, text_col, id_col, k)
-          .groupBy("_id")
-          .agg(F.collect_set("s").alias("_shingles"))).persist()
+    sh = _register_cache(
+        shingle_rows(df, text_col, id_col, k)
+        .groupBy("_id")
+        .agg(F.collect_set("s").alias("_shingles")))
     joined = (pairs
               .join(sh.withColumnRenamed("_id", "id_a")
                       .withColumnRenamed("_shingles", "sh_a"), "id_a")
@@ -326,7 +358,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     # sides — three full recomputes of the posexplode + window-min
     # winnowing pipeline otherwise ((id, 16-hex) rows, far smaller than
     # the text they summarize; MEMORY_AND_DISK spills beyond memory)
-    fp = winnowing_fingerprint_rows(df, text_col, id_col, k, w).persist()
+    fp = _register_cache(
+        winnowing_fingerprint_rows(df, text_col, id_col, k, w))
     if max_doc_freq:
         rare = (fp.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -478,7 +511,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # its input otherwise (no ReuseExchange across join sides), doubling
     # the token-explode + bit-vote work. The table is (id, int64) —
     # ~16 bytes/doc — so it stays cacheable at any corpus size.
-    sh = simhash_table(df, text_col, id_col, bits).persist()
+    sh = _register_cache(simhash_table(df, text_col, id_col, bits))
 
     # chunk_val = (simhash >>> (chunk_bits*idx)) & (2^chunk_bits - 1).
     # Literal shift counts (one struct per chunk, inlined to rows) keep

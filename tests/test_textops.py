@@ -602,3 +602,22 @@ def test_unigram_logprob_min_count_floor(spark):
                - round((2 * in_v + oov) / 3, 6)) < 1e-6
     assert abs(rows[2]["avg_neg_logprob"]
                - round((in_v + oov) / 2, 6)) < 1e-6
+
+
+def test_release_caches_frees_pair_finder_intermediates(docs):
+    """Pair-finders persist their self-join inputs; callers own cleanup
+    via release_caches() once results are materialized (a persisted
+    table otherwise lives for the whole Spark application)."""
+    from json_schema_spark.textops import dedup
+
+    dedup.release_caches()  # start clean
+    corpus = _perturbed(docs)
+    dedup.near_duplicates(corpus, threshold=0.5).count()
+    dedup.simhash_pairs(corpus, max_hamming=3).count()
+    assert len(dedup._ACTIVE_CACHES) >= 3  # buckets, shingles, simhash
+    released = dedup.release_caches()
+    assert released >= 3
+    assert not dedup._ACTIVE_CACHES
+    spark = corpus.sparkSession
+    jvm_cache = spark._jsparkSession.sharedState().cacheManager()
+    assert jvm_cache.isEmpty()
