@@ -366,21 +366,27 @@ class CompiledSchema:
 
 def compile_schema(schema: Any, version: str = "7",
                    resolve_refs: bool = True,
-                   fetch_remote: bool = False) -> CompiledSchema:
+                   fetch_remote: bool = False,
+                   url_cache: dict | None = None) -> CompiledSchema:
     """Driver-side eager compile (SchemaError on malformed input).
 
     ``schema`` is a decoded JSON value (dict/bool); pass a JSON string to
     have it decoded first. $ref/$id/definitions are resolved in a pre-pass
     (validator/refs.py) unless ``resolve_refs=False``; http(s)://file://
     refs are only downloaded when ``fetch_remote=True`` (untrusted
-    schemas must not read driver-local files or probe endpoints).
+    schemas must not read driver-local files or probe endpoints), but a
+    pre-seeded ``url_cache`` of well-known documents (e.g. the draft
+    meta-schemas) is consulted either way. Draft-4 schemas spell the
+    anchor keyword `id`; the resolver is told so via the version.
     The caller's schema object is never mutated.
     """
     if isinstance(schema, str):
         schema = json.loads(schema)
     if resolve_refs and isinstance(schema, (dict, list)):
         from json_schema_spark.validator.refs import resolve_refs as _rr
-        schema = _rr(schema, fetch_remote=fetch_remote)
+        id_keys = ("$id", "id") if version == "4" else ("$id",)
+        schema = _rr(schema, fetch_remote=fetch_remote,
+                     url_cache=url_cache, id_keys=id_keys)
     return CompiledSchema(schema, version)
 
 

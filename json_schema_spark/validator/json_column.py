@@ -89,12 +89,18 @@ def json_schema_udf(schema: Any, version: str = "7",
     return _validate
 
 
-def pair_validation_udf(version_default: str = "7") -> "callable":
+def pair_validation_udf(version_default: str = "7",
+                        url_cache: dict | None = None) -> "callable":
     """pandas UDF ``(schema_json, data_json, modes_csv) -> struct`` for the
     schema-registry case where the schema VARIES per row (multi-tenant
     pipelines, fixture replay). Schemas are compiled on the executor with a
     per-worker cache keyed by schema text, so a batch with k distinct
-    schemas compiles k times, not batch-size times."""
+    schemas compiles k times, not batch-size times.
+
+    ``url_cache`` ships pre-fetched remote documents (e.g. the draft
+    meta-schemas) in the UDF closure so remote $refs resolve with zero
+    executor I/O; refs to documents not in the cache stay inert
+    (executors never open network connections)."""
 
     @F.pandas_udf(RESULT_TYPE)
     def _validate(schemas: pd.Series, datas: pd.Series,
@@ -116,7 +122,8 @@ def pair_validation_udf(version_default: str = "7") -> "callable":
             try:
                 compiled = cache.get(key)
                 if compiled is None:
-                    compiled = compile_schema(json.loads(schema_raw), version)
+                    compiled = compile_schema(json.loads(schema_raw), version,
+                                              url_cache=url_cache)
                     cache[key] = compiled
             except (SchemaError, ValueError) as exc:
                 valids.append(False)

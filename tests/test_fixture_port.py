@@ -60,7 +60,7 @@ def test_corpus_on_spark_executors(spark):
     from pyspark.sql import functions as F
 
     from json_schema_spark.validator.json_column import pair_validation_udf
-    from tests.fixture_harness import is_ignored
+    from tests.fixture_harness import is_ignored, meta_schema_cache
 
     rows = []
     for path, version in _files_for("draft7"):
@@ -86,7 +86,9 @@ def test_corpus_on_spark_executors(spark):
     df = spark.createDataFrame(
         rows, "schema string, data string, modes string, expected boolean, "
               "label string")
-    udf = pair_validation_udf("7")
+    # the meta-schema cache rides the UDF closure — remote $refs resolve
+    # on executors with zero network I/O
+    udf = pair_validation_udf("7", url_cache=meta_schema_cache())
     out = (df.withColumn("r", udf("schema", "data", "modes"))
              .select("label", "expected", F.col("r.valid").alias("got"))
              .filter(F.col("expected") != F.col("got")))

@@ -127,3 +127,90 @@ def test_resolve_refs_does_not_mutate_caller_schema():
     assert schema == before                      # caller untouched
     assert "$id" not in out["definitions"]["pos"]
     assert out["properties"]["x"] is out["definitions"]["pos"]
+
+
+def test_base_uri_relative_ref_resolution():
+    """RFC 3986 base-URI tracking: a relative $ref resolves against the
+    base established by the nearest enclosing $id (official suite
+    'Recursive references between schemas'). Beyond the reference, whose
+    matching is exact-string only."""
+    from json_schema_spark.validator.refs import resolve_refs
+
+    schema = {
+        "$id": "http://localhost:1234/tree",
+        "type": "object",
+        "properties": {
+            "nodes": {"type": "array", "items": {"$ref": "node"}}},
+        "definitions": {
+            "node": {
+                "$id": "http://localhost:1234/node",
+                "type": "object",
+                "properties": {"value": {"type": "number"},
+                               "subtree": {"$ref": "tree"}},
+                "required": ["value"]}},
+    }
+    out = resolve_refs(schema)
+    node = out["definitions"]["node"]
+    assert out["properties"]["nodes"]["items"] is node
+    assert node["properties"]["subtree"] is out  # back to the root
+
+
+def test_base_uri_change_in_subschema():
+    from json_schema_spark.validator.refs import resolve_refs
+
+    schema = {
+        "$id": "http://localhost:1234/root",
+        "allOf": [{"$ref": "http://localhost:1234/nested.json#foo"}],
+        "definitions": {
+            "A": {"$id": "nested.json",
+                  "definitions": {"B": {"$id": "#foo",
+                                        "type": "integer"}}}},
+    }
+    out = resolve_refs(schema)
+    assert out["allOf"][0] is out["definitions"]["A"]["definitions"]["B"]
+
+
+def test_seeded_cache_resolves_meta_schema_without_network():
+    """A pre-seeded url_cache is consulted even with fetch_remote=False
+    (a cache hit is not a fetch) and pointer refs INSIDE the cached
+    document resolve against that document's own root."""
+    from json_schema_spark.validator.document import (DocumentValidator,
+                                                      ValidationError,
+                                                      compile_schema)
+    from tests.fixture_harness import meta_schema_cache
+
+    cs = compile_schema(
+        {"$ref": "http://json-schema.org/draft-07/schema#"},
+        url_cache=meta_schema_cache())
+    v = DocumentValidator()
+    assert v.validate({"minLength": 1}, cs) == {"minLength": 1}
+    with pytest.raises(ValidationError):
+        v.validate({"minLength": -1}, cs)
+
+
+def test_root_pointer_ref_is_cyclic_and_validates():
+    from json_schema_spark.validator.document import (DocumentValidator,
+                                                      ValidationError,
+                                                      compile_schema)
+
+    schema = {"properties": {"foo": {"$ref": "#"}},
+              "additionalProperties": False}
+    cs = compile_schema(schema)
+    v = DocumentValidator()
+    assert v.validate({"foo": {"foo": False}}, cs) == {"foo": {"foo": False}}
+    with pytest.raises(ValidationError):
+        v.validate({"bar": False}, cs)
+    with pytest.raises(ValidationError):
+        v.validate({"foo": {"bar": False}}, cs)
+
+
+def test_draft4_id_keyword_interning():
+    from json_schema_spark.validator.refs import resolve_refs
+
+    schema = {"allOf": [{"$ref": "#foo"}],
+              "definitions": {"A": {"id": "#foo", "type": "integer"}}}
+    out = resolve_refs(schema, id_keys=("$id", "id"))
+    assert out["allOf"][0] is out["definitions"]["A"]
+    # with draft-6/7 keys, `id` is just metadata and the ref stays inert
+    out7 = resolve_refs(schema)
+    assert out7["allOf"][0] == {"$ref": "#foo"}
