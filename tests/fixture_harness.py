@@ -44,7 +44,9 @@ REFERENCE_TESTS = os.environ.get("REFERENCE_TESTS",
 # not shipped in the repo.
 IGNORES: list[tuple[str, str | None, str | None]] = [
     (r"^refRemote\.json$", None, None),
-    (r"^openapi-petstore\.json$", None, None),
+    # openapi-petstore.json — the reference ignores it as "not ready"
+    # (run.php:284); with base-URI $ref resolution it passes here, a
+    # capability beyond the reference — no longer ignored.
     # The harness always ORs in MODE_APPLY_DEFAULTS (run.php:124), which
     # injects the draft-4 meta-schema's `exclusiveMaximum: false` /
     # `exclusiveMinimum: false` property defaults into the data — and
