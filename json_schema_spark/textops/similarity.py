@@ -130,28 +130,53 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int | None = 6, dim: int | None = None,
-             seed: str = "jss-lsh") -> DataFrame:
+             n_planes: int | None = None, dim: int | None = None,
+             seed: str = "jss-lsh", probe: int = 0) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket. The bucket equi-join replaces the cross product — the
     shuffle key is the bucket id, so cost scales with bucket sizes.
-    Pass n_planes=None to auto-size from the corpus row count
-    (auto_n_planes; costs one count() job). dim is probed with a
-    first() when not given — pass it when you call this in a loop."""
+
+    n_planes defaults to auto-sizing from the corpus row count
+    (auto_n_planes; costs one count() job) so buckets GROW with the
+    corpus. dim is probed with a first() when not given — pass it when
+    you call this in a loop.
+
+    ``probe=1`` enables multi-probe (Lv et al., VLDB'07 idea in its
+    hamming-ball form): the QUERY side also probes every bucket at
+    hamming distance 1 (each single sign-bit flip — the buckets a
+    near-neighbor most likely landed in when one hyperplane narrowly
+    disagreed). Recall at high n_planes recovers without shrinking the
+    buckets; query-side join fan-out grows by x(n_planes+1), corpus
+    side is untouched — the standard trade, since queries are the small
+    side. probe=0 keeps the single-bucket join (oracle-exact)."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count())
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"),
-                       bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    bucket = bucket_expr(F.col(vec_col), planes)
+    if probe:
+        q_buckets = F.array(
+            bucket, *[bucket.bitwiseXOR(F.lit(1 << p))
+                      for p in range(n_planes)])
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"),
+                           F.explode(q_buckets).alias("bucket"))
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"),
+                           bucket.alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"),
                       bucket_expr(F.col(vec_col), planes).alias("bucket"))
     sim = (q.join(c, "bucket")
            .filter(F.col("query_id") != F.col("neighbor_id"))
-           .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv"))))
+           .select("query_id", "neighbor_id", "_qv", "_cv"))
+    if probe:
+        # a neighbor reachable through several probed buckets must rank
+        # once, not once per bucket
+        sim = sim.dropDuplicates(["query_id", "neighbor_id"])
+    sim = sim.withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
