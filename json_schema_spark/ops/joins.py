@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list[str] | None = None,
               right_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              keyless_buckets: int = 32) -> DataFrame:
     """For every left row, attach the payload of the LATEST right row
     with right.on <= left.on (inclusive), optionally per ``by`` key —
     matching DuckDB/kdb ASOF JOIN semantics. Left rows with no prior
@@ -33,6 +34,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     Columns: all left columns + each requested right column renamed
     with ``suffix``. ``right_cols`` defaults to every non-key right
     column.
+
+    With ``by`` keys the carry window partitions on the key — one
+    shuffle, parallel per key. WITHOUT keys a naive global window is a
+    single-partition global sort (the r2 review's scale hazard), so the
+    keyless path range-buckets rows by ``on`` quantiles
+    (``keyless_buckets`` of them, one approxQuantile pass), runs the
+    carry window per bucket in parallel, and stitches buckets with a
+    bucket-count-sized cumulative carry-in table joined back by
+    broadcast — same semantics, no global sort.
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
@@ -59,16 +69,75 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # distinguished from "no right row yet" per column, so the carried
     # marker is a struct (non-null as a whole once ANY right row was
     # seen), unpacked after the window.
-    w = (Window.partitionBy(*by_cols) if by_cols else
-         Window.partitionBy(F.lit(1)))
-    w = w.orderBy(F.col(on).asc(), F.col("_side").asc()) \
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marker = F.when(
         F.col("_side") == 0,
         F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols]))
-    carried = F.last(marker, ignorenulls=True).over(w)
-    out = (unioned.withColumn("_carried", carried)
-           .filter(F.col("_side") == 1))
+
+    if by_cols:
+        w = (Window.partitionBy(*by_cols)
+             .orderBy(F.col(on).asc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (unioned.withColumn("_carried",
+                                  F.last(marker, ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+        return out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_carried").getField(c).alias(f"{c}{suffix}")
+              for c in right_cols])
+
+    # ---- keyless path: range-bucketed parallel carry ----
+    # Bucket boundaries from one approxQuantile pass over the union;
+    # rows at a boundary value all land in the SAME bucket (count of
+    # boundaries <= ts), so bucket order is consistent with ts order and
+    # the within-bucket (ts, _side) sort preserves inclusive semantics.
+    if unioned.schema[on].dataType.typeName() in (
+            "timestamp", "timestamp_ntz", "date"):
+        ts_ep = F.col(on).cast("timestamp").cast("double")
+    else:
+        ts_ep = F.col(on).cast("double")
+    tagged = unioned.withColumn("_ts_ep", ts_ep)
+    n_b = max(1, keyless_buckets)
+    qs = [i / n_b for i in range(1, n_b)]
+    boundaries = sorted(set(
+        tagged.approxQuantile("_ts_ep", qs, 0.001))) if qs else []
+    if boundaries:
+        bnd = F.array(*[F.lit(b) for b in boundaries])
+        bkt = F.aggregate(
+            bnd, F.lit(0),
+            lambda acc, b: acc + F.when(F.col("_ts_ep") >= b,
+                                        F.lit(1)).otherwise(F.lit(0)))
+    else:
+        bkt = F.lit(0)
+    # NULL ts sorts first in the keyed path; bucket them before all
+    rows = tagged.withColumn("_bkt", F.coalesce(bkt, F.lit(-1)))
+
+    w_in = (Window.partitionBy("_bkt")
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = rows.withColumn("_carried_in_bkt",
+                           F.last(marker, ignorenulls=True).over(w_in))
+
+    # carry-in per bucket: the last right-side marker of every EARLIER
+    # bucket — bucket-count-sized tables, cumulated with a window over
+    # <= keyless_buckets rows, broadcast back onto the data
+    bucket_last = (rows.filter(F.col("_side") == 0)
+                   .groupBy("_bkt")
+                   .agg(F.max_by(
+                       F.struct(*[F.col(f"_r_{c}").alias(c)
+                                  for c in right_cols]),
+                       F.struct(F.col(on), F.col("_side"))).alias("_m")))
+    all_bkts = rows.select("_bkt").distinct()
+    w_cum = (Window.orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    carry_in = (all_bkts.join(bucket_last, "_bkt", "left")
+                .withColumn("_carry_in",
+                            F.last("_m", ignorenulls=True).over(w_cum))
+                .select("_bkt", "_carry_in"))
+
+    out = (rows.join(F.broadcast(carry_in), "_bkt")
+           .filter(F.col("_side") == 1)
+           .withColumn("_carried", F.coalesce(F.col("_carried_in_bkt"),
+                                              F.col("_carry_in"))))
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.col("_carried").getField(c).alias(f"{c}{suffix}")

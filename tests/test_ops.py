@@ -285,3 +285,46 @@ def test_range_join_containment(spark):
            range_join(probes, ivs, probe_ts="ts", by="user",
                       bucket=7.0).collect()}
     assert out == {(2, 100), (4, 200)}   # half-open [start, end)
+
+
+def test_keyless_asof_join_parallel_carry(spark):
+    """by=None must NOT degrade to a single-partition global sort: the
+    keyless path range-buckets by ts quantiles, windows per bucket, and
+    stitches buckets with a broadcast carry-in — verdicts identical to
+    a per-row Python as-of over the same data, including left rows
+    before any right row (NULL) and inclusive ts ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.ops.joins import asof_join
+
+    rnd = random.Random(7)
+    lrows = [(i, float(rnd.randrange(0, 5000))) for i in range(2000)]
+    # distinct right ts: at equal right timestamps the carried payload
+    # is engine-tie-broken, which a parity test must not depend on
+    rrows = [(j, float(ts), f"p{j}")
+             for j, ts in enumerate(rnd.sample(range(5000), 300))]
+    left = spark.createDataFrame(lrows, "lid long, ts double")
+    right = spark.createDataFrame(rrows, "rid long, ts double, payload string")
+
+    out = asof_join(left, right, on="ts", right_cols=["payload"],
+                    keyless_buckets=16)
+    got = {r["lid"]: r["payload_asof"] for r in out.collect()}
+
+    srt = sorted(rrows, key=lambda r: r[1])
+    def expect(ts):
+        best = None
+        for _, rts, p in srt:
+            if rts <= ts:
+                best = p
+            else:
+                break
+        return best
+    want = {lid: expect(ts) for lid, ts in lrows}
+    assert got == want
+
+    # plan gate: the carry window partitions on the range bucket, not a
+    # constant — no global single-partition sort of the data
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_bkt" in plan
