@@ -550,48 +550,68 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
+    """Python reference for the bit positions — MUST stay equal to the
+    Spark-side _bloom_position_cols (pinned by test): position i is the
+    first 15 md5 hex chars of "i:key" as an integer, mod n_bits. 15 hex
+    = 60 bits keeps the value inside a signed long for Spark's
+    conv()/cast under ANSI mode."""
     import hashlib as _hl
 
     for i in range(n_hashes):
-        d = _hl.md5(f"{i}:{key}".encode()).digest()
-        yield int.from_bytes(d[:8], "big") % n_bits
+        h = _hl.md5(f"{i}:{key}".encode()).hexdigest()
+        yield int(h[:15], 16) % n_bits
+
+
+def _bloom_position_cols(key: Column, n_hashes: int,
+                         n_bits: int) -> list[Column]:
+    """Bit positions as Catalyst expressions: the md5 work runs
+    JVM-side with whole-stage codegen, so neither building nor probing
+    the filter hashes keys in Python. NULL key -> NULL position."""
+    return [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+            16, 10).cast("bigint") % n_bits).alias(f"_p{i}")
+        for i in range(n_hashes)]
 
 
 def build_bloom(df: DataFrame, key_col: str = "digest",
                 n_bits: int = 1 << 23, n_hashes: int = 3) -> bytes:
     """Mergeable Bloom filter over a key column — the t-digest pattern:
-    each partition builds its own bit array (mapInPandas, Arrow
-    batches), the driver ORs the per-partition arrays (bytes, not
-    data). Deterministic md5 positions, so filters built anywhere
-    agree. Default 8 Mbit ~ 1 MB; size n_bits ~ 10x expected distinct
-    keys for ~2-3%% fpp with 3 hashes."""
-    import pandas as pd  # noqa: F401
-
-    def per_partition(batches):
-        bits = bytearray(n_bits // 8)
-        for pdf in batches:
-            for key in pdf.iloc[:, 0]:
-                if key is None:
-                    continue
-                for pos in _bloom_positions(str(key), n_hashes, n_bits):
-                    bits[pos >> 3] |= 1 << (pos & 7)
-        import pandas as pd
-
-        yield pd.DataFrame({"bloom": [bytes(bits)]})
-
+    each partition builds its own bit array, the driver ORs the
+    per-partition arrays (bytes, not data). Positions are computed as
+    Spark md5 expressions (JVM, codegen); the mapInPandas stage only
+    scatters them into the bitmap with numpy (np.bitwise_or.at), and
+    the driver merge is one numpy OR per partition — no per-byte or
+    per-key Python loops anywhere. Deterministic positions, so filters
+    built anywhere agree. Default 8 Mbit ~ 1 MB; size n_bits ~ 10x
+    expected distinct keys for ~2-3%% fpp with 3 hashes."""
+    import numpy as np
     from pyspark.sql import types as T
 
-    parts = (df.select(key_col)
+    def per_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for col in pdf.columns:
+                p = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+                p = p[~np.isnan(p)].astype(np.int64)
+                np.bitwise_or.at(
+                    bits, p >> 3,
+                    (np.uint8(1) << (p & 7).astype(np.uint8)))
+        yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    parts = (df.select(*_bloom_position_cols(F.col(key_col), n_hashes,
+                                             n_bits))
              .mapInPandas(per_partition,
                           T.StructType([T.StructField("bloom",
                                                       T.BinaryType())]))
              .collect())
-    merged = bytearray(n_bits // 8)
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
     for row in parts:
-        b = row["bloom"]
-        for i, byte in enumerate(b):
-            merged[i] |= byte
-    return bytes(merged)
+        merged |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return merged.tobytes()
 
 
 def seen_filter(reference: DataFrame, candidates: DataFrame,
@@ -607,10 +627,11 @@ def seen_filter(reference: DataFrame, candidates: DataFrame,
     (join) — but that join then runs on the tiny flagged subset instead
     of the full corpus: at 10^12 candidates vs a large reference, the
     ~1 MB bloom broadcast replaces a full shuffle join for the
-    mostly-novel majority. Membership is an Arrow-batched pandas UDF
-    over the broadcast bits (the sanctioned non-expressible case, like
-    the t-digest sketches)."""
-    import pandas as pd  # noqa: F401
+    mostly-novel majority. Positions come from the same Spark md5
+    expressions as the build side; the pandas UDF only indexes the
+    broadcast bitmap — one vectorized numpy gather per hash, no Python
+    hashing (the bitmap probe itself is the sanctioned non-expressible
+    step, like the t-digest sketches)."""
     from pyspark.sql import types as T
 
     bloom = build_bloom(reference, key_col, n_bits, n_hashes)
@@ -618,21 +639,25 @@ def seen_filter(reference: DataFrame, candidates: DataFrame,
     b_bloom = sc.broadcast(bloom)
 
     @F.pandas_udf(T.BooleanType())
-    def contains(s):
+    def probe(*pos_series):
+        import numpy as np
         import pandas as pd
 
-        bits = b_bloom.value
+        bits = np.frombuffer(b_bloom.value, dtype=np.uint8)
+        n = len(pos_series[0])
+        ok = np.ones(n, dtype=bool)
+        for s in pos_series:
+            pn = s.to_numpy(dtype="float64", na_value=np.nan)
+            valid = ~np.isnan(pn)
+            hit = np.zeros(n, dtype=bool)
+            pv = pn[valid].astype(np.int64)
+            hit[valid] = (bits[pv >> 3] >> (pv & 7).astype(np.uint8)) & 1
+            ok &= hit  # NULL key -> NULL positions -> not seen
+        return pd.Series(ok)
 
-        def check(key):
-            if key is None:
-                return False
-            return all(bits[p >> 3] & (1 << (p & 7))
-                       for p in _bloom_positions(str(key), n_hashes,
-                                                 n_bits))
-
-        return pd.Series([check(k) for k in s])
-
-    return candidates.withColumn("_maybe_seen", contains(F.col(key_col)))
+    return candidates.withColumn(
+        "_maybe_seen",
+        probe(*_bloom_position_cols(F.col(key_col), n_hashes, n_bits)))
 
 
 def novel_documents(reference: DataFrame, candidates: DataFrame,
