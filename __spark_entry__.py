@@ -326,6 +326,45 @@ FROM votes
 """
 
 
+def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints — the web-scale configuration
+    (round-3 fix: bits 32-63 come from md5 hex chars 9-16; bit 63 is
+    the long sign bit). The oracle replays both 32-bit halves and the
+    two's-complement bit-63 weight in DuckDB."""
+    from json_schema_spark.textops.dedup import simhash_table
+
+    return simhash_table(_docs(spark, sf_dir), bits=64)
+
+
+_SQL_SIMHASH64 = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), j -> list_aggregate(
+           list_transform(tokens, t ->
+             CASE WHEN CAST(floor(
+                    CAST(('0x' || CASE WHEN j < 32
+                                       THEN substr(md5(t), 1, 8)
+                                       ELSE substr(md5(t), 9, 8) END)
+                         AS BIGINT)
+                    / pow(2, CASE WHEN j < 32 THEN j ELSE j - 32 END))
+                  AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END), 'sum')) AS v
+  FROM toks
+)
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(range(0, 64), j ->
+         CASE WHEN v[j+1] > 0 THEN
+           CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                ELSE CAST(CAST(pow(2, j) AS BIGINT) AS HUGEINT) END
+         ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS simhash
+FROM votes
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked-bit bucketed hamming pairing over the perturbed corpus —
     the oracle verifies against brute-force all-pairs, which the
@@ -687,6 +726,66 @@ pairs AS (
             * sqrt({dot.format(a='c.embedding', b='c.embedding')})) AS sim
   FROM q JOIN v c ON q.bucket = c.bucket
   WHERE q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def _q_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (round 3): the query side also probes every
+    bucket at hamming distance 1 (each sign-bit flip). The oracle
+    replays the plane literals, the probed bucket list (xor per bit),
+    and the pair dedupe in DuckDB."""
+    from json_schema_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                    n_planes=6, dim=64, probe=1)
+
+
+def _sql_lsh_probe() -> str:
+    from json_schema_spark.textops.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6)
+    dot = ("list_reduce(list_transform(range(1, 65), i -> "
+           "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"CASE WHEN {dot.format(a='{v}', b=lit)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END")
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(6))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT query_id, qv, unnest(probes) AS bucket FROM (
+        SELECT vec_id AS query_id, embedding AS qv,
+               [bucket, {flips}] AS probes
+        FROM v WHERE vec_id < 10)),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN v c ON q.bucket = c.bucket
+  WHERE q.query_id != c.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {dot.format(a='qe.embedding', b='c.embedding')}
+         / (sqrt({dot.format(a='qe.embedding', b='qe.embedding')})
+            * sqrt({dot.format(a='c.embedding', b='c.embedding')})) AS sim
+  FROM cand
+  JOIN v qe ON qe.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
   SELECT query_id, neighbor_id, sim,
@@ -1071,6 +1170,39 @@ FROM events l
 ASOF LEFT JOIN (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_asof_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS as-of (by=None): every event joined to the latest prior
+    purchase timestamp globally — exercises the round-3 range-bucketed
+    parallel carry path (no single-partition global sort). The right
+    side aggregates to one row per ts (max value), because at duplicate
+    right timestamps the carried payload is engine-tie-broken and a
+    parity gate must not depend on it. DuckDB replays with its native
+    keyless ASOF LEFT JOIN."""
+    from json_schema_spark.ops.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("ts")
+                 .agg(F.round(F.max("value"), 2).alias("pmax")))
+    out = asof_join(ev.select("event_id", "ts"), purchases,
+                    on="ts", by=None, right_cols=["pmax"],
+                    keyless_buckets=16)
+    return out.select(
+        "event_id",
+        F.col("pmax_asof").cast("string").alias("last_purchase_max"))
+
+
+_SQL_ASOF_KEYLESS = """
+SELECT l.event_id,
+       CAST(r.pmax AS VARCHAR) AS last_purchase_max
+FROM events l
+ASOF LEFT JOIN (
+  SELECT ts, round(max(value), 2) AS pmax
+  FROM events WHERE event_type = 'purchase' GROUP BY ts
+) r ON l.ts >= r.ts
 """
 
 
@@ -1720,9 +1852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_exact_text": _q_dedup_exact_text,
         "simhash": _q_simhash,
+        "simhash64": _q_simhash64,
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
+        "ann_lsh_probe": _q_lsh_probe,
         "text_analysis": _q_text_analysis,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -1735,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_winnowing": _q_containment,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "asof_join_keyless": _q_asof_keyless,
         "time_rollup": _q_time_rollup,
         "hash_split": _q_hash_split,
         "range_join": _q_range_join,
@@ -1765,9 +1900,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_exact_text": _SQL_DEDUP_EXACT_TEXT,
         "simhash": _SQL_SIMHASH,
+        "simhash64": _SQL_SIMHASH64,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_lsh_ann(),
+        "ann_lsh_probe": _sql_lsh_probe(),
         "text_analysis": _sql_text_analysis(),
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
@@ -1780,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_winnowing": _SQL_CONTAINMENT,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
+        "asof_join_keyless": _SQL_ASOF_KEYLESS,
         "time_rollup": _SQL_TIME_ROLLUP,
         "hash_split": _SQL_HASH_SPLIT,
         "range_join": _SQL_RANGE_JOIN,

@@ -10,7 +10,8 @@ Protocol:
    keep the best wall time (JIT/page-cache warmed),
 3. efficiency = (docs_sec_high / docs_sec_low) / (cores_high/cores_low).
 
-Prints one JSON line; `--write-md` refreshes BENCH/BASELINE.md.
+Prints one JSON line and appends to BENCH/history.jsonl;
+BENCH/BASELINE.md is curated by hand from that history.
 
 Usage:
   python scripts/bench_scaling.py [--rows 2000000] [--write-md]
@@ -179,71 +180,10 @@ def main() -> None:
                     > best["scaling_efficiency"]):
                 best = r
     if write_md:
-        write_markdown(hist_path)
-
-
-def write_markdown(hist_path: str) -> None:
-    """Summarize the best run per (low, high) protocol from history."""
-    by_proto: dict[tuple[int, int], dict] = {}
-    with open(hist_path) as fh:
-        for line in fh:
-            try:
-                r = json.loads(line)
-            except ValueError:
-                continue
-            key = (r["low"]["cores"], r["high"]["cores"])
-            cur = by_proto.get(key)
-            if cur is None or r["scaling_efficiency"] \
-                    > cur["scaling_efficiency"]:
-                by_proto[key] = r
-
-    rows_md = []
-    for (lo, hi), r in sorted(by_proto.items()):
-        rows_md.append(
-            f"| local[{lo}] -> local[{hi}] | {r['rows']:,} "
-            f"| {r['low']['best_sec']}s / "
-            f"{r['low']['docs_per_sec']:,.0f}/s "
-            f"| {r['high']['best_sec']}s / "
-            f"{r['high']['docs_per_sec']:,.0f}/s "
-            f"| **{r['scaling_efficiency']}** "
-            f"| {r.get('cpu_control_efficiency', '—')} |")
-
-    with open("/root/repo/BENCH/BASELINE.md", "w") as fh:
-        fh.write(f"""# BENCH / BASELINE — measured numbers
-
-The reference publishes no throughput numbers (no bench harness in
-`/root/reference/` — see BASELINE.md at the repo root). These are the
-engine's measured numbers for the north_rule two-cluster-size protocol:
-the SAME job — single-pass webtext constraint validation
-(flagship.validate_webtext: type/format/pattern/enum/length checks +
-fused referential + salted uniqueness) — over the SAME day-partitioned
-parquet input, at N vs 4N parallelism in separate JVMs (best of
-interleaved repetitions).
-
-| protocol (N -> 4N) | rows | N: wall / docs/s | 4N: wall / docs/s | efficiency | CPU-control ceiling |
-|---|---|---|---|---|---|
-{chr(10).join(rows_md)}
-
-Target: efficiency >= 0.8 between N and 4N.
-
-**Environment note.** This sandbox is a 32-vCPU VM on a multi-tenant,
-overcommitted host: an embarrassingly-parallel pure-CPU control job
-(xxhash64 fold — the "CPU-control ceiling" column, measured in the same
-window with the same protocol) cannot itself reach 0.8 efficiency at
-8 -> 32 threads, because the hypervisor does not deliver 32 concurrent
-cores. The low-parallelism protocol (2 -> 8), which stays within what
-the host actually delivers, measures the ENGINE's scaling; the 8 -> 32
-row shows behavior at host saturation. The job's only serial-ish
-component is its single shuffle (url-uniqueness partial+final
-aggregation, ~15% of wall at 32 threads); all row-level validation is
-embarrassingly parallel, so on a real (uncontended) cluster the
-efficiency tracks the control.
-
-Reproduce: `python scripts/bench_scaling.py --write-md`
-(rows via `BENCH_SCALING_ROWS`; protocol via `SCALING_LOW`/
-`SCALING_HIGH`). Per-query wall times are in `bench.py` output
-(driver-recorded as `BENCH_r{{N}}.json`).
-""")
+        print("--write-md is retired: BENCH/BASELINE.md is curated by "
+              "hand from BENCH/history.jsonl (it carries per-round rows "
+              "and methodology notes a generated table would clobber)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
