@@ -326,6 +326,59 @@ FROM votes
 """
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph
+    (round 3): pairwise output clustered into canonical groups by
+    iterative min-label propagation. The oracle computes the same
+    transitive closure with a recursive CTE over the identical pair
+    SQL."""
+    from json_schema_spark.textops.dedup import dedup_groups, near_duplicates
+
+    pairs = near_duplicates(_dedup_corpus(spark, sf_dir), threshold=0.5)
+    return dedup_groups(pairs)
+
+
+def _sql_dedup_groups() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.s AS node, r.lab
+  FROM edges e JOIN reach r ON e.t = r.node
+)
+SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_spark.textops.textanalysis import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _sql_token_stats() -> str:
+    """The oracle replays the IDENTICAL pre-tokenizer pattern via
+    dollar-quoting — BPE_PRETOKEN_RE is lookahead-free, so Java regex
+    and DuckDB's RE2 interpret every construct in it the same way."""
+    from json_schema_spark.textops.textanalysis import BPE_PRETOKEN_RE
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END
+         AS n_tokens_ws,
+       len(regexp_extract_all(text,
+           $rx${BPE_PRETOKEN_RE}$rx$)) AS n_tokens_bpe
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints — the web-scale configuration
     (round-3 fix: bits 32-63 come from md5 hex chars 9-16; bit 63 is
@@ -1850,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": _q_agg_pushdown,
         "topk_per_group": _q_topk_per_group,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_groups": _q_dedup_groups,
         "dedup_exact_text": _q_dedup_exact_text,
         "simhash": _q_simhash,
         "simhash64": _q_simhash64,
@@ -1858,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_ann,
         "ann_lsh_probe": _q_lsh_probe,
         "text_analysis": _q_text_analysis,
+        "token_stats": _q_token_stats,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -1898,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_pushdown": _SQL_AGG_PUSHDOWN,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "dedup_groups": _sql_dedup_groups(),
         "dedup_exact_text": _SQL_DEDUP_EXACT_TEXT,
         "simhash": _SQL_SIMHASH,
         "simhash64": _SQL_SIMHASH64,
@@ -1906,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_lsh_ann(),
         "ann_lsh_probe": _sql_lsh_probe(),
         "text_analysis": _sql_text_analysis(),
+        "token_stats": _sql_token_stats(),
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -549,6 +549,57 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "hamming"))
 
 
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b", out_id_col: str = "doc_id",
+                 max_iterations: int = 30) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, group_id) for every node appearing in ``pairs``, where
+    group_id is the MINIMUM doc id reachable through pair edges — the
+    canonical representative. This is the step that turns pairwise
+    near-dup output (minhash/simhash/winnowing/embedding) into
+    actionable dedup groups: keep one row per group_id, or stratify
+    sampling by group.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one join + one
+    aggregation (one shuffle) per round, converging in O(graph
+    diameter) rounds (near-dup clusters are clique-ish, so usually
+    2-3). The driver checks convergence with a changed-label count per
+    round; each round's labels persist and the previous round is
+    released, so neither lineage nor cache grows with iterations.
+    Nodes with no edges are not emitted (they are their own group).
+    """
+    edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("s"),
+                              F.col(id_a).alias("t")))).persist()
+    labels = (edges.select("s").distinct()
+              .select(F.col("s").alias("node"),
+                      F.col("s").alias("label"))).persist()
+    try:
+        for _ in range(max_iterations):
+            offers = (edges.join(labels, edges["s"] == labels["node"])
+                      .select(edges["t"].alias("node"),
+                              labels["label"].alias("label")))
+            new_labels = (labels.select("node", "label")
+                          .unionByName(offers)
+                          .groupBy("node")
+                          .agg(F.min("label").alias("label"))).persist()
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias(out_id_col),
+                             F.col("label").alias("group_id"))
+    finally:
+        edges.unpersist()
+        _ACTIVE_CACHES.append(labels)  # released via release_caches()
+
+
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
     """Python reference for the bit positions — MUST stay equal to the
     Spark-side _bloom_position_cols (pinned by test): position i is the

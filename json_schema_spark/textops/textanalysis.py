@@ -253,6 +253,35 @@ def analyze(df: DataFrame, text_col: str = "text",
         F.col("_fingerprint").alias("fingerprint"))
 
 
+# GPT-2-style pre-tokenizer, lookahead-free: common English
+# contractions, a letter run, a digit run, or a punctuation run — each
+# optionally preceded by one space. The original GPT-2 pattern's
+# `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead), which only
+# changes how runs of pure whitespace count — and those are excluded
+# here anyway. Uses only syntax Java regex and RE2/DuckDB interpret
+# identically, so the oracle replays the very same pattern.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens_ws, n_tokens_bpe): whitespace token count plus a
+    BPE-ish pre-tokenizer count (BPE_PRETOKEN_RE). The pre-tokenizer
+    count approximates real BPE token budgets (packing, truncation,
+    cost estimates) without shipping a vocabulary — subword merges only
+    ever split pre-tokens further, so it is a stable lower bound with a
+    roughly constant ratio on natural text. Pure projection: both
+    counts are regexp expressions, zero shuffle, codegen'd."""
+    t = F.col(text_col)
+    return (df.filter(t.isNotNull())
+            .select(
+                F.col(id_col),
+                F.size(tokens(t)).alias("n_tokens_ws"),
+                F.size(F.regexp_extract_all(
+                    t, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+                .alias("n_tokens_bpe")))
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     vocab: DataFrame | None = None,

@@ -684,3 +684,41 @@ def test_bloom_merge_many_partitions(spark):
     for key in ("0", "4999", "123"):
         assert all(bloom[p >> 3] & (1 << (p & 7))
                    for p in _bloom_positions(key, 3, 1 << 20))
+
+
+def test_dedup_groups_connected_components(spark):
+    """Min-label propagation must find transitive groups (a chain has
+    diameter > 1, so one round is not enough) and keep disjoint
+    components apart."""
+    from json_schema_spark.textops.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_token_stats_counts(spark):
+    from json_schema_spark.textops.textanalysis import token_stats
+
+    df = spark.createDataFrame(
+        [(1, "I can't  stop, won't stop!"),
+         (2, "abc123 x-9"),
+         (3, "   "),
+         (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in token_stats(df).collect()}
+    # pre-tokens of doc 1: I, ' can', 't, ' stop', ',', ' won', 't,
+    # ' stop', '!'  (contraction split; punctuation separate)
+    assert rows[1]["n_tokens_ws"] == 5
+    assert rows[1]["n_tokens_bpe"] == 9
+    # abc123 -> 'abc' + '123'; x-9 -> ' x' + '-' + '9'
+    assert rows[2]["n_tokens_ws"] == 2
+    assert rows[2]["n_tokens_bpe"] == 5
+    assert rows[3]["n_tokens_ws"] == 0
+    assert rows[3]["n_tokens_bpe"] == 0
+    assert 4 not in rows  # null text filtered
