@@ -849,6 +849,52 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
 """
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets — the
+    embedding analog of MinHash near-dup, now with its own oracle row
+    (round 3): DuckDB replays the plane literals, the bucket self-join,
+    and the cosine threshold."""
+    from json_schema_spark.textops.similarity import (
+        embedding_near_duplicates)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.2, n_planes=6,
+                                     dim=64)
+
+
+def _sql_emb_near_dup() -> str:
+    from json_schema_spark.textops.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6)
+    dot = ("list_reduce(list_transform(range(1, 65), i -> "
+           "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"CASE WHEN {dot.format(a='{v}', b=lit)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END")
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+                * sqrt({dot.format(a='b.embedding', b='b.embedding')})),
+             6) AS cosine_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({dot.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+               * sqrt({dot.format(a='b.embedding', b='b.embedding')})),
+            6) >= 0.2
+"""
+
+
 _IVF_K = 8        # centroid count: embeddings of vec_id < 8 (no Lloyd —
 _IVF_NPROBE = 2   # deterministic so the oracle replays the same cells)
 
@@ -1911,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
         "ann_lsh_probe": _q_lsh_probe,
+        "emb_near_dup": _q_emb_near_dup,
         "text_analysis": _q_text_analysis,
         "token_stats": _q_token_stats,
         "repetition_features": _q_repetition,
@@ -1961,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_lsh_ann(),
         "ann_lsh_probe": _sql_lsh_probe(),
+        "emb_near_dup": _sql_emb_near_dup(),
         "text_analysis": _sql_text_analysis(),
         "token_stats": _sql_token_stats(),
         "repetition_features": _SQL_REPETITION,
