@@ -326,6 +326,76 @@ FROM votes
 """
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV header parsing (round 3): canonical 44-byte RIFF/WAVE
+    headers synthesized from doc_id (channels/rate/bits arithmetic on
+    the id), parsed back by the pure-byte-arithmetic fmt-chunk walker;
+    every third doc gets a text blob (all-NULL audio fields). The
+    oracle recomputes the fields arithmetically."""
+    from json_schema_spark.textops.multimodal import extract_media_features
+
+    i = F.col("doc_id")
+    ch = (i % 2) + 1
+    rate = (i % 5 + 1) * 8000
+    bits = ((i % 3) + 1) * 8
+    byte_rate = (rate * ch * bits / 8).cast("long")
+    block_align = (ch * bits / 8).cast("long")
+
+    def le16(c):
+        return F.concat(F.lpad(F.hex(c % 256), 2, "0"),
+                        F.lpad(F.hex(F.floor(c / 256)), 2, "0"))
+
+    def le32(c):
+        return F.concat(*[
+            F.lpad(F.hex(F.floor(c / F.lit(float(1 << (8 * k))))
+                         .cast("long") % 256), 2, "0")
+            for k in range(4)])
+
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36).cast("long")),   # RIFF + size
+        F.lit("57415645"), F.lit("666D7420"),              # WAVE, 'fmt '
+        le32(F.lit(16).cast("long")), le16(F.lit(1)),      # pcm fmt
+        le16(ch), le32(rate.cast("long")), le32(byte_rate),
+        le16(block_align), le16(bits),
+        F.lit("64617461"), le32(F.lit(0).cast("long")))    # 'data', 0
+    blob = (F.when(i % 3 != 0, F.unhex(wav_hex))
+            .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")),
+                                "UTF-8")))
+    blobs = _docs(spark, sf_dir).select("doc_id", blob.alias("blob"))
+    out = extract_media_features(blobs, "blob", "doc_id")
+    # nullable ints ride as NULL-FREE strings: the pandas float64/NaN
+    # dtype trap, plus the gate's row sort chokes on None when the
+    # alphabetically-first column is nullable
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+
+    return out.select("id", "media_type", "n_bytes",
+                      s("audio_channels"), s("sample_rate"),
+                      s("bits_per_sample"))
+
+
+_SQL_MULTIMODAL_AUDIO = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CASE WHEN doc_id % 3 != 0 THEN 'audio/wav'
+            WHEN substr(coalesce(text, ''), 1, 4) ILIKE '<htm'
+              OR substr(coalesce(text, ''), 1, 4) ILIKE '<!do'
+              THEN 'text/html'
+            ELSE 'application/octet-stream' END AS media_type,
+       CASE WHEN doc_id % 3 != 0 THEN 44
+            ELSE strlen(coalesce(text, '')) END AS n_bytes,
+       CASE WHEN doc_id % 3 != 0
+            THEN CAST((doc_id % 2) + 1 AS VARCHAR) ELSE '' END
+         AS audio_channels,
+       CASE WHEN doc_id % 3 != 0
+            THEN CAST((doc_id % 5 + 1) * 8000 AS VARCHAR) ELSE '' END
+         AS sample_rate,
+       CASE WHEN doc_id % 3 != 0
+            THEN CAST(((doc_id % 3) + 1) * 8 AS VARCHAR) ELSE '' END
+         AS bits_per_sample
+FROM documents
+"""
+
+
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pair graph
     (round 3): pairwise output clustered into canonical groups by
@@ -1965,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "multimodal_features": _q_multimodal_features,
         "multimodal_dims": _q_multimodal_dims,
+        "multimodal_audio": _q_multimodal_audio,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2016,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
+        "multimodal_audio": _SQL_MULTIMODAL_AUDIO,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,

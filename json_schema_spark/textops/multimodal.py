@@ -39,6 +39,9 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("header_hex", T.StringType()),
     T.StructField("width", T.LongType()),
     T.StructField("height", T.LongType()),
+    T.StructField("audio_channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("bits_per_sample", T.LongType()),
 ])
 
 _MAGIC = {
@@ -107,6 +110,35 @@ def parse_image_dimensions(blob: bytes | None) -> tuple[int, int] | None:
     return None
 
 
+def parse_wav_info(blob: bytes | None) -> tuple[int, int, int] | None:
+    """(n_channels, sample_rate, bits_per_sample) from a RIFF/WAVE
+    header — pure byte arithmetic over the public layout (RIFF spec):
+    chunks of (4-byte id, little-endian u32 size) from offset 12; the
+    'fmt ' chunk carries channels at +2 (u16 LE), sample rate at +4
+    (u32 LE), bits per sample at +14 (u16 LE). Returns None for
+    non-WAV/truncated blobs (sample decode stays behind decode_audio's
+    optional-soundfile stub)."""
+    if blob is None or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    try:
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+            if cid == b"fmt " and pos + 8 + 16 <= len(blob):
+                base = pos + 8
+                channels = int.from_bytes(blob[base + 2:base + 4],
+                                          "little")
+                rate = int.from_bytes(blob[base + 4:base + 8], "little")
+                bits = int.from_bytes(blob[base + 14:base + 16],
+                                      "little")
+                return (channels, rate, bits)
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
 def decode_image(blob: bytes) -> Any:
     """Decode an image blob to (width, height, mode). Requires PIL —
     STUB: raises NotImplementedError when the codec lib is absent (it is
@@ -163,6 +195,7 @@ def extract_media_features(df: DataFrame, blob_col: str,
         for pdf in batches:
             blobs = pdf[blob_name]
             dims = [parse_image_dimensions(b) for b in blobs]
+            wavs = [parse_wav_info(b) for b in blobs]
             out = pd.DataFrame({
                 "id": pdf[id_name].astype(str),
                 "media_type": [sniff_media_type(b) for b in blobs],
@@ -176,6 +209,12 @@ def extract_media_features(df: DataFrame, blob_col: str,
                     [d[0] if d else None for d in dims], dtype="Int64"),
                 "height": pd.array(
                     [d[1] if d else None for d in dims], dtype="Int64"),
+                "audio_channels": pd.array(
+                    [w[0] if w else None for w in wavs], dtype="Int64"),
+                "sample_rate": pd.array(
+                    [w[1] if w else None for w in wavs], dtype="Int64"),
+                "bits_per_sample": pd.array(
+                    [w[2] if w else None for w in wavs], dtype="Int64"),
             })
             yield out
 

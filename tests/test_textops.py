@@ -722,3 +722,30 @@ def test_token_stats_counts(spark):
     assert rows[3]["n_tokens_ws"] == 0
     assert rows[3]["n_tokens_bpe"] == 0
     assert 4 not in rows  # null text filtered
+
+
+def test_parse_wav_info():
+    """fmt-chunk walker over the public RIFF layout, including a header
+    with a non-fmt chunk first (the walker must skip by chunk size)."""
+    import struct
+
+    from json_schema_spark.textops.multimodal import parse_wav_info
+
+    def wav(channels, rate, bits, prepend_junk=False):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        chunks = b""
+        if prepend_junk:
+            chunks += b"LIST" + struct.pack("<I", 5) + b"junk\x00" + b"\x00"
+        chunks += b"fmt " + struct.pack("<I", 16) + fmt
+        chunks += b"data" + struct.pack("<I", 0)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
+            + chunks
+
+    assert parse_wav_info(wav(2, 44100, 16)) == (2, 44100, 16)
+    assert parse_wav_info(wav(1, 8000, 24, prepend_junk=True)) \
+        == (1, 8000, 24)
+    assert parse_wav_info(b"RIFFxxxxWAVE") is None   # no fmt chunk
+    assert parse_wav_info(b"\x89PNG") is None
+    assert parse_wav_info(None) is None
