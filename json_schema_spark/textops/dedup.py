@@ -565,8 +565,11 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
     aggregation (one shuffle) per round, converging in O(graph
     diameter) rounds (near-dup clusters are clique-ish, so usually
     2-3). The driver checks convergence with a changed-label count per
-    round; each round's labels persist and the previous round is
-    released, so neither lineage nor cache grows with iterations.
+    round; each round's labels persist (materialized by the count) and
+    the previous round's cache is released, so execution always reads
+    the latest cached generation and only ONE generation is cached.
+    The logical lineage still deepens per round — localCheckpoint the
+    result if a downstream consumer re-executes after release_caches().
     Nodes with no edges are not emitted (they are their own group).
     """
     edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))

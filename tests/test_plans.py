@@ -160,7 +160,15 @@ def test_new_operator_plan_shapes(spark):
 
     sf = SF_DIR
     budgets = {"asof_join": 1, "range_join": 1, "time_rollup": 1,
-               "hash_split": 0, "url_dedup": 1}
+               "hash_split": 0, "url_dedup": 1,
+               # round 3: token_stats is a pure projection; simhash64
+               # aggregates behind one exchange; emb_near_dup's only
+               # shuffle is the bucket self-join; the keyless as-of
+               # spends its 6 on the bucket window + the tiny
+               # carry-in tables (all bucket-count-sized but hash-
+               # partitioned nonetheless)
+               "token_stats": 0, "simhash64": 1, "emb_near_dup": 1,
+               "asof_join_keyless": 6}
     for name, max_exchanges in budgets.items():
         df = e.queries()[name](spark, sf)
         plan = _plan(df)
