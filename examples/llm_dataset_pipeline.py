@@ -1,0 +1,85 @@
+"""End-to-end training-data curation pipeline over the documents table:
+the composition a 100-TB web-corpus job would run, at toy scale.
+
+Stages (each is one engine operator; see COVERAGE.md for the oracle
+row that gates it):
+1. schema/constraint validation  -> keep structurally valid docs
+2. exact dedup (normalized md5)  -> drop byte-duplicates
+3. MinHash-LSH near-dup pairs    -> dedup_groups connected components
+   -> keep one canonical doc per group (min doc_id)
+4. quality gate (C4-style heuristics over analyze())
+5. token budgeting (BPE-ish pre-tokenizer counts)
+6. deterministic train/val/test split (md5-keyed — stable under
+   repartitioning and engine-reproducible)
+
+Run: python examples/llm_dataset_pipeline.py [sf_dir]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from json_schema_spark.session import get_spark  # noqa: E402
+from json_schema_spark.textops import dedup  # noqa: E402
+from json_schema_spark.textops.sampling import hash_split  # noqa: E402
+from json_schema_spark.textops.textanalysis import (  # noqa: E402
+    quality_filter, token_stats)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+spark = get_spark(app_name="llm_pipeline", cores=4)
+docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+n0 = docs.count()
+
+# 1. structural validation: non-null text, sane length, known language
+valid = docs.filter(F.col("text").isNotNull()
+                    & (F.length("text") >= 20)
+                    & F.col("lang").isin("en", "de", "fr", "es", "zh"))
+n1 = valid.count()
+
+# 2. exact dedup: drop all but the smallest doc_id per normalized digest
+digest = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+w_min = F.min("doc_id").over(Window.partitionBy("_digest"))
+exact = (valid.withColumn("_digest", digest)
+         .withColumn("_keep", F.col("doc_id") == w_min)
+         .filter("_keep").drop("_digest", "_keep"))
+n2 = exact.count()
+
+# 3. near-dup: LSH pairs -> connected components -> canonical per group
+pairs = dedup.near_duplicates(exact, threshold=0.7)
+groups = dedup.dedup_groups(pairs)
+near = (exact.join(groups, "doc_id", "left")
+        .filter(F.col("group_id").isNull()
+                | (F.col("group_id") == F.col("doc_id")))
+        .drop("group_id"))
+n3 = near.count()
+
+# 4. quality gate
+quality = quality_filter(near, min_tokens=20, min_quality=0.3)
+kept_ids = quality.select("doc_id")
+n4 = kept_ids.count()
+
+# 5. token budget per doc (whitespace + BPE-ish pre-tokenizer)
+budget = (token_stats(near.join(kept_ids, "doc_id"))
+          .agg(F.sum("n_tokens_ws").alias("ws"),
+               F.sum("n_tokens_bpe").alias("bpe")).first())
+
+# 6. deterministic split
+split = hash_split(near.join(kept_ids, "doc_id"),
+                   weights={"train": 0.8, "val": 0.1, "test": 0.1})
+dist = {r["split"]: r["n"] for r in
+        split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+dedup.release_caches()  # pair-finder intermediates
+
+print(f"input docs:          {n0}")
+print(f"structurally valid:  {n1}")
+print(f"after exact dedup:   {n2}")
+print(f"after near-dup:      {n3}")
+print(f"after quality gate:  {n4}")
+print(f"token budget:        ws={budget['ws']}  bpe={budget['bpe']}")
+print(f"splits:              {dist}")
+spark.stop()
