@@ -157,3 +157,65 @@ def start_violation_sink(stream_df: DataFrame, cset: ConstraintSet,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class StreamingNovelFilter:
+    """Cross-micro-batch incremental dedup: a foreachBatch processor
+    that keeps a Bloom filter of every key seen in PRIOR batches on the
+    driver (~1 MB at the default 8 Mbit), probes each new batch against
+    it, hands the definitely-novel rows to ``sink``, then folds the
+    batch's keys into the filter.
+
+    Semantics: a key is emitted at most once across the stream's
+    lifetime (no false negatives in the filter means no duplicate
+    emissions); at the configured false-positive rate a genuinely novel
+    key may be mistaken for seen and dropped — this is a PRE-FILTER for
+    volume reduction (route `_maybe_seen` rows to exact reconciliation
+    if completeness matters). The filter state lives on the driver, so
+    restarts need re-priming: pass a `bloom` built over the already-
+    emitted corpus (build_bloom), mirroring how the batch seen_filter
+    primes from a reference table. All per-row work (md5 positions,
+    bitmap scatter/probe) runs on executors via the same vectorized
+    build/probe as the batch path; only the O(n_bits/8) byte OR runs
+    per batch on the driver.
+
+    Usage::
+
+        f = StreamingNovelFilter(sink=lambda df, bid: df.write...)
+        q = (stream.writeStream.foreachBatch(f)
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(self, key_col: str = "digest", n_bits: int = 1 << 23,
+                 n_hashes: int = 3, sink=None,
+                 bloom: bytes | None = None):
+        import numpy as np
+
+        self.key_col = key_col
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.sink = sink
+        self.bits = (np.frombuffer(bloom, dtype=np.uint8).copy()
+                     if bloom is not None
+                     else np.zeros(n_bits // 8, dtype=np.uint8))
+        self.novel_count = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        from json_schema_spark.textops.dedup import bloom_probe, build_bloom
+
+        novel = (bloom_probe(batch_df, self.bits.tobytes(), self.key_col,
+                             self.n_bits, self.n_hashes)
+                 .filter(~F.col("_maybe_seen")).drop("_maybe_seen"))
+        # the sink must consume novel BEFORE the filter absorbs the
+        # batch (probe uses the pre-batch bitmap; within-batch
+        # duplicates therefore all pass — dropDuplicates upstream or in
+        # the sink if per-batch uniqueness matters)
+        if self.sink is not None:
+            self.sink(novel, batch_id)
+        else:
+            self.novel_count += novel.count()
+        self.bits |= np.frombuffer(
+            build_bloom(batch_df, self.key_col, self.n_bits,
+                        self.n_hashes), dtype=np.uint8)

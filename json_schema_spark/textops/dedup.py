@@ -668,27 +668,17 @@ def build_bloom(df: DataFrame, key_col: str = "digest",
     return merged.tobytes()
 
 
-def seen_filter(reference: DataFrame, candidates: DataFrame,
+def bloom_probe(candidates: DataFrame, bloom: bytes,
                 key_col: str = "digest",
                 n_bits: int = 1 << 23, n_hashes: int = 3) -> DataFrame:
-    """Incremental-dedup membership pre-filter: tag each candidate row
-    with `_maybe_seen` = whether its key is (probably) present in the
-    reference corpus.
-
-    Guarantee: NO false negatives — every key actually present in the
-    reference is flagged. False positives occur at the configured rate,
-    so `_maybe_seen` rows needing certainty must be exact-verified
-    (join) — but that join then runs on the tiny flagged subset instead
-    of the full corpus: at 10^12 candidates vs a large reference, the
-    ~1 MB bloom broadcast replaces a full shuffle join for the
-    mostly-novel majority. Positions come from the same Spark md5
-    expressions as the build side; the pandas UDF only indexes the
-    broadcast bitmap — one vectorized numpy gather per hash, no Python
-    hashing (the bitmap probe itself is the sanctioned non-expressible
-    step, like the t-digest sketches)."""
+    """Tag each candidate row with `_maybe_seen` = membership of its
+    key in a pre-built Bloom filter (see build_bloom). Positions come
+    from the same Spark md5 expressions as the build side; the pandas
+    UDF only indexes the broadcast bitmap — one vectorized numpy
+    gather per hash, no Python hashing (the bitmap probe itself is the
+    sanctioned non-expressible step, like the t-digest sketches)."""
     from pyspark.sql import types as T
 
-    bloom = build_bloom(reference, key_col, n_bits, n_hashes)
     sc = candidates.sparkSession.sparkContext
     b_bloom = sc.broadcast(bloom)
 
@@ -712,6 +702,24 @@ def seen_filter(reference: DataFrame, candidates: DataFrame,
     return candidates.withColumn(
         "_maybe_seen",
         probe(*_bloom_position_cols(F.col(key_col), n_hashes, n_bits)))
+
+
+def seen_filter(reference: DataFrame, candidates: DataFrame,
+                key_col: str = "digest",
+                n_bits: int = 1 << 23, n_hashes: int = 3) -> DataFrame:
+    """Incremental-dedup membership pre-filter: tag each candidate row
+    with `_maybe_seen` = whether its key is (probably) present in the
+    reference corpus.
+
+    Guarantee: NO false negatives — every key actually present in the
+    reference is flagged. False positives occur at the configured rate,
+    so `_maybe_seen` rows needing certainty must be exact-verified
+    (join) — but that join then runs on the tiny flagged subset instead
+    of the full corpus: at 10^12 candidates vs a large reference, the
+    ~1 MB bloom broadcast replaces a full shuffle join for the
+    mostly-novel majority."""
+    bloom = build_bloom(reference, key_col, n_bits, n_hashes)
+    return bloom_probe(candidates, bloom, key_col, n_bits, n_hashes)
 
 
 def novel_documents(reference: DataFrame, candidates: DataFrame,

@@ -328,3 +328,54 @@ def test_keyless_asof_join_parallel_carry(spark):
     # constant — no global single-partition sort of the data
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_bkt" in plan
+
+
+def test_streaming_novel_filter_cross_batch(spark, tmp_path):
+    """Cross-batch incremental dedup: keys seen in batch 0 must not be
+    emitted again by batch 1; genuinely new keys pass. Exercised both
+    by driving the processor directly (the foreachBatch contract) and
+    through a real one-batch streaming query."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.ops.streaming import StreamingNovelFilter
+
+    emitted: list[set] = []
+    f = StreamingNovelFilter(
+        key_col="digest",
+        sink=lambda df, bid: emitted.append(
+            {r["digest"] for r in df.collect()}))
+
+    b0 = spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                               "digest string")
+    b1 = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50, 150)], "digest string")
+    f(b0, 0)
+    f(b1, 1)
+    assert emitted[0] == {f"k{i}" for i in range(100)}
+    # batch 1: k50-k99 already seen -> only k100-k149 (minus any bloom
+    # false positives, none expected at 100 keys / 8 Mbit)
+    assert emitted[1] == {f"k{i}" for i in range(100, 150)}
+
+    # integration: a real streaming query drives the same processor
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"k{i}" for i in range(120)))
+    stream = (spark.readStream.format("text")
+              .schema("value string")
+              .load(str(src))
+              .select(F.col("value").alias("digest")))
+    f2 = StreamingNovelFilter(key_col="digest")
+    q = (stream.writeStream.foreachBatch(f2)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert f2.novel_count == 120
+
+    # re-priming from a prior bloom suppresses the already-seen corpus
+    from json_schema_spark.textops.dedup import build_bloom
+    prior = build_bloom(b0, "digest")
+    f3 = StreamingNovelFilter(key_col="digest", bloom=prior,
+                              sink=lambda df, bid: emitted.append(
+                                  {r["digest"] for r in df.collect()}))
+    f3(b1, 0)
+    assert emitted[-1] == {f"k{i}" for i in range(100, 150)}
