@@ -35,15 +35,13 @@ REFERENCE_TESTS = os.environ.get("REFERENCE_TESTS",
                                  "/root/reference/tests")
 
 # (file-basename regex, group-description regex, test-description regex) —
-# mirrors run.php:271-288; None matches everything. ref.json and
-# definitions.json — wholesale-ignored by the reference's CI — run here
-# in full: local pointers/anchors resolve natively and the meta-schema
-# refs resolve from a cache pre-seeded with the meta-schemas the
-# reference itself ships (tests/draft*/schema-only/). refRemote.json
-# stays ignored: its localhost:1234 documents exist on no host and are
-# not shipped in the repo.
+# mirrors run.php:271-288; None matches everything. ref.json,
+# refRemote.json, and definitions.json — all wholesale-ignored by the
+# reference's CI — run here in full: local pointers/anchors resolve
+# natively, and every remote document comes from a pre-seeded cache
+# (the meta-schemas the reference itself ships in schema-only/, plus
+# the reconstructed public test-suite remotes) with zero network.
 IGNORES: list[tuple[str, str | None, str | None]] = [
-    (r"^refRemote\.json$", None, None),
     # openapi-petstore.json — the reference ignores it as "not ready"
     # (run.php:284); with base-URI $ref resolution it passes here, a
     # capability beyond the reference — no longer ignored.
@@ -88,6 +86,25 @@ _META_SOURCES = {
 }
 _meta_cache: dict[str, Any] | None = None
 
+# The refRemote.json fixtures reference documents served from
+# localhost:1234 in the upstream JSON-Schema-Test-Suite's remotes/
+# directory — the reference repo does not ship them, but they are tiny,
+# public, and stable; reconstructed here so the corpus runs with zero
+# network. (The reference's own CI ignores the whole file.)
+_TEST_SUITE_REMOTES: dict[str, Any] = {
+    "http://localhost:1234/integer.json": {"type": "integer"},
+    "http://localhost:1234/subSchemas.json": {
+        "integer": {"type": "integer"},
+        "refToInteger": {"$ref": "#/integer"},
+    },
+    "http://localhost:1234/folder/folderInteger.json": {"type": "integer"},
+    "http://localhost:1234/name.json": {
+        "definitions": {
+            "orNull": {"anyOf": [{"type": "null"}, {"$ref": "#"}]}},
+        "type": "string",
+    },
+}
+
 
 def meta_schema_cache(root: str = REFERENCE_TESTS) -> dict[str, Any]:
     global _meta_cache
@@ -97,6 +114,7 @@ def meta_schema_cache(root: str = REFERENCE_TESTS) -> dict[str, Any]:
             path = os.path.join(root, *parts)
             with open(path) as fh:
                 _meta_cache[url] = json.load(fh)[0]["schema"]
+        _meta_cache.update(_TEST_SUITE_REMOTES)
     return _meta_cache
 
 
