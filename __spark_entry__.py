@@ -326,6 +326,60 @@ FROM votes
 """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph/line-level dedup (round 3): boilerplate
+    lines planted on the corpus (cookie banner on even ids, newsletter
+    footer on ids % 3) must be stripped while each document's unique
+    body line survives; the oracle rebuilds the same corpus and
+    replays the frequency threshold + array filter in DuckDB."""
+    from json_schema_spark.textops.textanalysis import (
+        remove_boilerplate_lines)
+
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.when(i % 2 == 0, F.lit("COOKIE BANNER\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("\nSubscribe to our newsletter"))
+        .otherwise(F.lit("")))
+    corpus = (_docs(spark, sf_dir)
+              .filter(F.col("text").isNotNull())
+              .select("doc_id", text2.alias("text")))
+    out = remove_boilerplate_lines(corpus, min_docs=5)
+    return out.select("doc_id",
+                      F.md5(F.col("text_clean")).alias("clean_digest"))
+
+
+_SQL_LINE_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'COOKIE BANNER' || chr(10)
+               ELSE '' END)
+         || text ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || 'Subscribe to our newsletter'
+               ELSE '' END) AS text
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, trim(u.l) AS line
+  FROM corpus, unnest(string_split(corpus.text, chr(10))) AS u(l)
+  WHERE trim(u.l) != ''
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 5
+),
+bl AS (SELECT coalesce(list(line), []) AS s FROM boiler)
+SELECT c.doc_id,
+       md5(array_to_string(
+           list_filter(string_split(c.text, chr(10)),
+                       x -> trim(x) = ''
+                            OR NOT list_contains(bl.s, trim(x))),
+           chr(10))) AS clean_digest
+FROM corpus c CROSS JOIN bl
+"""
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV header parsing (round 3): canonical 44-byte RIFF/WAVE
     headers synthesized from doc_id (channels/rate/bits arithmetic on
@@ -2030,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "text_analysis": _q_text_analysis,
         "token_stats": _q_token_stats,
+        "line_dedup": _q_line_dedup,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2082,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": _sql_emb_near_dup(),
         "text_analysis": _sql_text_analysis(),
         "token_stats": _sql_token_stats(),
+        "line_dedup": _SQL_LINE_DEDUP,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -253,6 +253,57 @@ def analyze(df: DataFrame, text_col: str = "text",
         F.col("_fingerprint").alias("fingerprint"))
 
 
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 2) -> DataFrame:
+    """(line, n_docs): trimmed non-empty lines appearing in at least
+    ``min_docs`` DISTINCT documents — the CCNet-style paragraph-level
+    dedup signal (Wenzek et al. 2020 deduplicate at paragraph level
+    before LM filtering; headers/footers/cookie banners dominate this
+    set on web text). One explode + one distinct-count hash aggregate;
+    partial aggregation collapses each task to its distinct
+    (line, doc) pairs before the shuffle."""
+    lines = (df.filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("_id"),
+                     F.explode(F.split(F.col(text_col), "\n"))
+                     .alias("_raw"))
+             .select("_id", F.trim(F.col("_raw")).alias("line"))
+             .filter(F.col("line") != ""))
+    return (lines.groupBy("line")
+            .agg(F.count_distinct("_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2,
+                             out_col: str = "text_clean") -> DataFrame:
+    """Documents with boilerplate lines stripped: every line whose
+    TRIMMED form occurs in >= ``min_docs`` distinct documents is
+    removed (empty lines are kept — they carry structure, not
+    boilerplate); remaining lines rejoin in original order.
+
+    The boilerplate set rides a single-row broadcast (collect_set) onto
+    the documents, and removal is a pure array filter — one shuffle
+    total (the distinct-count aggregate). The set is lines ABOVE the
+    frequency threshold, which on web corpora is tiny relative to the
+    corpus; if a pathological corpus makes it exceed broadcast budgets,
+    raise min_docs or switch to the explode + broadcast-anti-join form
+    (same semantics, data-sized instead of set-sized build)."""
+    bl = (boilerplate_lines(df, text_col, id_col, min_docs)
+          .agg(F.collect_set("line").alias("_bl")))
+    t = F.col(text_col)
+    cleaned = F.array_join(
+        F.filter(F.split(t, "\n"),
+                 lambda x: (F.trim(x) == "")
+                 | ~F.array_contains(F.col("_bl"), F.trim(x))),
+        "\n")
+    return (df.crossJoin(F.broadcast(bl))
+            .withColumn(out_col,
+                        F.when(t.isNotNull(), cleaned))
+            .drop("_bl"))
+
+
 # GPT-2-style pre-tokenizer, lookahead-free: common English
 # contractions, a letter run, a digit run, or a punctuation run — each
 # optionally preceded by one space. The original GPT-2 pattern's

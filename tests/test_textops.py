@@ -749,3 +749,28 @@ def test_parse_wav_info():
     assert parse_wav_info(b"RIFFxxxxWAVE") is None   # no fmt chunk
     assert parse_wav_info(b"\x89PNG") is None
     assert parse_wav_info(None) is None
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines occurring in >= min_docs distinct docs vanish (matched on
+    their trimmed form); unique lines and blank lines survive in
+    original order; duplicate lines WITHIN one doc don't count."""
+    from json_schema_spark.textops.textanalysis import (
+        boilerplate_lines, remove_boilerplate_lines)
+
+    df = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nunique one\n\nfooter"),
+         (2, "  COOKIE BANNER  \nunique two\nfooter"),
+         (3, "body three\nfooter\nfooter"),
+         (4, None)],
+        "doc_id long, text string")
+    bl = {r["line"]: r["n_docs"]
+          for r in boilerplate_lines(df, min_docs=2).collect()}
+    assert bl == {"COOKIE BANNER": 2, "footer": 3}
+
+    out = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1] == "unique one\n"        # blank line kept
+    assert out[2] == "unique two"
+    assert out[3] == "body three"
+    assert out[4] is None
