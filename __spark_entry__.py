@@ -380,6 +380,62 @@ FROM corpus c CROSS JOIN bl
 """
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 3): emails/IPs/phones planted on the corpus
+    from doc_id, replaced by typed placeholders with per-category hit
+    counts. Oracle replays the identical patterns (Java-regex/RE2
+    common subset) with regexp_replace(..., 'g')."""
+    from json_schema_spark.textops.textanalysis import redact_pii
+
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit(" mail user"), i.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0,
+               F.concat(F.lit(" from 10."), (i % 256).cast("string"),
+                        F.lit(".0.1"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" call +1 555 123-4567"))
+        .otherwise(F.lit("")))
+    corpus = (_docs(spark, sf_dir)
+              .filter(F.col("text").isNotNull())
+              .select("doc_id", text2.alias("text")))
+    out = redact_pii(corpus)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      F.md5(F.col("text_redacted")).alias("red_digest"))
+
+
+def _sql_redact_pii() -> str:
+    from json_schema_spark.textops.textanalysis import PII_PATTERNS
+
+    em, ip, ph = (PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN ' mail user' || doc_id || '@example.com'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' from 10.' || (doc_id % 256) || '.0.1'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' call +1 555 123-4567' ELSE '' END) AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, $e${em}$e$)) AS n_email,
+       len(regexp_extract_all(text, $i${ip}$i$)) AS n_ipv4,
+       len(regexp_extract_all(text, $p${ph}$p$)) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text, $e${em}$e$, '<EMAIL>', 'g'),
+           $i${ip}$i$, '<IP>', 'g'),
+           $p${ph}$p$, '<PHONE>', 'g')) AS red_digest
+FROM corpus
+"""
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV header parsing (round 3): canonical 44-byte RIFF/WAVE
     headers synthesized from doc_id (channels/rate/bits arithmetic on
@@ -2085,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "token_stats": _q_token_stats,
         "line_dedup": _q_line_dedup,
+        "redact_pii": _q_redact_pii,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2138,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _sql_text_analysis(),
         "token_stats": _sql_token_stats(),
         "line_dedup": _SQL_LINE_DEDUP,
+        "redact_pii": _sql_redact_pii(),
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

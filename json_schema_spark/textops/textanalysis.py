@@ -304,6 +304,41 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
             .drop("_bl"))
 
 
+# PII patterns, restricted to constructs Java regex and RE2 interpret
+# identically (no lookarounds, no backrefs) so the DuckDB oracle can
+# replay them literally. Deliberately conservative: high-precision
+# surface forms, not a compliance-grade detector.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+             "<IP>"),
+    "phone": (r"\+[0-9][0-9 ()-]{6,18}[0-9]"
+              r"|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+              "<PHONE>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Replace email / IPv4 / phone surface forms with typed
+    placeholder tokens and count the hits per category:
+    (id, out_col, n_email, n_ipv4, n_phone). Pure projection — chained
+    regexp_replace + regexp_count, zero shuffle, codegen'd; the
+    category order is fixed (email first) so an address like
+    a@1.2.3.4 redacts as one <EMAIL>, not an <IP> inside an email."""
+    t = F.col(text_col)
+    counts = [
+        F.when(t.isNotNull(),
+               F.regexp_count(t, F.lit(rx))).alias(f"n_{name}")
+        for name, (rx, _) in PII_PATTERNS.items()]
+    red = t
+    for name, (rx, token) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, rx, token)
+    return (df.select(F.col(id_col), *counts, red.alias(out_col)))
+
+
 # GPT-2-style pre-tokenizer, lookahead-free: common English
 # contractions, a letter run, a digit run, or a punctuation run — each
 # optionally preceded by one space. The original GPT-2 pattern's

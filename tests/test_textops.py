@@ -774,3 +774,25 @@ def test_remove_boilerplate_lines(spark):
     assert out[2] == "unique two"
     assert out[3] == "body three"
     assert out[4] is None
+
+
+def test_redact_pii(spark):
+    from json_schema_spark.textops.textanalysis import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org or b@x.io, host 192.168.0.1, "
+             "call +49 (30) 1234567 or 555-867-5309"),
+         (2, "no pii here"),
+         (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 2
+    red = rows[1]["text_redacted"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "a.b+c@ex-1.org" not in red and "192.168" not in red
+    assert rows[2]["n_email"] == 0
+    assert rows[2]["text_redacted"] == "no pii here"
+    assert rows[3]["text_redacted"] is None
+    assert rows[3]["n_email"] is None
