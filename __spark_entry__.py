@@ -380,6 +380,44 @@ FROM corpus c CROSS JOIN bl
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (round 3): docs sharded by md5(id),
+    ordered by id within the shard, chunked at 512-token exclusive
+    cumulative boundaries. The oracle replays the md5 shard, the
+    window cumsum, and the floor-division pack index."""
+    from json_schema_spark.textops.sampling import pack_sequences
+    from json_schema_spark.textops.textanalysis import token_stats
+
+    toks = token_stats(_docs(spark, sf_dir)) \
+        .select("doc_id", F.col("n_tokens_ws").alias("n_tokens"))
+    return (pack_sequences(toks, budget=512, n_shards=8)
+            .select("doc_id", "n_tokens", "pack_id"))
+
+
+_SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substr(md5('pack:' || doc_id), 1, 8)) AS BIGINT)
+           % 8 AS shard
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       shard || ':' || CAST(FLOOR(
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 512) AS BIGINT) AS pack_id
+FROM sharded
+"""
+
+
 def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (round 3): emails/IPs/phones planted on the corpus
     from doc_id, replaced by typed placeholders with per-category hit
@@ -2142,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
+        "pack_sequences": _q_pack_sequences,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2196,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _sql_token_stats(),
         "line_dedup": _SQL_LINE_DEDUP,
         "redact_pii": _sql_redact_pii(),
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -45,6 +45,39 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.filter(u < rate)
 
 
+def pack_sequences(df: DataFrame, budget: int,
+                   token_col: str = "n_tokens",
+                   id_col: str = "doc_id",
+                   n_shards: int = 32,
+                   pack_col: str = "pack_id") -> DataFrame:
+    """Assign every document to a training-sequence pack of ~``budget``
+    tokens: documents are sharded deterministically (md5 of the id, so
+    shards are stable under repartitioning), ordered by id within the
+    shard, and chunked by exclusive cumulative token count — pack k of
+    shard s holds the docs whose running total lands in
+    [k*budget, (k+1)*budget). The LAST doc of a pack may overflow the
+    budget by up to its own length (the standard streaming-packing
+    trade; split or drop over-long docs upstream if hard caps matter).
+
+    Scale: each shard packs independently — the window sort is
+    per-shard (one shuffle), so parallelism = n_shards regardless of
+    corpus size, and pack ids ('shard:seq') are globally unique and
+    reproducible. Returns df + pack_col."""
+    from pyspark.sql import Window as W
+
+    shard = F.conv(F.substring(
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("bigint") % n_shards
+    w = (W.partitionBy("_shard").orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (df.withColumn("_shard", shard)
+            .withColumn(pack_col,
+                        F.concat_ws(":", F.col("_shard"),
+                                    F.floor(excl / budget)))
+            .drop("_shard"))
+
+
 def hash_split(df: DataFrame, weights: dict[str, float],
                id_col: str = "doc_id",
                seed: str = "jss-split",

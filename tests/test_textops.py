@@ -796,3 +796,41 @@ def test_redact_pii(spark):
     assert rows[2]["text_redacted"] == "no pii here"
     assert rows[3]["text_redacted"] is None
     assert rows[3]["n_email"] is None
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Within each shard, packs are contiguous in id order, cumulative
+    exclusive sums map to pack boundaries, and no pack's total exceeds
+    budget + its last doc's length (the documented overflow bound)."""
+    from json_schema_spark.textops.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 200) for i in range(200)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=500, n_shards=4).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        shard = r["pack_id"].split(":")[0]
+        by_shard.setdefault(shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == f"{shard}:{cum // 500}"
+            cum += r["n_tokens"]
+        # pack totals respect the overflow bound
+        totals: dict[str, int] = {}
+        last: dict[str, int] = {}
+        for r in rows:
+            totals[r["pack_id"]] = totals.get(r["pack_id"], 0) \
+                + r["n_tokens"]
+            last[r["pack_id"]] = r["n_tokens"]
+        for pid, tot in totals.items():
+            assert tot <= 500 + last[pid]
+
+    # deterministic under repartitioning
+    out2 = pack_sequences(df.repartition(13), budget=500,
+                          n_shards=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in out} \
+        == {(r["doc_id"], r["pack_id"]) for r in out2}
