@@ -156,6 +156,42 @@ def decode_image(blob: bytes) -> Any:
     return img.width, img.height, img.mode
 
 
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """Re-encode an image at (width, height). Requires PIL — STUB,
+    same policy as decode_image; the Spark-side plumbing for batch
+    resize is extract_media_features-style mapInPandas with this
+    function applied per blob inside the batch loop."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resizing requires PIL; install pillow on "
+            "executors") from exc
+    img = Image.open(io.BytesIO(blob)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format=img.format or "PNG")
+    return buf.getvalue()
+
+
+def sample_video_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
+    """Every n-th frame of a video blob as encoded images. Requires an
+    actual video codec (av / opencv) — STUB: neither is vendored in
+    this environment. The Spark-side shape for frame sampling is
+    mapInPandas yielding one row per sampled frame
+    ((id, frame_idx, frame_blob)), with
+    spark.sql.execution.arrow.maxRecordsPerBatch lowered so the
+    exploded frame rows stay within Arrow batch budgets."""
+    try:
+        import av  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video frame sampling requires PyAV (or OpenCV); install "
+            "one on executors") from exc
+    raise NotImplementedError("frame extraction not implemented")
+
+
 def decode_audio(blob: bytes) -> Any:
     """Decode audio to (sample_rate, n_frames). Requires soundfile —
     STUB, same policy as decode_image."""

@@ -834,3 +834,21 @@ def test_pack_sequences_budget_semantics(spark):
                           n_shards=4).collect()
     assert {(r["doc_id"], r["pack_id"]) for r in out} \
         == {(r["doc_id"], r["pack_id"]) for r in out2}
+
+
+def test_multimodal_stub_policy():
+    """Codec-dependent steps stay behind clearly-marked stubs when the
+    optional libraries are absent (they are not vendored here)."""
+    from json_schema_spark.textops.multimodal import (resize_image,
+                                                      sample_video_frames)
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            resize_image(b"\x89PNG", 8, 8)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00\x20ftypmp42")
