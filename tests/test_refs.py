@@ -214,3 +214,63 @@ def test_draft4_id_keyword_interning():
     # with draft-6/7 keys, `id` is just metadata and the ref stays inert
     out7 = resolve_refs(schema)
     assert out7["allOf"][0] == {"$ref": "#foo"}
+
+
+def test_resolver_fuzz_random_ref_graphs():
+    """Seeded fuzz: random schema trees with random local $refs and $id
+    anchors (including dangling refs and cycles) must resolve without
+    recursion errors and compile to a schema that validates SOMETHING
+    without crashing."""
+    import random
+
+    from json_schema_spark.errors import SchemaError, ValidationError
+    from json_schema_spark.validator.document import (DocumentValidator,
+                                                      compile_schema)
+
+    rnd = random.Random(42)
+    for _ in range(60):
+        n_defs = rnd.randrange(1, 6)
+        names = [f"d{i}" for i in range(n_defs)]
+
+        def leaf():
+            return rnd.choice([
+                {"type": "integer"}, {"type": "string"},
+                {"minimum": rnd.randrange(10)}, True, False, {}])
+
+        def node(depth):
+            if depth > 3 or rnd.random() < 0.3:
+                return leaf()
+            kind = rnd.randrange(4)
+            if kind == 0:
+                return {"$ref": rnd.choice(
+                    ["#", f"#/definitions/{rnd.choice(names)}",
+                     "#/definitions/missing", "#foo",
+                     "http://nowhere.invalid/x.json"])}
+            if kind == 1:
+                return {"properties": {
+                    f"p{j}": node(depth + 1)
+                    for j in range(rnd.randrange(1, 3))}}
+            if kind == 2:
+                return {"items": node(depth + 1)}
+            return {"anyOf": [node(depth + 1)
+                              for _ in range(rnd.randrange(1, 3))]}
+
+        schema = {
+            "definitions": {nm: node(1) for nm in names},
+            "properties": {"x": node(1)},
+        }
+        if rnd.random() < 0.5:
+            # plant an anchor somewhere
+            schema["definitions"][names[0]] = {
+                "$id": "#foo", "type": "integer"}
+        try:
+            cs = compile_schema(schema)
+        except (SchemaError, RecursionError) as exc:
+            assert not isinstance(exc, RecursionError), schema
+            continue  # SchemaError on malformed fuzz output is fine
+        v = DocumentValidator()
+        for data in ({"x": 1}, {"x": "s"}, {}, 7):
+            try:
+                v.validate(data, cs)
+            except ValidationError:
+                pass  # verdicts may be anything; crashes may not
