@@ -1601,6 +1601,46 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 """
 
 
+def _q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift per day (round 3): symmetric, bounded,
+    epsilon-free categorical drift — exact counts, so DuckDB replays
+    it bit-for-bit."""
+    from json_schema_spark.checks.drift import js_divergence_by_period
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (js_divergence_by_period(ev, "event_type", "ts")
+            .withColumn("day", F.col("day").cast("string")))
+
+
+_SQL_JS_DRIFT = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COALESCE(event_type, '__null__') AS cat, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+day_totals AS (SELECT day, sum(n) AS day_total FROM counts GROUP BY 1),
+overall AS (SELECT cat, sum(n) AS cat_total FROM counts GROUP BY 1),
+grand AS (SELECT sum(n) AS grand_total FROM counts)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(sum(
+         CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END / 2
+         + CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END / 2), 6)
+         AS js_divergence FROM (
+  SELECT d.day,
+         CAST(COALESCE(c.n, 0) AS DOUBLE)
+           / CAST(d.day_total AS DOUBLE) AS p,
+         CAST(o.cat_total AS DOUBLE)
+           / CAST(g.grand_total AS DOUBLE) AS q,
+         (CAST(COALESCE(c.n, 0) AS DOUBLE)
+            / CAST(d.day_total AS DOUBLE)
+          + CAST(o.cat_total AS DOUBLE)
+            / CAST(g.grand_total AS DOUBLE)) / 2 AS m
+  FROM day_totals d CROSS JOIN overall o CROSS JOIN grand g
+  LEFT JOIN counts c ON c.day = d.day AND c.cat = o.cat
+) GROUP BY day ORDER BY day
+"""
+
+
 def _q_validate_json_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON path: documents serialized to JSON and validated by the
     full draft-7 document validator (Arrow pandas-UDF)."""
@@ -2200,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
         "ks_drift": _q_ks_drift,
+        "js_drift": _q_js_drift,
         "ivf_topk": _q_ivf_topk,
         "kw_combinators": _q_kw_combinators,
         "kw_array": _q_kw_array,
@@ -2255,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,
         "ks_drift": _SQL_KS_DRIFT,
+        "js_drift": _SQL_JS_DRIFT,
         "ivf_topk": _SQL_IVF_TOPK,
         "kw_combinators": _SQL_KW_COMBINATORS,
         "kw_array": _SQL_KW_ARRAY,

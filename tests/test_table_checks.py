@@ -125,3 +125,37 @@ def test_referential_missing_column_fails_hard(spark):
     viols = validate(df, cset, id_col="doc_id",
                      observe=False).violations().collect()
     assert [v["constraint_id"] for v in viols] == ["langg.referential"]
+
+
+def test_js_divergence_properties(spark):
+    """JSD is 0 for identical distributions, bounded by ln 2, symmetric
+    by construction, and finite when a category is absent on a day
+    (where PSI needs an epsilon clamp)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.checks.drift import js_divergence_by_period
+
+    rows = []
+    # day 1: identical mix to overall-ish; day 2: category missing
+    for i in range(100):
+        rows.append(("2024-01-01 00:00:00", "a" if i % 2 else "b"))
+    for i in range(100):
+        rows.append(("2024-01-02 00:00:00", "a"))
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {str(r["day"]): r["js_divergence"]
+           for r in js_divergence_by_period(df, "event_type").collect()}
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
+    # the all-'a' day diverges more than the mixed day
+    assert out["2024-01-02"] > out["2024-01-01"]
+
+    # identical per-day and overall distributions -> exactly 0
+    same = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "x"), ("2024-01-02 00:00:00", "x")],
+        "ts string, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    z = [r["js_divergence"] for r in
+         js_divergence_by_period(same, "event_type").collect()]
+    assert z == [0.0, 0.0]
