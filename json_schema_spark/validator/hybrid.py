@@ -368,6 +368,9 @@ def validate_json_variant(df: DataFrame, schema: dict,
         field_ok = field_ok & F.variant_get(
             root, f"$.{req}", "variant").isNotNull()
     if plan["no_additional"]:
+        # json_object_keys re-parses the raw string: Spark has no
+        # key-enumeration function over variants, so this branch (and
+        # only this branch) costs one extra JSON parse per row
         declared = list(plan["props"])
         keys_ok = F.forall(
             F.json_object_keys(col),

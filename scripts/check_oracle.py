@@ -24,6 +24,13 @@ def canon(v):
     return v
 
 
+def row_key(row):
+    """None-safe sort key: Python can't order None against str/int, so
+    order by (is-None, stringified value) per cell — both engines'
+    rows get the identical key, and equality still compares raw."""
+    return tuple((v is None, str(v)) for v in row)
+
+
 def main():
     import __spark_entry__ as e
     from json_schema_spark.session import get_spark
@@ -43,15 +50,17 @@ def main():
         sdf = fn(spark, SF_DIR)
         scols = sorted(sdf.columns)
         srows = sorted(
-            tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+            (tuple(canon(r[c]) for c in scols) for r in sdf.collect()),
+            key=row_key)
         if name not in oracles:
             print(f"{name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         ddf = con.execute(oracles[name]).fetch_df()
         dcols = sorted(ddf.columns)
         drows = sorted(
-            tuple(canon(v) for v in row)
-            for row in ddf[dcols].itertuples(index=False, name=None))
+            (tuple(canon(v) for v in row)
+             for row in ddf[dcols].itertuples(index=False, name=None)),
+            key=row_key)
         ok_cols = scols == dcols
         ok_n = len(srows) == len(drows)
         ok_vals = srows == drows
