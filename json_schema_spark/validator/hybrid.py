@@ -390,9 +390,13 @@ def validate_json_variant(df: DataFrame, schema: dict,
 def validate_json_auto(df: DataFrame, schema: dict,
                        column: str | Column = "json",
                        id_col: str = "id",
-                       version: str = "7") -> DataFrame:
+                       version: str = "7",
+                       url_cache: dict | None = None) -> DataFrame:
     """(id, valid) per document, by the fastest capable path:
-    variant exact path > from_json struct path > Arrow document path."""
+    variant exact path > from_json struct path > Arrow document path.
+    Schemas with \$refs route to the document path (both fast-path
+    planners reject the keyword), whose driver-side resolver consults
+    a pre-seeded ``url_cache`` (never the network)."""
     col = F.col(column) if isinstance(column, str) else column
     if variant_plan(schema) is not None:
         return validate_json_variant(df, schema, column, id_col)
@@ -400,7 +404,8 @@ def validate_json_auto(df: DataFrame, schema: dict,
     if plan is None:
         from json_schema_spark.validator.json_column import (
             validate_json_column)
-        out = validate_json_column(df, schema, column, version)
+        out = validate_json_column(df, schema, column, version,
+                                   url_cache=url_cache)
         return out.select(F.col(id_col),
                           F.col("_validation.valid").alias("valid"))
 

@@ -40,7 +40,9 @@ RESULT_TYPE = T.StructType([
 
 
 def json_schema_udf(schema: Any, version: str = "7",
-                    mode: int = 0) -> "callable":
+                    mode: int = 0,
+                    url_cache: dict | None = None,
+                    fetch_remote: bool = False) -> "callable":
     """Build a pandas UDF `json-string -> struct(valid, error, rewritten)`.
 
     ``schema`` is a decoded JSON Schema (dict/bool) or a JSON string; it is
@@ -51,7 +53,8 @@ def json_schema_udf(schema: Any, version: str = "7",
     """
     compiled: CompiledSchema = (
         schema if isinstance(schema, CompiledSchema)
-        else compile_schema(schema, version))
+        else compile_schema(schema, version, url_cache=url_cache,
+                            fetch_remote=fetch_remote))
 
     @F.pandas_udf(RESULT_TYPE)
     def _validate(batch: pd.Series) -> pd.DataFrame:
@@ -157,11 +160,16 @@ def validate_json_column(
     version: str = "7",
     mode: int = 0,
     result_col: str = "_validation",
+    url_cache: dict | None = None,
+    fetch_remote: bool = False,
 ) -> DataFrame:
     """Annotate ``df`` with a struct column
-    ``result_col = (valid, error, rewritten)`` for ``column``."""
+    ``result_col = (valid, error, rewritten)`` for ``column``.
+    ``url_cache`` pre-seeds remote \$ref documents (resolved ONCE on
+    the driver at compile time — executors never fetch); opt in to
+    network fetches with ``fetch_remote``."""
     col = F.col(column) if isinstance(column, str) else column
-    udf = json_schema_udf(schema, version, mode)
+    udf = json_schema_udf(schema, version, mode, url_cache, fetch_remote)
     return df.withColumn(result_col, udf(col))
 
 

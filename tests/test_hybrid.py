@@ -463,3 +463,28 @@ def test_unsafe_property_names_route_to_document_path(spark):
             for r in validate_json_auto(df2, ok, "json",
                                         id_col="id").collect()}
     assert got2 == {1: True, 2: False}
+
+
+def test_auto_path_resolves_refs_from_seeded_cache(spark):
+    """A schema with a remote $ref routes to the document path and
+    resolves from the caller's pre-seeded cache — no network, verdicts
+    from the referenced schema."""
+    from json_schema_spark.validator.hybrid import validate_json_auto
+
+    cache = {"http://models.example/age.json":
+             {"type": "integer", "minimum": 18}}
+    schema = {"type": "object",
+              "properties": {
+                  "age": {"$ref": "http://models.example/age.json"}}}
+    df = spark.createDataFrame(
+        [(1, '{"age": 21}'), (2, '{"age": 7}'), (3, '{"age": "x"}')],
+        "id long, json string")
+    got = {r["id"]: r["valid"]
+           for r in validate_json_auto(df, schema, "json", id_col="id",
+                                       url_cache=cache).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # without the cache the ref stays inert (and no network is touched)
+    got2 = {r["id"]: r["valid"]
+            for r in validate_json_auto(df, schema, "json",
+                                        id_col="id").collect()}
+    assert got2 == {1: True, 2: True, 3: True}
