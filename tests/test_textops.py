@@ -852,3 +852,28 @@ def test_multimodal_stub_policy():
             resize_image(b"\x89PNG", 8, 8)
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00\x20ftypmp42")
+
+
+def test_ivf_recall_rises_with_nprobe(emb, spark):
+    """The ann_recall harness must show IVF recall@k increasing with
+    nprobe and reaching 1.0 at nprobe == n_centroids (exhaustive probe
+    == exact search)."""
+    from json_schema_spark.textops.similarity import (ann_recall,
+                                                      cosine_topk,
+                                                      ivf_centroids,
+                                                      ivf_topk)
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = cosine_topk(queries, emb, k=5)
+    cents = ivf_centroids(emb, n_centroids=8, iterations=1)
+
+    def avg_recall(nprobe):
+        approx = ivf_topk(queries, emb, k=5, nprobe=nprobe,
+                          centroids=cents)
+        rows = ann_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    r1, r4, r8 = avg_recall(1), avg_recall(4), avg_recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # all cells probed == brute force
+    assert r4 > r1 or r1 == 1.0
