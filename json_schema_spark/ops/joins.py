@@ -95,7 +95,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         ts_ep = F.col(on).cast("timestamp").cast("double")
     else:
         ts_ep = F.col(on).cast("double")
-    tagged = unioned.withColumn("_ts_ep", ts_ep)
+    # persist: the union feeds THREE plan branches below (the carry
+    # window, bucket_last, all_bkts) and would otherwise recompute per
+    # branch; the approxQuantile action materializes the cache
+    # immediately. Caller releases via cache.release_caches() (see the
+    # registry's ownership contract) or spark.catalog.clearCache().
+    from json_schema_spark.cache import register_cache
+
+    tagged = register_cache(unioned.withColumn("_ts_ep", ts_ep))
     n_b = max(1, keyless_buckets)
     qs = [i / n_b for i in range(1, n_b)]
     boundaries = sorted(set(

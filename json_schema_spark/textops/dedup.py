@@ -27,36 +27,15 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows at the default signature size
 
-# Cached intermediates registered by the pair-finding operators. Spark
-# keeps a persisted table alive for the application's lifetime, and
-# these functions return LAZY DataFrames — the cache cannot be released
-# before the caller's consuming action, so the CALLER owns cleanup:
-# call release_caches() (or spark.catalog.clearCache()) once results
-# are materialized. Repeated pipeline invocations without cleanup
-# accumulate executor storage until eviction pressure hurts other jobs.
-_ACTIVE_CACHES: list[DataFrame] = []
-
-
-def _register_cache(df: DataFrame) -> DataFrame:
-    df.persist()
-    _ACTIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every intermediate cached by dedup pair-finders
-    (minhash/near-dup buckets, shingle sets, winnowing fingerprints,
-    simhash tables) since the last release. Safe to call anytime after
-    the consuming action; returns the number of tables released."""
-    n = 0
-    while _ACTIVE_CACHES:
-        df = _ACTIVE_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    return n
+# Pair-finders persist their self-join inputs; the shared registry
+# (json_schema_spark.cache) holds them and the CALLER releases after
+# the consuming action — see that module's docstring for the ownership
+# contract. Re-exported here for backward compatibility.
+from json_schema_spark.cache import (  # noqa: E402
+    _ACTIVE_CACHES,
+    register_cache as _register_cache,
+    release_caches,
+)
 
 
 def tokens(col: Column) -> Column:
