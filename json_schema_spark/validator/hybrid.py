@@ -394,7 +394,7 @@ def validate_json_auto(df: DataFrame, schema: dict,
                        url_cache: dict | None = None) -> DataFrame:
     """(id, valid) per document, by the fastest capable path:
     variant exact path > from_json struct path > Arrow document path.
-    Schemas with \$refs route to the document path (both fast-path
+    Schemas with $refs route to the document path (both fast-path
     planners reject the keyword), whose driver-side resolver consults
     a pre-seeded ``url_cache`` (never the network)."""
     col = F.col(column) if isinstance(column, str) else column

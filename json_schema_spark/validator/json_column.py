@@ -165,7 +165,7 @@ def validate_json_column(
 ) -> DataFrame:
     """Annotate ``df`` with a struct column
     ``result_col = (valid, error, rewritten)`` for ``column``.
-    ``url_cache`` pre-seeds remote \$ref documents (resolved ONCE on
+    ``url_cache`` pre-seeds remote $ref documents (resolved ONCE on
     the driver at compile time — executors never fetch); opt in to
     network fetches with ``fetch_remote``."""
     col = F.col(column) if isinstance(column, str) else column
