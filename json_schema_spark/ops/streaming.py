@@ -219,3 +219,24 @@ class StreamingNovelFilter:
         self.bits |= np.frombuffer(
             build_bloom(batch_df, self.key_col, self.n_bits,
                         self.n_hashes), dtype=np.uint8)
+
+
+def stream_sessions(stream_df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Event-time sessionization on an unbounded stream: per-user
+    session windows that close after ``gap`` of inactivity, with a
+    watermark bounding how late events may arrive (later ones are
+    dropped, earlier state is finalized and evicted — state size stays
+    proportional to OPEN sessions, not history). The streaming analog
+    of the batch sessionize query; append-mode sinks emit each session
+    exactly once, when the watermark passes its close."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                     F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(user_col),
+                    F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "n_events"))

@@ -379,3 +379,50 @@ def test_streaming_novel_filter_cross_batch(spark, tmp_path):
                                   {r["digest"] for r in df.collect()}))
     f3(b1, 0)
     assert emitted[-1] == {f"k{i}" for i in range(100, 150)}
+
+
+def test_stream_sessions_finalize_past_watermark(spark, tmp_path):
+    """Append-mode session windows emit exactly once, when the
+    watermark passes their close: a later flush batch advances the
+    watermark and finalizes the earlier session."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.ops.streaming import stream_sessions
+
+    src = tmp_path / "events"
+    src.mkdir()
+    f1 = src / "a_batch1.json"
+    f1.write_text("\n".join([
+        '{"user_id": "u1", "ts": "2024-01-01 10:00:00"}',
+        '{"user_id": "u1", "ts": "2024-01-01 10:05:00"}',
+        '{"user_id": "u1", "ts": "2024-01-01 10:10:00"}']))
+    time.sleep(0.05)
+    f2 = src / "b_batch2.json"
+    f2.write_text('{"user_id": "u1", "ts": "2024-01-03 00:00:00"}')
+    # pin discovery order: source sorts by modification time
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = (spark.readStream
+              .schema("user_id string, ts string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src))
+              .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    out = stream_sessions(stream, gap="30 minutes", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM sess").collect()
+    finalized = {(str(r["session_start"]), r["n_events"]) for r in rows}
+    # the 10:00-10:10 session (3 events, one 30-min-gap window) is
+    # finalized by the day-later flush; the flush's own session stays
+    # open past end-of-stream and must NOT be emitted
+    assert ("2024-01-01 10:00:00", 3) in finalized
+    assert all(not s.startswith("2024-01-03") for s, _ in finalized)
