@@ -597,6 +597,45 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call near-dedup (round 3): the perturbed corpus minus every
+    non-canonical group member — exactly one survivor per near-dup
+    group plus all singletons. The oracle derives the same survivor
+    set from the pair SQL's transitive closure."""
+    from json_schema_spark.textops.dedup import near_dedup_corpus
+
+    out = near_dedup_corpus(_dedup_corpus(spark, sf_dir), threshold=0.5)
+    return out.select("doc_id")
+
+
+def _sql_near_dedup_corpus() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.s AS node, r.lab
+  FROM edges e JOIN reach r ON e.t = r.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node != min(lab)
+),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents
+  WHERE doc_id < 20 AND text IS NOT NULL
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints — the web-scale configuration
     (round-3 fix: bits 32-63 come from md5 hex chars 9-16; bit 63 is
@@ -2208,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_groups": _q_dedup_groups,
+        "near_dedup_corpus": _q_near_dedup_corpus,
         "dedup_exact_text": _q_dedup_exact_text,
         "simhash": _q_simhash,
         "simhash64": _q_simhash64,
@@ -2264,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_groups": _sql_dedup_groups(),
+        "near_dedup_corpus": _sql_near_dedup_corpus(),
         "dedup_exact_text": _SQL_DEDUP_EXACT_TEXT,
         "simhash": _SQL_SIMHASH,
         "simhash64": _SQL_SIMHASH64,

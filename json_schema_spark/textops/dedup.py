@@ -582,6 +582,31 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
         _ACTIVE_CACHES.append(labels)  # released via release_caches()
 
 
+def near_dedup_corpus(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      bands: int = DEFAULT_BANDS,
+                      threshold: float = 0.7,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """The one-call near-dedup most pipelines want: MinHash-LSH pairs ->
+    connected components -> keep ONE canonical document per group (the
+    minimum id) and every document with no near-duplicate. Returns the
+    surviving rows of ``df`` unchanged.
+
+    Composition of near_duplicates (bucketed, Jaccard-verified) and
+    dedup_groups (min-label propagation); the final cut is a broadcast
+    anti-join against the non-canonical id set — group members minus
+    one canonical each, which is small relative to the corpus whenever
+    dedup is worth running. Caller releases operator caches afterwards
+    (cache.release_caches())."""
+    pairs = near_duplicates(df, text_col, id_col, k, num_hashes, bands,
+                            threshold, max_bucket_size)
+    groups = dedup_groups(pairs, out_id_col=id_col)
+    losers = (groups.filter(F.col("group_id") != F.col(id_col))
+              .select(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
     """Python reference for the bit positions — MUST stay equal to the
     Spark-side _bloom_position_cols (pinned by test): position i is the

@@ -877,3 +877,44 @@ def test_ivf_recall_rises_with_nprobe(emb, spark):
     assert r1 <= r4 <= r8
     assert r8 == 1.0  # all cells probed == brute force
     assert r4 > r1 or r1 == 1.0
+
+
+def test_near_dedup_corpus_keeps_one_per_group(docs):
+    """The one-call dedup keeps exactly one canonical doc (min id) per
+    near-dup group plus every singleton, returning original rows."""
+    from json_schema_spark.textops import dedup
+
+    corpus = _perturbed(docs)
+    n_in = corpus.count()
+    out = dedup.near_dedup_corpus(corpus, threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates(corpus, threshold=0.5).collect()}
+    dedup.release_caches()
+    # every pair lost its higher member somewhere; canonical (min) stays
+    losers = set()
+    import itertools
+    groups: dict[int, set] = {}
+    for a, b in pairs:
+        ga = next((g for g in groups.values() if a in g or b in g), None)
+        if ga is None:
+            groups[a] = {a, b}
+        else:
+            ga.update({a, b})
+    # merge any overlapping groups (tiny corpus — quadratic is fine)
+    merged = True
+    while merged:
+        merged = False
+        items = list(groups.items())
+        for (k1, g1), (k2, g2) in itertools.combinations(items, 2):
+            if k1 in groups and k2 in groups and g1 & g2:
+                groups[k1] = g1 | g2
+                del groups[k2]
+                merged = True
+                break
+    for g in groups.values():
+        losers |= g - {min(g)}
+    assert kept == {r["doc_id"] for r in corpus.select("doc_id").collect()} \
+        - losers
+    assert len(kept) == n_in - len(losers)
+    assert out.columns == corpus.columns
