@@ -48,13 +48,9 @@ exact = (valid.withColumn("_digest", digest)
          .filter("_keep").drop("_digest", "_keep"))
 n2 = exact.count()
 
-# 3. near-dup: LSH pairs -> connected components -> canonical per group
-pairs = dedup.near_duplicates(exact, threshold=0.7)
-groups = dedup.dedup_groups(pairs)
-near = (exact.join(groups, "doc_id", "left")
-        .filter(F.col("group_id").isNull()
-                | (F.col("group_id") == F.col("doc_id")))
-        .drop("group_id"))
+# 3. near-dup: LSH pairs -> connected components -> one canonical doc
+#    per group (the one-call composition)
+near = dedup.near_dedup_corpus(exact, threshold=0.7)
 n3 = near.count()
 
 # 4. quality gate
