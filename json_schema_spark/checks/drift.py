@@ -87,6 +87,23 @@ def psi(base_freqs: dict[str, float], cur_freqs: dict[str, float],
     return total
 
 
+def js_divergence(base_freqs: dict[str, float],
+                  cur_freqs: dict[str, float]) -> float:
+    """Jensen-Shannon divergence (nats) between frequency maps —
+    symmetric, bounded by ln 2, finite without epsilon clamps (0*ln 0
+    terms vanish)."""
+    total = 0.0
+    for c in set(base_freqs) | set(cur_freqs):
+        p = base_freqs.get(c, 0.0)
+        q = cur_freqs.get(c, 0.0)
+        m = (p + q) / 2
+        if p > 0:
+            total += 0.5 * p * math.log(p / m)
+        if q > 0:
+            total += 0.5 * q * math.log(q / m)
+    return total
+
+
 def psi_by_period(df: DataFrame, cat_col: str, ts_col: str = "ts",
                   eps: float = 1e-6) -> DataFrame:
     """Fully-distributed PSI per day of a categorical column vs the
@@ -213,7 +230,8 @@ def drift_report(df: DataFrame,
                  ts_col: str = "warc_ts",
                  baseline_days: int | None = None,
                  ks_threshold: float = 0.1,
-                 psi_threshold: float = 0.2) -> list[dict]:
+                 psi_threshold: float = 0.2,
+                 js_threshold: float = 0.1) -> list[dict]:
     """Per-day drift verdicts vs a baseline built from the earliest
     ``baseline_days`` days (default: first 80% of days).
 
@@ -257,12 +275,15 @@ def drift_report(df: DataFrame,
         day_freqs = ({k: v / max(1, c["total"]) for k, v in c["counts"].items()}
                      if c else {})
         p = psi(base_freqs, day_freqs)
+        js = js_divergence(base_freqs, day_freqs)
         report.append({
             "day": day,
             "in_baseline": day in base_set,
             "ks": ks,
             "psi": p,
+            "js": js,
             "ks_drift": bool(ks > ks_threshold and day not in base_set),
             "psi_drift": bool(p > psi_threshold and day not in base_set),
+            "js_drift": bool(js > js_threshold and day not in base_set),
         })
     return report
