@@ -168,7 +168,14 @@ def test_new_operator_plan_shapes(spark):
                # carry-in tables (all bucket-count-sized but hash-
                # partitioned nonetheless)
                "token_stats": 0, "simhash64": 1, "emb_near_dup": 1,
-               "asof_join_keyless": 6}
+               "asof_join_keyless": 6,
+               # redact_pii is a pure projection; pack_sequences is one
+               # per-shard window shuffle; line_dedup spends two on the
+               # distinct-count aggregate (partial+final across one
+               # exchange pair); js_drift's six are all
+               # O(days x categories)-sized stitch tables
+               "redact_pii": 0, "pack_sequences": 1, "line_dedup": 2,
+               "js_drift": 6}
     import re
 
     for name, max_exchanges in budgets.items():
