@@ -115,8 +115,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                                         F.lit(1)).otherwise(F.lit(0)))
     else:
         bkt = F.lit(0)
-    # NULL ts sorts first in the keyed path; bucket them before all
-    rows = tagged.withColumn("_bkt", F.coalesce(bkt, F.lit(-1)))
+    # NULL ts rows get bucket -1 so they sort before every real bucket
+    # — matching the keyed path, where NULLS FIRST puts them ahead of
+    # all timestamps. (The aggregate above maps NULL _ts_ep to 0, never
+    # NULL, so the isNull branch — not a coalesce — is what routes
+    # them.)
+    rows = tagged.withColumn(
+        "_bkt", F.when(F.col("_ts_ep").isNull(), F.lit(-1)).otherwise(bkt))
 
     w_in = (Window.partitionBy("_bkt")
             .orderBy(F.col(on).asc(), F.col("_side").asc())
@@ -127,12 +132,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # carry-in per bucket: the last right-side marker of every EARLIER
     # bucket — bucket-count-sized tables, cumulated with a window over
     # <= keyless_buckets rows, broadcast back onto the data
+    # the max_by ordering key coalesces NULL ts to -inf so bucket -1
+    # (all-NULL ts) still yields a marker — its last right row must
+    # carry into later buckets exactly as in the keyed path, where a
+    # NULL-ts right row sorts first and carries until overridden
     bucket_last = (rows.filter(F.col("_side") == 0)
                    .groupBy("_bkt")
                    .agg(F.max_by(
                        F.struct(*[F.col(f"_r_{c}").alias(c)
                                   for c in right_cols]),
-                       F.struct(F.col(on), F.col("_side"))).alias("_m")))
+                       F.struct(F.coalesce(F.col("_ts_ep"),
+                                           F.lit(float("-inf"))),
+                                F.col("_side"))).alias("_m")))
     all_bkts = rows.select("_bkt").distinct()
     w_cum = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -195,6 +195,12 @@ class StreamingNovelFilter:
         self.n_bits = n_bits
         self.n_hashes = n_hashes
         self.sink = sink
+        if bloom is not None and len(bloom) != n_bits // 8:
+            raise ValueError(
+                f"priming bloom is {len(bloom)} bytes but n_bits="
+                f"{n_bits} needs {n_bits // 8} — the filter must be "
+                "re-primed with a bloom built at the same n_bits "
+                "(mismatched sizes probe wrong bit positions)")
         self.bits = (np.frombuffer(bloom, dtype=np.uint8).copy()
                      if bloom is not None
                      else np.zeros(n_bits // 8, dtype=np.uint8))

@@ -530,7 +530,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
                  id_b: str = "id_b", out_id_col: str = "doc_id",
-                 max_iterations: int = 30) -> DataFrame:
+                 max_iterations: int = 30,
+                 checkpoint_interval: int = 5) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (doc_id, group_id) for every node appearing in ``pairs``, where
     group_id is the MINIMUM doc id reachable through pair edges — the
@@ -540,17 +541,26 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
     sampling by group.
 
     Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels — one join + one
-    aggregation (one shuffle) per round, converging in O(graph
-    diameter) rounds (near-dup clusters are clique-ish, so usually
-    2-3). The driver checks convergence with a changed-label count per
-    round; each round's labels persist (materialized by the count) and
-    the previous round's cache is released, so execution always reads
-    the latest cached generation and only ONE generation is cached.
-    The logical lineage still deepens per round — localCheckpoint the
-    result if a downstream consumer re-executes after release_caches().
+    min of its own label and its neighbors' labels, converging in
+    O(graph diameter) rounds (near-dup clusters are clique-ish, so
+    usually 2-3). ONE Spark job per round: the convergence count rides
+    an ``observe()`` metric on the same action that materializes the
+    round's labels (no separate count-join job). Each round's labels
+    persist and the previous generation is released, so execution
+    always reads the latest cached generation; every
+    ``checkpoint_interval`` rounds the labels are localCheckpoint'ed
+    (from cache — cheap), truncating the per-round lineage so long
+    chains (path-shaped graphs need diameter rounds) neither blow up
+    the planner nor re-derive the whole history after a cache
+    eviction. Warns when ``max_iterations`` is exhausted before
+    convergence — the returned labels are then an UNDER-merged
+    intermediate state (min labels not yet propagated everywhere).
     Nodes with no edges are not emitted (they are their own group).
     """
+    import warnings
+
+    from pyspark.sql import Observation
+
     edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("s"),
@@ -558,23 +568,54 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select("s").distinct()
               .select(F.col("s").alias("node"),
                       F.col("s").alias("label"))).persist()
+    converged = False
+    changed = -1  # unknown until a round runs
     try:
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
+            # best neighbor offer per node: every node appears as a
+            # target (edges hold both directions), so the left join
+            # below never drops rows — coalesce is belt-and-braces
             offers = (edges.join(labels, edges["s"] == labels["node"])
-                      .select(edges["t"].alias("node"),
-                              labels["label"].alias("label")))
-            new_labels = (labels.select("node", "label")
-                          .unionByName(offers)
-                          .groupBy("node")
-                          .agg(F.min("label").alias("label"))).persist()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.label") != F.col("o.label"))
-                       .count())
+                      .groupBy(edges["t"].alias("node"))
+                      .agg(F.min(labels["label"]).alias("_offer")))
+            obs = Observation()
+            merged = (labels.join(offers, "node", "left")
+                      .select(
+                          "node",
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("_offer"),
+                                             F.col("label")))
+                          .alias("label"),
+                          (F.coalesce(F.col("_offer"), F.col("label"))
+                           < F.col("label")).alias("_changed"))
+                      .observe(obs, F.sum(F.col("_changed").cast("long"))
+                               .alias("changed"))
+                      .drop("_changed"))
+            new_labels = merged.persist()
+            try:
+                new_labels.count()  # materialize cache + fire the metric
+            except Exception:
+                new_labels.unpersist()
+                raise
+            changed = obs.get["changed"] or 0
+            if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+                # reads from the fresh cache; truncates lineage so plan
+                # depth is bounded by checkpoint_interval rounds
+                ckpt = new_labels.localCheckpoint(eager=True)
+                new_labels.unpersist()
+                new_labels = ckpt
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            warnings.warn(
+                f"dedup_groups: {max_iterations} iterations exhausted "
+                f"with {changed} labels still changing — group_ids are "
+                "an under-merged intermediate state; raise "
+                "max_iterations above the pair graph's diameter",
+                RuntimeWarning, stacklevel=2)
         return labels.select(F.col("node").alias(out_id_col),
                              F.col("label").alias("group_id"))
     finally:
@@ -594,17 +635,21 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
     surviving rows of ``df`` unchanged.
 
     Composition of near_duplicates (bucketed, Jaccard-verified) and
-    dedup_groups (min-label propagation); the final cut is a broadcast
-    anti-join against the non-canonical id set — group members minus
-    one canonical each, which is small relative to the corpus whenever
-    dedup is worth running. Caller releases operator caches afterwards
-    (cache.release_caches())."""
+    dedup_groups (min-label propagation); the final cut is a left-anti
+    join against the non-canonical id set — group members minus one
+    canonical each. The anti-join is deliberately UNHINTED: the loser
+    set's size is the corpus dup rate (30-50% on crawl data), so a
+    forced broadcast would ship a corpus-sized id list to every
+    executor exactly when dedup matters most. AQE broadcasts it at
+    runtime when it measures small, and degrades to a shuffled anti
+    join otherwise (plan-gated in tests/test_plans.py). Caller
+    releases operator caches afterwards (cache.release_caches())."""
     pairs = near_duplicates(df, text_col, id_col, k, num_hashes, bands,
                             threshold, max_bucket_size)
     groups = dedup_groups(pairs, out_id_col=id_col)
     losers = (groups.filter(F.col("group_id") != F.col(id_col))
               .select(id_col))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):

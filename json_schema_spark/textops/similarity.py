@@ -285,12 +285,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              n_planes: int | None = 6,
+                              n_planes: int | None = None,
                               dim: int | None = None,
                               seed: str = "jss-lsh") -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     within LSH buckets — the embedding analog of MinHash near-dup.
-    n_planes=None auto-sizes buckets from the corpus count."""
+
+    n_planes DEFAULTS to auto-sizing from the corpus count
+    (auto_n_planes; costs one count() job): bucket count must GROW
+    with the corpus or the per-bucket self-join goes quadratic — a
+    fixed plane count is only appropriate when the caller pins it for
+    reproducibility (as the oracle query does with n_planes=6)."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count())
     if dim is None:

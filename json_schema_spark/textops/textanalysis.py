@@ -325,9 +325,18 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     """Replace email / IPv4 / phone surface forms with typed
     placeholder tokens and count the hits per category:
     (id, out_col, n_email, n_ipv4, n_phone). Pure projection — chained
-    regexp_replace + regexp_count, zero shuffle, codegen'd; the
-    category order is fixed (email first) so an address like
-    a@1.2.3.4 redacts as one <EMAIL>, not an <IP> inside an email."""
+    regexp_replace + regexp_count, zero shuffle, codegen'd.
+
+    Replacement order is fixed (email first), so when one category's
+    match contains another's, the earlier replacement wins in the
+    redacted text — e.g. "bob@example.com" redacts as one <EMAIL>
+    rather than leaving a bare domain. Note the email pattern requires
+    an ALPHABETIC TLD, so "a@1.2.3.4" is NOT an email match; its IP
+    suffix redacts as "a@<IP>". The n_* counts are raw per-pattern
+    match counts evaluated independently on the ORIGINAL text, not
+    counts of inserted placeholders — for overlapping surface forms
+    (a phone-like digit run inside a matched email) a category can
+    count a hit whose text was consumed by an earlier replacement."""
     t = F.col(text_col)
     counts = [
         F.when(t.isNotNull(),
@@ -394,11 +403,22 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     derived model (the dropped long tail scores as OOV via the same
     add-one smoothing); N and V are computed AFTER flooring so the
     model is self-consistent. Returns (id, n_tokens, avg_neg_logprob).
+
+    The token explode feeds both the derived model and the scoring
+    join, so it is persisted via the shared cache registry (caller
+    releases with cache.release_caches()) — without it each consumer
+    re-scans and re-explodes the corpus. The scoring join output has
+    exactly one row per token, so n_tokens folds into the SAME final
+    aggregation as the logprob mean: one groupBy, two aggs, no extra
+    join (this closed the r3 bench regression).
     """
-    toks = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col),
-                    F.explode(tokens(F.lower(F.col(text_col))))
-                    .alias("t")))
+    from json_schema_spark.cache import register_cache
+
+    toks = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(tokens(F.lower(F.col(text_col))))
+                .alias("t")))
     if vocab is None:
         model = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
         if min_count > 1:
@@ -414,8 +434,6 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
               .withColumn("_nlp", -F.log(
                   (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
                   / (F.col("N") + F.col("V")).cast("double"))))
-    return (toks.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_tokens"))
-            .join(scored.groupBy(id_col)
-                  .agg(F.round(F.avg("_nlp"), 6)
-                       .alias("avg_neg_logprob")), id_col))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob")))

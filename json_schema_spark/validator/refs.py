@@ -72,13 +72,22 @@ def _lookup(root: Any, pointer: str) -> Any:
 
 
 def _intern_document(root: Any, ids: dict[str, Any],
+                     doc_anchors: dict[tuple[int, str], Any],
                      base_map: dict[int, str],
                      root_map: dict[int, Any],
                      base: str, id_keys: tuple[str, ...]) -> None:
-    """Walk ONE schema document: register every id anchor under its raw
-    string (reference behavior, Ref.php:122-131 incl. the key unset) AND
-    its absolutized form, record the base URI in effect and the owning
-    document root for every container node. Cycle-safe."""
+    """Walk ONE schema document: register every id anchor under its
+    ABSOLUTIZED form in the shared ``ids`` map and under its RAW string
+    in the per-document ``doc_anchors`` map (keyed by the owning
+    document root's identity). For a document with no enclosing base
+    URI the absolutized form equals the raw string, preserving the
+    reference's global raw-string matching (Ref.php:122-131 incl. the
+    key unset) for the primary schema; for remote documents the raw
+    form stays namespaced — two documents both carrying '$id': '#foo'
+    no longer collide in the shared map (last-interned-wins would
+    silently re-point a $ref across documents and flip verdicts).
+    Records the base URI in effect and the owning document root for
+    every container node. Cycle-safe."""
     seen: set[int] = set()
 
     def walk(node: Any, base: str) -> None:
@@ -94,7 +103,7 @@ def _intern_document(root: Any, ids: dict[str, Any],
                     del node[k]
                     break
             if anchor is not None:
-                ids[anchor] = node
+                doc_anchors[(id(root), anchor)] = node
                 absolute = urljoin(base, anchor) if base else anchor
                 ids[absolute] = node
                 base = absolute
@@ -115,11 +124,12 @@ def _intern_document(root: Any, ids: dict[str, Any],
 def collect_ids(root: Any,
                 id_keys: tuple[str, ...] = ("$id",)) -> dict[str, Any]:
     """Pre-pass: register every object node with a string id anchor
-    under that value (and its absolutized form) and REMOVE the key
-    (Ref.php:122-131 stores the node and unsets the property).
-    Mutates ``root``; resolve_refs calls this on its own deep copy."""
+    under its (here: raw == absolutized, no enclosing base) value and
+    REMOVE the key (Ref.php:122-131 stores the node and unsets the
+    property). Mutates ``root``; resolve_refs calls this on its own
+    deep copy."""
     ids: dict[str, Any] = {}
-    _intern_document(root, ids, {}, {}, "", id_keys)
+    _intern_document(root, ids, {}, {}, {}, "", id_keys)
     return ids
 
 
@@ -170,9 +180,11 @@ def resolve_refs(root: Any, fetch_remote: bool = False,
     if copy_input:
         root = copy.deepcopy(root)
     ids: dict[str, Any] = {}
+    doc_anchors: dict[tuple[int, str], Any] = {}
     base_map: dict[int, str] = {}
     root_map: dict[int, Any] = {}
-    _intern_document(root, ids, base_map, root_map, "", id_keys)
+    _intern_document(root, ids, doc_anchors, base_map, root_map, "",
+                     id_keys)
     if url_cache is None:
         url_cache = {}
     docs: dict[str, Any] = {}  # per-resolution remote doc copies
@@ -199,7 +211,8 @@ def resolve_refs(root: Any, fetch_remote: bool = False,
         # nodes — the (possibly caller-seeded) cache must stay pristine
         doc = copy.deepcopy(raw)
         docs[base_url] = doc
-        _intern_document(doc, ids, base_map, root_map, base_url, id_keys)
+        _intern_document(doc, ids, doc_anchors, base_map, root_map,
+                         base_url, id_keys)
         return doc
 
     def locate(node: dict, ref: str,
@@ -207,6 +220,12 @@ def resolve_refs(root: Any, fetch_remote: bool = False,
         """(target, target_doc_root) or None when unresolvable."""
         base = base_map.get(id(node), "")
         for candidate in (ref, urljoin(base, ref) if base else ref):
+            # raw-anchor match is namespaced to the REFERENCING node's
+            # own document (two documents may carry the same raw
+            # anchor); absolutized anchors live in the shared map
+            anchored = doc_anchors.get((id(doc_root), candidate))
+            if anchored is not None:
+                return anchored, root_map.get(id(anchored), doc_root)
             if candidate in ids:
                 t = ids[candidate]
                 return t, root_map.get(id(t), doc_root)
@@ -223,8 +242,13 @@ def resolve_refs(root: Any, fetch_remote: bool = False,
                     except (KeyError, IndexError, ValueError):
                         continue
                     return t, doc
-                # anchor fragment inside the remote document
-                anchored = ids.get(candidate) or ids.get("#" + frag)
+                # anchor fragment inside the remote document — only
+                # anchors interned from THAT document may match (the
+                # shared-map fallback used to let an unrelated
+                # document's '#frag' anchor win)
+                anchored = (ids.get(candidate)
+                            or doc_anchors.get((id(doc), "#" + frag))
+                            or doc_anchors.get((id(doc), frag)))
                 if anchored is not None:
                     return anchored, root_map.get(id(anchored), doc)
                 continue

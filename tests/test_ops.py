@@ -426,3 +426,46 @@ def test_stream_sessions_finalize_past_watermark(spark, tmp_path):
     # open past end-of-stream and must NOT be emitted
     assert ("2024-01-01 10:00:00", 3) in finalized
     assert all(not s.startswith("2024-01-03") for s, _ in finalized)
+
+
+def test_streaming_novel_filter_rejects_mismatched_bloom():
+    """A priming bloom built at a different n_bits would probe wrong
+    bit positions (or index out of the bitmap) — constructor must
+    refuse it loudly (ADVICE r3)."""
+    import pytest as _pytest
+
+    from json_schema_spark.ops.streaming import StreamingNovelFilter
+
+    with _pytest.raises(ValueError, match="n_bits"):
+        StreamingNovelFilter(n_bits=1 << 23, bloom=bytes((1 << 20) // 8))
+    # matching size is accepted
+    f = StreamingNovelFilter(n_bits=1 << 20, bloom=bytes((1 << 20) // 8))
+    assert f.bits.nbytes == (1 << 20) // 8
+
+
+def test_keyless_asof_null_ts_matches_keyed(spark):
+    """ADVICE r3: NULL-ts rows must route to bucket -1 (before every
+    real bucket) so the keyless path reproduces the keyed path's
+    NULLS-FIRST carry semantics — including a NULL-ts right row
+    carrying into later real-ts left rows until overridden."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None,), (0,), (1,), (3,), (7,)], "ts long")
+    right = spark.createDataFrame(
+        [(None, "r_null"), (1, "r1"), (5, "r5")], "ts long, payload string")
+    try:
+        keyless = {(r["ts"], r["payload_asof"])
+                   for r in asof_join(left, right, on="ts",
+                                      keyless_buckets=4).collect()}
+        keyed = {(r["ts"], r["payload_asof"])
+                 for r in asof_join(left.withColumn("k", F.lit(1)),
+                                    right.withColumn("k", F.lit(1)),
+                                    on="ts", by="k")
+                 .drop("k").collect()}
+        assert keyless == keyed
+        assert keyless == {(None, "r_null"), (0, "r_null"), (1, "r1"),
+                           (3, "r1"), (7, "r5")}
+    finally:
+        release_caches()

@@ -192,6 +192,53 @@ def test_new_operator_plan_shapes(spark):
             assert marker not in plan, (name, marker)
 
 
+def test_near_dedup_anti_join_not_forced_broadcast(docs):
+    """The final keep-canonical cut of near_dedup_corpus anti-joins
+    against the loser id set, whose size is the corpus DUP RATE — a
+    forced broadcast hint would ship a corpus-sized id list at exactly
+    the scale dedup exists for (VERDICT r3 #1). With size estimation
+    disabled (simulating a loser set Spark cannot prove small) the
+    anti-join must degrade to a SHUFFLED anti join; AQE may still
+    choose broadcast at runtime when it measures the set small."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import near_dedup_corpus
+
+    spark = docs.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = near_dedup_corpus(
+            docs.select("doc_id", "text").filter(F.col("text").isNotNull()),
+            threshold=0.5)
+        plan = _plan(out)
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines, "expected a left-anti join in the plan"
+        assert not any("BroadcastHashJoin" in ln for ln in anti_lines), \
+            "loser-set anti-join carries a forced broadcast"
+    finally:
+        release_caches()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unigram_logprob_single_pass(docs):
+    """r3 regression fix: the token explode is cached (one scan+explode
+    feeds both the derived model and the scoring join) and n_tokens
+    folds into the SAME aggregation as the logprob mean — no closing
+    join on the document id."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.textanalysis import unigram_logprob
+
+    try:
+        out = unigram_logprob(docs)
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        join_lines = [ln for ln in plan.splitlines()
+                      if "Join" in ln and "doc_id#" in ln]
+        assert not join_lines, f"closing join on doc_id: {join_lines}"
+    finally:
+        release_caches()
+
+
 def test_unigram_logprob_derived_vocab_not_broadcast(docs):
     """The derived vocabulary is every distinct corpus token — billions
     of rows at web scale — so the model join must NOT carry a broadcast

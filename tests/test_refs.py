@@ -274,3 +274,39 @@ def test_resolver_fuzz_random_ref_graphs():
                 v.validate(data, cs)
             except ValidationError:
                 pass  # verdicts may be anything; crashes may not
+
+
+def test_same_raw_anchor_in_two_documents_does_not_collide():
+    """ADVICE r3 (medium): the root schema and a cached remote both
+    carry '$id': '#mine'. Raw-anchor matching is namespaced per
+    document, so '#mine' in the root resolves to the ROOT's node even
+    when the remote (interned later) also registers '#mine' — and a
+    pointer into the remote still reaches the remote's own anchor via
+    its absolutized form."""
+    from json_schema_spark.validator.refs import resolve_refs
+
+    remote = {
+        "definitions": {
+            "theirs": {"$id": "#mine", "type": "string"},
+        },
+        "properties": {"r": {"$ref": "#mine"}},
+    }
+    cache = {"http://example.com/other.json": remote}
+    schema = {
+        "definitions": {
+            "ours": {"$id": "#mine", "type": "integer"},
+        },
+        "properties": {
+            # forces the remote to intern BEFORE the local anchor ref
+            # below is resolved (dict order = resolution order)
+            "a": {"$ref": "http://example.com/other.json#/properties/r"},
+            "b": {"$ref": "#mine"},
+            # absolutized anchor form still reaches the remote's node
+            "c": {"$ref": "http://example.com/other.json#mine"},
+        },
+    }
+    out = resolve_refs(schema, url_cache=cache)
+    assert out["properties"]["b"]["type"] == "integer"   # root's #mine
+    assert out["properties"]["c"]["type"] == "string"    # remote's #mine
+    # the remote's own internal '#mine' ref resolved within ITS document
+    assert out["properties"]["a"]["type"] == "string"

@@ -918,3 +918,64 @@ def test_near_dedup_corpus_keeps_one_per_group(docs):
         - losers
     assert len(kept) == n_in - len(losers)
     assert out.columns == corpus.columns
+
+
+def test_dedup_groups_long_chain_checkpointed(spark):
+    """A path graph needs O(diameter) rounds — the worst case for
+    per-round lineage growth. With internal localCheckpoint every 5
+    rounds (r4) the returned plan must stay bounded (lineage resets at
+    checkpoints instead of deepening once per round) and the labels
+    must still be the exact component minimum."""
+    import warnings
+
+    from json_schema_spark.textops.dedup import dedup_groups
+
+    n = 12  # diameter 11 -> 12 rounds incl. the convergence check
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = dedup_groups(pairs, max_iterations=20, checkpoint_interval=5)
+        got = {r["doc_id"]: r["group_id"] for r in out.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lineage is at most checkpoint_interval rounds deep: a 12-round
+    # chain without checkpoints accumulates ~12 nested join/agg layers;
+    # with them the final plan reads a checkpointed RDD scan
+    assert "Scan ExistingRDD" in plan or len(plan) < 20000
+
+
+def test_dedup_groups_warns_when_not_converged(spark):
+    """max_iterations below the graph diameter must WARN (the labels
+    are an under-merged intermediate state), not silently return."""
+    import pytest as _pytest
+
+    from json_schema_spark.textops.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
+    with _pytest.warns(RuntimeWarning, match="under-merged"):
+        out = dedup_groups(pairs, max_iterations=2)
+        out.collect()
+
+
+def test_emb_near_dup_default_engages_auto_sizing(emb, monkeypatch):
+    """VERDICT r3 #3: the DEFAULT n_planes must auto-size from the
+    corpus count (a fixed 64-bucket join is the anti-pattern the
+    auto-sizer exists to prevent); an explicit n_planes pins it."""
+    from json_schema_spark.textops import similarity as S
+
+    calls = []
+    orig = S.auto_n_planes
+
+    def spy(n_rows, *a, **kw):
+        calls.append(n_rows)
+        return orig(n_rows, *a, **kw)
+
+    monkeypatch.setattr(S, "auto_n_planes", spy)
+    S.embedding_near_duplicates(emb, dim=64)          # default: auto
+    assert calls == [emb.count()]
+    S.embedding_near_duplicates(emb, n_planes=6, dim=64)  # pinned
+    assert len(calls) == 1  # no second auto-sizing call
+    # and the sizing rule itself grows buckets with the corpus
+    assert orig(10**9) > orig(10**4)
