@@ -2236,6 +2236,63 @@ FROM documents
 """
 
 
+# Fixed baseline for the drift-vs-snapshot oracle: 'error' is observed
+# but absent here (q=0 branch); 'phantom' is in the baseline but never
+# observed (p=0 branch) — both sides of the absent-category handling
+# are exercised. Shared verbatim by the Spark call and the SQL replay.
+_BASELINE_FREQS = {"view": 0.3, "click": 0.3, "signup": 0.15,
+                   "purchase": 0.1, "phantom": 0.15}
+
+
+def _q_baseline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI + Jensen-Shannon vs a FIXED baseline snapshot
+    (round 4): the monitoring-job form of drift — the *_drift queries
+    compare each day against the input's own overall distribution,
+    this one against an external pinned reference, which is also what
+    StreamingDriftMonitor replays per micro-batch."""
+    from json_schema_spark.checks.drift import drift_vs_baseline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (drift_vs_baseline(ev, "event_type", _BASELINE_FREQS, "ts")
+            .withColumn("day", F.col("day").cast("string")))
+
+
+def _sql_baseline_drift() -> str:
+    base_values = ", ".join(
+        f"('{k}', {v!r})" for k, v in sorted(_BASELINE_FREQS.items()))
+    return f"""
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COALESCE(event_type, '__null__') AS cat, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+day_totals AS (SELECT day, sum(n) AS day_total FROM counts GROUP BY 1),
+base(cat, q) AS (VALUES {base_values}),
+observed AS (SELECT DISTINCT cat FROM counts),
+cats AS (
+  SELECT COALESCE(o.cat, b.cat) AS cat,
+         COALESCE(b.q, 0.0) AS q
+  FROM observed o FULL OUTER JOIN base b ON o.cat = b.cat
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                 * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6)
+         AS psi,
+       round(sum(
+         CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END / 2
+         + CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END / 2), 6)
+         AS js_divergence FROM (
+  SELECT d.day, t.q,
+         CAST(COALESCE(c.n, 0) AS DOUBLE)
+           / CAST(d.day_total AS DOUBLE) AS p,
+         (CAST(COALESCE(c.n, 0) AS DOUBLE)
+            / CAST(d.day_total AS DOUBLE) + t.q) / 2 AS m
+  FROM day_totals d CROSS JOIN cats t
+  LEFT JOIN counts c ON c.day = d.day AND c.cat = t.cat
+) GROUP BY day ORDER BY day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2281,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "ks_drift": _q_ks_drift,
         "js_drift": _q_js_drift,
+        "baseline_drift": _q_baseline_drift,
         "ivf_topk": _q_ivf_topk,
         "kw_combinators": _q_kw_combinators,
         "kw_array": _q_kw_array,
@@ -2338,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _SQL_PSI_DRIFT,
         "ks_drift": _SQL_KS_DRIFT,
         "js_drift": _SQL_JS_DRIFT,
+        "baseline_drift": _sql_baseline_drift(),
         "ivf_topk": _SQL_IVF_TOPK,
         "kw_combinators": _SQL_KW_COMBINATORS,
         "kw_array": _SQL_KW_ARRAY,

@@ -176,6 +176,57 @@ def js_divergence_by_period(df: DataFrame, cat_col: str,
             .orderBy("day"))
 
 
+def drift_vs_baseline(df: DataFrame, cat_col: str,
+                      baseline_freqs: dict[str, float],
+                      ts_col: str = "ts",
+                      eps: float = 1e-6) -> DataFrame:
+    """Per-day PSI and Jensen-Shannon divergence of a categorical
+    column vs a FIXED baseline frequency map — the north-star
+    "baseline snapshot" form (the *_by_period operators compare
+    against the input's own overall distribution; this one compares
+    against an external reference, which is what a monitoring job
+    pins at deploy time and what the streaming monitor replays per
+    micro-batch). Returns (day, psi, js_divergence).
+
+    Plan: one groupBy(day, cat) count over the scan, a broadcast
+    days x categories grid (baseline categories UNION observed ones,
+    absent side at frequency 0 — PSI clamps to eps, JS needs no
+    clamp), one per-day sum. Every shuffle is O(days x categories)."""
+    spark = df.sparkSession
+    day = F.to_date(F.col(ts_col)).alias("day")
+    counts = (df.select(day, F.coalesce(F.col(cat_col), F.lit("__null__"))
+                        .alias("cat"))
+              .groupBy("day", "cat").agg(F.count(F.lit(1)).alias("n")))
+    day_totals = counts.groupBy("day").agg(F.sum("n").alias("day_total"))
+    base = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(baseline_freqs.items())],
+        "cat string, q double")
+    observed = counts.select("cat").distinct()
+    cats = (observed.join(base, "cat", "full_outer")
+            .select("cat", F.coalesce(F.col("q"), F.lit(0.0)).alias("q")))
+
+    grid = (day_totals.crossJoin(F.broadcast(cats))
+            .join(counts, ["day", "cat"], "left")
+            .withColumn("p", F.coalesce(F.col("n"), F.lit(0)).cast(
+                "double") / F.col("day_total").cast("double"))
+            .withColumn("m", (F.col("p") + F.col("q")) / 2))
+    psi_term = ((F.greatest(F.col("p"), F.lit(eps))
+                 - F.greatest(F.col("q"), F.lit(eps)))
+                * F.log(F.greatest(F.col("p"), F.lit(eps))
+                        / F.greatest(F.col("q"), F.lit(eps))))
+    js_term = (
+        F.when(F.col("p") > 0,
+               F.col("p") * F.log(F.col("p") / F.col("m")))
+        .otherwise(F.lit(0.0)) / 2
+        + F.when(F.col("q") > 0,
+                 F.col("q") * F.log(F.col("q") / F.col("m")))
+        .otherwise(F.lit(0.0)) / 2)
+    return (grid.groupBy("day")
+            .agg(F.round(F.sum(psi_term), 6).alias("psi"),
+                 F.round(F.sum(js_term), 6).alias("js_divergence"))
+            .orderBy("day"))
+
+
 def ks_by_period(df: DataFrame, value_col: str, ts_col: str = "ts",
                  quantize: float = 4.0) -> DataFrame:
     """Exact distributed KS statistic per day of a numeric column vs the

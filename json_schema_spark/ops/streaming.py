@@ -227,6 +227,164 @@ class StreamingNovelFilter:
                         self.n_hashes), dtype=np.uint8)
 
 
+class ShardedNovelFilter:
+    """Web-scale cross-batch incremental dedup: the sharded-bloom
+    analog of StreamingNovelFilter. The filter state is a (shard,
+    bloom) PARQUET TABLE under ``state_dir`` — built, probed, merged,
+    and stored entirely on executors/disk, never materialized on the
+    driver — so membership state scales past the single-bitmap
+    driver cap (~10^9 keys) to whatever n_shards x bits_per_shard the
+    cluster's storage holds (see textops.dedup's sharding sizing
+    rule).
+
+    Per batch: probe the batch against the current state epoch
+    (cogrouped applyInPandas — one task per touched shard), hand the
+    definitely-novel rows to ``sink``, then OR-merge the batch's shard
+    bitmaps into a NEW state epoch directory (write-then-promote:
+    ``state_dir/epoch=N`` is only adopted after its write completes,
+    so a mid-write crash leaves the previous epoch intact). Restart
+    recovery is automatic — the newest complete epoch on disk primes
+    the filter, mirroring how Spark's own streaming state store
+    versions per batch. Same semantics as StreamingNovelFilter: no
+    false negatives (a key never re-emits), false positives at the
+    configured rate drop novel keys — a volume pre-filter, not an
+    exact dedup.
+    """
+
+    def __init__(self, state_dir: str, key_col: str = "digest",
+                 n_shards: int = 16, bits_per_shard: int = 1 << 23,
+                 n_hashes: int = 3, sink=None):
+        import os
+        import re
+
+        self.state_dir = state_dir
+        self.key_col = key_col
+        self.n_shards = n_shards
+        self.bits_per_shard = bits_per_shard
+        self.n_hashes = n_hashes
+        self.sink = sink
+        self.novel_count = 0
+        self._epoch_re = re.compile(r"^epoch=(\d+)$")
+        os.makedirs(state_dir, exist_ok=True)
+        self.current_epoch = self._latest_epoch()
+
+    def _latest_epoch(self) -> int | None:
+        import os
+
+        epochs = []
+        for name in os.listdir(self.state_dir):
+            m = self._epoch_re.match(name)
+            # _SUCCESS marks a complete parquet write — a torn epoch
+            # from a mid-write crash is ignored (and superseded)
+            if m and os.path.exists(
+                    os.path.join(self.state_dir, name, "_SUCCESS")):
+                epochs.append(int(m.group(1)))
+        return max(epochs) if epochs else None
+
+    def _epoch_path(self, epoch: int) -> str:
+        import os
+
+        return os.path.join(self.state_dir, f"epoch={epoch}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from json_schema_spark.textops.dedup import (
+            bloom_probe_shards, build_bloom_shards, merge_bloom_shards)
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if self.current_epoch is not None:
+                state = spark.read.parquet(
+                    self._epoch_path(self.current_epoch))
+                novel = (bloom_probe_shards(
+                    batch_df, state, self.key_col, self.n_shards,
+                    self.bits_per_shard, self.n_hashes)
+                    .filter(~F.col("_maybe_seen")).drop("_maybe_seen"))
+            else:
+                state = None
+                novel = batch_df
+            if self.sink is not None:
+                self.sink(novel, batch_id)
+            else:
+                self.novel_count += novel.count()
+            fresh = build_bloom_shards(batch_df, self.key_col,
+                                       self.n_shards,
+                                       self.bits_per_shard,
+                                       self.n_hashes)
+            merged = (merge_bloom_shards(state, fresh)
+                      if state is not None else fresh)
+            next_epoch = (self.current_epoch or 0) + 1
+            merged.write.mode("overwrite").parquet(
+                self._epoch_path(next_epoch))
+            self.current_epoch = next_epoch
+        finally:
+            batch_df.unpersist()
+
+
+class StreamingDriftMonitor:
+    """Distribution-drift monitoring on the live ingest path: a
+    foreachBatch processor that keeps CUMULATIVE per-(day, category)
+    counts across micro-batches and emits per-day PSI and
+    Jensen-Shannon divergence against a FIXED baseline frequency map
+    after each batch — the streaming face of
+    checks.drift.drift_vs_baseline (same formulas, same eps clamp,
+    same rounding; once the stream has drained, report() equals the
+    batch operator run over the same rows).
+
+    Scale: the heavy work — counting — runs as a per-batch Spark
+    aggregation on executors; the driver folds and holds only the
+    O(days x categories) count grid (bytes, the same "sketches are
+    tiny" contract as the batch drift layer — a web corpus has a few
+    hundred langs/categories and a bounded day range). ``sink``
+    receives (report_rows, batch_id) after each batch for alert
+    routing.
+    """
+
+    def __init__(self, baseline_freqs: dict[str, float],
+                 cat_col: str = "lang", ts_col: str = "ts",
+                 eps: float = 1e-6, sink=None):
+        self.baseline = dict(baseline_freqs)
+        self.cat_col = cat_col
+        self.ts_col = ts_col
+        self.eps = eps
+        self.sink = sink
+        self.counts: dict = {}  # (day, cat) -> n
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = (batch_df
+                .select(F.to_date(F.col(self.ts_col)).alias("day"),
+                        F.coalesce(F.col(self.cat_col),
+                                   F.lit("__null__")).alias("cat"))
+                .groupBy("day", "cat")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        for r in rows:
+            key = (r["day"], r["cat"])
+            self.counts[key] = self.counts.get(key, 0) + r["n"]
+        if self.sink is not None:
+            self.sink(self.report(), batch_id)
+
+    def report(self) -> list[dict]:
+        """Per-day drift vs the baseline from the cumulative counts:
+        [{day, psi, js_divergence}] sorted by day."""
+        from json_schema_spark.checks.drift import js_divergence, psi
+
+        by_day: dict = {}
+        for (day, cat), n in self.counts.items():
+            by_day.setdefault(day, {})[cat] = n
+        out = []
+        for day in sorted(by_day):
+            total = sum(by_day[day].values())
+            freqs = {c: n / total for c, n in by_day[day].items()}
+            out.append({
+                "day": day,
+                "psi": round(psi(freqs, self.baseline, self.eps), 6),
+                "js_divergence": round(
+                    js_divergence(freqs, self.baseline), 6),
+            })
+        return out
+
+
 def stream_sessions(stream_df: DataFrame, user_col: str = "user_id",
                     ts_col: str = "ts", gap: str = "30 minutes",
                     watermark: str = "1 hour") -> DataFrame:

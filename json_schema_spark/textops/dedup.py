@@ -779,3 +779,169 @@ def novel_documents(reference: DataFrame, candidates: DataFrame,
     the dropped remainder is the maybe-seen set for exact verification."""
     return (seen_filter(reference, candidates, key_col, n_bits)
             .filter(~F.col("_maybe_seen")).drop("_maybe_seen"))
+
+
+# ---------------------------------------------------------------------
+# Hash-range-SHARDED Bloom filter — the web-scale membership path.
+#
+# The single-bitmap bloom above holds its whole bit array on the driver:
+# fine to ~10^9 distinct keys (~1 GB at 10 bits/key), physically
+# impossible at 10^12 (a 10 Tbit filter is ~1.25 TB of driver bytes).
+# The standard fix is hash-range sharding: shard id = hash(key) mod S,
+# one independent bitmap per shard, and the bitmaps STAY DISTRIBUTED as
+# a (shard, bloom) DataFrame — built with one groupBy(shard)
+# applyInPandas, probed with a cogrouped applyInPandas that hands each
+# task one shard's candidate rows plus that shard's single bitmap row.
+# No driver materialization, no per-row duplication of bitmap bytes
+# (a bitmap-to-candidates equi-join would copy the shard's megabytes
+# onto every row — the cogroup is what makes the probe scale).
+#
+# Sizing rule: bits_per_shard ~ 10x the expected distinct keys PER
+# SHARD for ~2-3% fpp at 3 hashes; pick n_shards so both (keys/S) rows
+# fit one applyInPandas group and S * bits_per_shard/8 fits the state
+# store (a parquet table for the streaming variant, executor memory for
+# the batch probe). 10^12 keys / 4096 shards / 2^31 bits per shard
+# = ~1 TB of filter TOTAL, ~256 MB per task — distributed, feasible.
+# ---------------------------------------------------------------------
+
+
+def bloom_shard_col(key: Column, n_shards: int) -> Column:
+    """Shard id for a key: md5('shard:'+key) first 15 hex chars mod S —
+    independent of the per-position hashes (which are seeded 'i:key'),
+    so sharding does not bias bit positions. NULL key -> NULL shard."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit("shard:"), key.cast("string"))), 1, 15),
+        16, 10).cast("bigint") % n_shards)
+
+
+def build_bloom_shards(df: DataFrame, key_col: str = "digest",
+                       n_shards: int = 16,
+                       bits_per_shard: int = 1 << 23,
+                       n_hashes: int = 3) -> DataFrame:
+    """Distributed sharded Bloom build: (shard, bloom) with one bitmap
+    row per shard that actually received keys. Positions are the SAME
+    Spark md5 expressions as the single-bitmap path (JVM, codegen) —
+    with n_shards=1 the output bitmap is byte-identical to
+    build_bloom's. The groupBy(shard) shuffle carries only (shard,
+    positions) longs; each task scatters one shard's positions into
+    its bitmap with numpy."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pos_cols = [f"_p{i}" for i in range(n_hashes)]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bits = np.zeros(bits_per_shard // 8, dtype=np.uint8)
+        for c in pos_cols:
+            p = pdf[c].to_numpy(dtype="float64", na_value=np.nan)
+            p = p[~np.isnan(p)].astype(np.int64)
+            np.bitwise_or.at(bits, p >> 3,
+                             (np.uint8(1) << (p & 7).astype(np.uint8)))
+        return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])],
+                             "bloom": [bits.tobytes()]})
+
+    sel = (df.filter(F.col(key_col).isNotNull())
+           .select(bloom_shard_col(F.col(key_col), n_shards)
+                   .alias("_shard"),
+                   *_bloom_position_cols(F.col(key_col), n_hashes,
+                                         bits_per_shard)))
+    out_schema = T.StructType([T.StructField("shard", T.LongType()),
+                               T.StructField("bloom", T.BinaryType())])
+    return sel.groupBy("_shard").applyInPandas(build, out_schema)
+
+
+def bloom_probe_shards(candidates: DataFrame, shards: DataFrame,
+                       key_col: str = "digest",
+                       n_shards: int = 16,
+                       bits_per_shard: int = 1 << 23,
+                       n_hashes: int = 3) -> DataFrame:
+    """Probe candidates against a sharded bloom table: adds
+    `_maybe_seen`. Cogrouped applyInPandas — each task receives one
+    shard's candidate rows AND that shard's single bitmap row (absent
+    bitmap = shard never saw a key = definitely novel). Same
+    no-false-negative guarantee as the single-bitmap probe, at any
+    total filter size, with zero driver bytes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pos_cols = [f"_p{i}" for i in range(n_hashes)]
+    cand = candidates.withColumn(
+        "_shard", bloom_shard_col(F.col(key_col), n_shards))
+    cand = cand.select(
+        "*", *_bloom_position_cols(F.col(key_col), n_hashes,
+                                   bits_per_shard))
+    out_fields = (list(candidates.schema.fields)
+                  + [T.StructField("_maybe_seen", T.BooleanType())])
+    out_schema = T.StructType(out_fields)
+    keep = [f.name for f in candidates.schema.fields]
+
+    def probe(cand_pdf: pd.DataFrame,
+              bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(cand_pdf)
+        if len(bloom_pdf) == 0:
+            ok = np.zeros(n, dtype=bool)  # no bitmap -> nothing seen
+        else:
+            bits = np.frombuffer(bloom_pdf["bloom"].iloc[0],
+                                 dtype=np.uint8)
+            ok = np.ones(n, dtype=bool)
+            for c in pos_cols:
+                p = cand_pdf[c].to_numpy(dtype="float64",
+                                         na_value=np.nan)
+                valid = ~np.isnan(p)
+                hit = np.zeros(n, dtype=bool)
+                pv = p[valid].astype(np.int64)
+                hit[valid] = (bits[pv >> 3]
+                              >> (pv & 7).astype(np.uint8)) & 1
+                ok &= hit
+        out = cand_pdf[keep].copy()
+        out["_maybe_seen"] = ok
+        return out
+
+    return (cand.groupBy("_shard")
+            .cogroup(shards.groupBy("shard"))
+            .applyInPandas(probe, out_schema))
+
+
+def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two sharded bloom tables (same n_shards /
+    bits_per_shard — positions are bitmap-size-dependent, so mixing
+    sizes would corrupt membership). Shards present in only one input
+    pass through; one groupBy(shard) shuffle of bitmap rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def orr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        acc = np.frombuffer(pdf["bloom"].iloc[0], dtype=np.uint8).copy()
+        for raw in pdf["bloom"].iloc[1:]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "bloom": [acc.tobytes()]})
+
+    out_schema = T.StructType([T.StructField("shard", T.LongType()),
+                               T.StructField("bloom", T.BinaryType())])
+    return (a.unionByName(b).groupBy("shard")
+            .applyInPandas(orr, out_schema))
+
+
+def seen_filter_sharded(reference: DataFrame, candidates: DataFrame,
+                        key_col: str = "digest",
+                        n_shards: int = 16,
+                        bits_per_shard: int = 1 << 23,
+                        n_hashes: int = 3) -> DataFrame:
+    """Sharded-bloom analog of seen_filter: tag candidates with
+    `_maybe_seen` vs a reference corpus, with the filter built, held,
+    and probed entirely on executors — no driver bitmap, so the
+    reference can be arbitrarily large (scale n_shards, not the
+    driver). The bloom table is persisted for the probe and registered
+    in the shared cache registry (caller releases)."""
+    shards = _register_cache(
+        build_bloom_shards(reference, key_col, n_shards,
+                           bits_per_shard, n_hashes))
+    return bloom_probe_shards(candidates, shards, key_col, n_shards,
+                              bits_per_shard, n_hashes)

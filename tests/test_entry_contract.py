@@ -17,6 +17,35 @@ def test_every_query_has_an_oracle():
     assert qs - oracles == rows_only
 
 
+def test_query_registry_is_pinned():
+    """VERDICT r3 #6: the driver's correctness gate iterates queries()
+    — if an entry silently drops out (as cast_scalars/url_dedup did
+    from the r3 driver run), its oracle row vanishes without any test
+    failing. Pin the exact registry so adding/removing a query is an
+    explicit, reviewed change."""
+    expected = {
+        "validate_documents", "stats_by_lang", "dedup_exact",
+        "referential_lang", "length_histogram", "agg_pushdown",
+        "topk_per_group", "dedup_minhash_lsh", "dedup_groups",
+        "near_dedup_corpus", "dedup_exact_text", "simhash",
+        "simhash64", "simhash_pairs", "ann_cosine_topk",
+        "ann_lsh_topk", "ann_lsh_probe", "emb_near_dup",
+        "text_analysis", "token_stats", "line_dedup", "redact_pii",
+        "pack_sequences", "repetition_features", "quality_filter",
+        "unigram_logprob", "multimodal_features", "multimodal_dims",
+        "multimodal_audio", "validate_json_dynamic",
+        "validate_json_hybrid", "validate_json_variant",
+        "containment_winnowing", "sessionize", "asof_join",
+        "asof_join_keyless", "time_rollup", "hash_split", "range_join",
+        "cast_props", "psi_drift", "ks_drift", "js_drift",
+        "baseline_drift", "ivf_topk", "kw_combinators", "kw_array",
+        "kw_object", "kw_numeric", "kw_formats", "kw_content",
+        "cast_scalars", "url_dedup",
+    }
+    assert set(entry.queries()) == expected
+    assert len(entry.queries()) == len(expected)
+
+
 def test_oracle_sql_is_static_text():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name

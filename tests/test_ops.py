@@ -469,3 +469,108 @@ def test_keyless_asof_null_ts_matches_keyed(spark):
                            (3, "r1"), (7, "r5")}
     finally:
         release_caches()
+
+
+def test_sharded_novel_filter_batches_and_restart(spark, tmp_path):
+    """ShardedNovelFilter: per-batch novelty with the filter state as a
+    distributed (shard, bloom) parquet table — emits each key at most
+    once across batches, and a NEW instance pointed at the same
+    state_dir resumes from the newest complete epoch (restart
+    recovery, the property the driver-held bloom cannot give)."""
+    from json_schema_spark.ops.streaming import ShardedNovelFilter
+
+    emitted: list[set] = []
+    state = str(tmp_path / "bloom_state")
+    f = ShardedNovelFilter(
+        state, key_col="digest", n_shards=4, bits_per_shard=1 << 20,
+        sink=lambda df, bid: emitted.append(
+            {r["digest"] for r in df.collect()}))
+
+    b0 = spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                               "digest string")
+    b1 = spark.createDataFrame([(f"k{i}",) for i in range(50, 150)],
+                               "digest string")
+    f(b0, 0)
+    f(b1, 1)
+    assert emitted[0] == {f"k{i}" for i in range(100)}
+    assert emitted[1] == {f"k{i}" for i in range(100, 150)}
+
+    # restart: a fresh instance resumes from disk and suppresses
+    # everything already emitted
+    f2 = ShardedNovelFilter(
+        state, key_col="digest", n_shards=4, bits_per_shard=1 << 20,
+        sink=lambda df, bid: emitted.append(
+            {r["digest"] for r in df.collect()}))
+    assert f2.current_epoch == f.current_epoch
+    b2 = spark.createDataFrame([(f"k{i}",) for i in range(140, 180)],
+                               "digest string")
+    f2(b2, 2)
+    assert emitted[2] == {f"k{i}" for i in range(150, 180)}
+
+    # integration: a real streaming query drives the same processor
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"k{i}" for i in range(200)))
+    f3 = ShardedNovelFilter(str(tmp_path / "bloom_state2"),
+                            key_col="digest", n_shards=4,
+                            bits_per_shard=1 << 20)
+    q = (spark.readStream.format("text").schema("value string")
+         .load(str(src))
+         .select(F.col("value").alias("digest"))
+         .writeStream.foreachBatch(f3)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert f3.novel_count == 200
+
+
+def test_streaming_drift_matches_batch_operator(spark, tmp_path):
+    """StreamingDriftMonitor folded over micro-batches must reproduce
+    the batch drift_vs_baseline rows on the same data (same formulas,
+    same clamp, same rounding) — the drift monitors run on the live
+    ingest path the checkpoint/resume layer targets (VERDICT r3 #10)."""
+    from json_schema_spark.checks.drift import drift_vs_baseline
+    from json_schema_spark.ops.streaming import StreamingDriftMonitor
+
+    rows = []
+    for d, day in enumerate(["2025-06-01", "2025-06-02", "2025-06-03"]):
+        for i in range(120):
+            lang = ["en", "de", "fr"][(i + d) % 3] if i % 5 else "es"
+            rows.append((f"{day} 0{i % 10}:00:00", lang))
+    df = spark.createDataFrame(rows, "ts string, lang string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    baseline = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.1}
+
+    batch = {r["day"]: (r["psi"], r["js_divergence"])
+             for r in drift_vs_baseline(df, "lang", baseline,
+                                        ts_col="ts").collect()}
+
+    # two micro-batches split mid-data, cumulative counts
+    reports = []
+    mon = StreamingDriftMonitor(baseline, cat_col="lang", ts_col="ts",
+                                sink=lambda rep, bid: reports.append(rep))
+    half = df.filter(F.hour("ts") < 5)
+    rest = df.filter(F.hour("ts") >= 5)
+    mon(half, 0)
+    mon(rest, 1)
+    streamed = {r["day"]: (r["psi"], r["js_divergence"])
+                for r in reports[-1]}
+    assert set(streamed) == set(batch)
+    for day in batch:
+        assert abs(streamed[day][0] - batch[day][0]) < 2e-6
+        assert abs(streamed[day][1] - batch[day][1]) < 2e-6
+
+    # integration: a real streaming query drives the monitor
+    src = tmp_path / "drift_src"
+    df.coalesce(1).write.parquet(str(src))
+    mon2 = StreamingDriftMonitor(baseline, cat_col="lang", ts_col="ts")
+    q = (spark.readStream.schema(df.schema).parquet(str(src))
+         .writeStream.foreachBatch(mon2)
+         .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    streamed2 = {r["day"]: (r["psi"], r["js_divergence"])
+                 for r in mon2.report()}
+    for day in batch:
+        assert abs(streamed2[day][0] - batch[day][0]) < 2e-6
+        assert abs(streamed2[day][1] - batch[day][1]) < 2e-6

@@ -979,3 +979,58 @@ def test_emb_near_dup_default_engages_auto_sizing(emb, monkeypatch):
     assert len(calls) == 1  # no second auto-sizing call
     # and the sizing rule itself grows buckets with the corpus
     assert orig(10**9) > orig(10**4)
+
+
+def test_sharded_bloom_parity_and_no_false_negatives(spark):
+    """n_shards=1 must reproduce the single-bitmap bloom byte-for-byte
+    (same position expressions, same scatter); at n_shards=8 every
+    built key must still probe as maybe-seen (no false negatives
+    across the shard split), and a disjoint key set must come back
+    mostly novel (false positives only)."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import (
+        build_bloom, build_bloom_shards, seen_filter_sharded)
+
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(500)],
+                                "digest string")
+    one = build_bloom_shards(ref, "digest", n_shards=1,
+                             bits_per_shard=1 << 20).collect()
+    assert len(one) == 1 and one[0]["shard"] == 0
+    assert bytes(one[0]["bloom"]) == build_bloom(ref, "digest",
+                                                 n_bits=1 << 20)
+
+    try:
+        tagged = seen_filter_sharded(ref, ref, "digest", n_shards=8,
+                                     bits_per_shard=1 << 20)
+        assert all(r["_maybe_seen"] for r in tagged.collect())
+
+        fresh = spark.createDataFrame(
+            [(f"new{i}",) for i in range(300)], "digest string")
+        tagged2 = seen_filter_sharded(ref, fresh, "digest", n_shards=8,
+                                      bits_per_shard=1 << 20)
+        novel = sum(not r["_maybe_seen"] for r in tagged2.collect())
+        assert novel >= 290  # a few bloom false positives allowed
+    finally:
+        release_caches()
+
+
+def test_merge_bloom_shards_is_union_of_memberships(spark):
+    from json_schema_spark.textops.dedup import (
+        bloom_probe_shards, build_bloom_shards, merge_bloom_shards)
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)],
+                              "digest string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)],
+                              "digest string")
+    sa = build_bloom_shards(a, "digest", n_shards=4,
+                            bits_per_shard=1 << 20)
+    sb = build_bloom_shards(b, "digest", n_shards=4,
+                            bits_per_shard=1 << 20)
+    merged = merge_bloom_shards(sa, sb).persist()
+    try:
+        both = a.unionByName(b)
+        tagged = bloom_probe_shards(both, merged, "digest", n_shards=4,
+                                    bits_per_shard=1 << 20)
+        assert all(r["_maybe_seen"] for r in tagged.collect())
+    finally:
+        merged.unpersist()
