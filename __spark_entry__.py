@@ -1106,6 +1106,67 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
 """
 
 
+def _q_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH ANN (round 4): 3 independent plane
+    sets, candidates = union of per-table bucket matches — the
+    MinHash-bands analog for embeddings and the scale path past the
+    single-table plane clamp. The oracle replays each table's plane
+    literals and the per-table bucket equality as an OR-join."""
+    from json_schema_spark.textops.similarity import lsh_topk_multi
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk_multi(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                          n_tables=3, n_planes=6, dim=64)
+
+
+def _sql_lsh_multi() -> str:
+    from json_schema_spark.textops.similarity import hyperplanes
+
+    dot = ("list_reduce(list_transform(range(1, 65), i -> "
+           "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    bucket_cols = []
+    for t in range(3):
+        planes = hyperplanes(64, 6, f"jss-lsh:{t}")
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN {dot.format(a='embedding', b=lit)} >= 0 "
+                f"THEN {1 << p} ELSE 0 END")
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    buckets = ",\n         ".join(bucket_cols)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {buckets}
+  FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM q JOIN v c
+    ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2)
+  WHERE q.vec_id != c.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {dot.format(a='qe.embedding', b='c.embedding')}
+         / (sqrt({dot.format(a='qe.embedding', b='qe.embedding')})
+            * sqrt({dot.format(a='c.embedding', b='c.embedding')})) AS sim
+  FROM cand
+  JOIN v qe ON qe.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets — the
     embedding analog of MinHash near-dup, now with its own oracle row
@@ -2312,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
         "ann_lsh_probe": _q_lsh_probe,
+        "ann_lsh_multi": _q_lsh_multi,
         "emb_near_dup": _q_emb_near_dup,
         "text_analysis": _q_text_analysis,
         "token_stats": _q_token_stats,
@@ -2370,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_lsh_ann(),
         "ann_lsh_probe": _sql_lsh_probe(),
+        "ann_lsh_multi": _sql_lsh_multi(),
         "emb_near_dup": _sql_emb_near_dup(),
         "text_analysis": _sql_text_analysis(),
         "token_stats": _sql_token_stats(),

@@ -38,7 +38,7 @@ def test_query_registry_is_pinned():
         "containment_winnowing", "sessionize", "asof_join",
         "asof_join_keyless", "time_rollup", "hash_split", "range_join",
         "cast_props", "psi_drift", "ks_drift", "js_drift",
-        "baseline_drift", "ivf_topk", "kw_combinators", "kw_array",
+        "baseline_drift", "ann_lsh_multi", "ivf_topk", "kw_combinators", "kw_array",
         "kw_object", "kw_numeric", "kw_formats", "kw_content",
         "cast_scalars", "url_dedup",
     }

@@ -1034,3 +1034,91 @@ def test_merge_bloom_shards_is_union_of_memberships(spark):
         assert all(r["_maybe_seen"] for r in tagged.collect())
     finally:
         merged.unpersist()
+
+
+def test_lsh_multi_table_recall_dominates_single_table(emb):
+    """Adding independent LSH tables can only ADD candidates (union of
+    per-table bucket matches), so recall@k at fixed n_planes must be
+    monotone in n_tables — the property that lets multi-table LSH keep
+    buckets small (high n_planes) without the single-table recall
+    collapse."""
+    from json_schema_spark.textops.similarity import (
+        ann_recall, cosine_topk, lsh_topk_multi)
+
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(q, emb, k=5)
+    one = lsh_topk_multi(q, emb, k=5, n_tables=1, n_planes=6, dim=64)
+    four = lsh_topk_multi(q, emb, k=5, n_tables=4, n_planes=6, dim=64)
+
+    def mean_recall(approx):
+        rows = ann_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    r1, r4 = mean_recall(one), mean_recall(four)
+    assert r4 >= r1
+    # deterministic seeded planes on the fixture corpus: 0.02 -> 0.14
+    # (absolute recall is low because the fixture embeddings are
+    # uncorrelated random vectors — the top-5 "neighbors" sit near
+    # cosine 0.3, which no sign-LSH recalls well; the point is the
+    # multi-table LIFT at equal plane count)
+    assert r4 >= 5 * r1
+
+
+def test_ivf_kmeanspp_seeding_beats_ordered_seeds_on_clustered_ids(spark):
+    """VERDICT r3 #8: first-N-by-id seeding inherits corpus ordering
+    bias — on a crawl whose ids are cluster-major (host order, shard
+    order) the first N vectors all come from ONE cluster, splitting it
+    N ways while every other cluster crams into its nearest cell
+    (skewed cells = hot probe-join buckets at scale). The hash-pool
+    farthest-point seeder must give materially better cell balance and
+    no worse recall at equal nprobe on exactly that input."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.textops.similarity import (
+        _nearest_centroid, ann_recall, cosine_topk, ivf_seed_centroids,
+        ivf_topk)
+
+    # 4 well-separated clusters in dim 8, ids CLUSTER-MAJOR: ids 0-199
+    # are cluster 0, 200-399 cluster 1, ... (deterministic jitter from
+    # the id so the corpus is fixed)
+    def vec(i):
+        c = i // 200
+        base = [0.0] * 8
+        base[2 * c] = 10.0
+        return [round(b + math.sin(i * 0.7 + d) * 0.5, 6)
+                for d, b in enumerate(base)]
+
+    rows = [(i, vec(i)) for i in range(800)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    first_n = [r["embedding"] for r in
+               emb.orderBy("vec_id").limit(8).collect()]
+    seeded = ivf_seed_centroids(emb, 8, pool_factor=16)
+
+    def max_cell(cents):
+        sizes = [r["n"] for r in
+                 emb.select(_nearest_centroid(F.col("embedding"), cents)
+                            .alias("c"))
+                 .groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()]
+        return max(sizes)
+
+    # ordered seeds: clusters 1-3 (600 vectors) collapse into few cells
+    # -> a >=200-vector hot cell; hash-pool seeds spread across clusters
+    assert max_cell(first_n) >= 200
+    assert max_cell(seeded) < max_cell(first_n)
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(q, emb, k=5)
+
+    def mean_recall(cents):
+        rows = ann_recall(
+            ivf_topk(q, emb, k=5, nprobe=2, centroids=cents),
+            exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    assert mean_recall(seeded) >= mean_recall(first_n)
