@@ -1741,6 +1741,64 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 """
 
 
+def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (round 4): REAL PNGs (zlib IDAT,
+    filter-0 scanlines) synthesized per doc_id from an analytic 9x8
+    grayscale pattern, decoded DISTRIBUTED by the pure-stdlib PNG
+    decoder inside image_perceptual_hashes, dHashed, and paired with
+    the pigeonhole chunk join. Same pattern key (doc_id % 60) =>
+    identical images; same key across the variant axis ((doc_id//60)%3
+    perturbs the top-left 2x2 block) => hamming <= 2 near-dups. The
+    oracle replays the dHash ARITHMETICALLY from the pattern formula —
+    pixel(x,y) = (k*7 + x*13 + y*31 [+ 37v in the 2x2 corner]) % 251 —
+    and brute-forces pairs with bit_count(xor) <= 3 (pigeonhole pairing
+    has zero false negatives and verification is exact, so candidate
+    routes cannot change the result set)."""
+    from json_schema_spark.textops.multimodal import (
+        encode_png_gray, image_near_duplicates)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def pattern(i: int) -> list[list[int]]:
+        k, v = i % 60, (i // 60) % 3
+        return [[(k * 7 + x * 13 + y * 31
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    blobs = [(int(i), encode_png_gray(pattern(int(i)))) for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+
+
+_SQL_IMAGE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(list_aggregate(list_transform(range(0, 64), i ->
+      CASE WHEN
+        ((k*7 + ((i % 8) + 1)*13 + (i // 8)*31
+          + CASE WHEN (i % 8) + 1 < 2 AND i // 8 < 2
+                 THEN 37*v ELSE 0 END) % 251)
+        >
+        ((k*7 + (i % 8)*13 + (i // 8)*31
+          + CASE WHEN (i % 8) < 2 AND i // 8 < 2
+                 THEN 37*v ELSE 0 END) % 251)
+      THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+           ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END
+      ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS dhash
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
 def _q_validate_json_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON path: documents serialized to JSON and validated by the
     full draft-7 document validator (Arrow pandas-UDF)."""
@@ -2386,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_dims": _q_multimodal_dims,
         "multimodal_audio": _q_multimodal_audio,
+        "image_dedup": _q_image_dedup,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2445,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "multimodal_audio": _SQL_MULTIMODAL_AUDIO,
+        "image_dedup": _SQL_IMAGE_DEDUP,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,

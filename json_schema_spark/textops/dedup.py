@@ -457,11 +457,12 @@ def simhash_table(df: DataFrame, text_col: str = "text",
                           assembled.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text",
+def hamming_pairs(fp_df: DataFrame, fp_col: str = "simhash",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   n_chunks: int = 4, bits: int = 32) -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance, without the
-    all-pairs cross product.
+    """Pairs of rows within ``max_hamming`` bit-distance of a 64-bit
+    fingerprint column, without the all-pairs cross product — the
+    generic core behind simhash_pairs and image_near_duplicates.
 
     Chunked-bit bucketing (Manku, Jain & Das Sarma, "Detecting
     Near-Duplicates for Web Crawling", WWW 2007): split each
@@ -478,7 +479,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     residual skewed bucket. Candidate volume is sum of per-bucket m^2,
     the same cost profile as MinHash LSH banding.
 
-    Returns (id_a, id_b, hamming), id_a < id_b.
+    ``fp_df`` is persisted via the shared registry (self-join reads it
+    twice; caller releases). Returns (id_a, id_b, hamming), id_a < id_b.
     """
     if max_hamming >= n_chunks:
         raise ValueError("need max_hamming < n_chunks for the pigeonhole "
@@ -488,30 +490,30 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     chunk_bits = bits // n_chunks
     # persist the fingerprints: a self-join recomputes BOTH branches of
     # its input otherwise (no ReuseExchange across join sides), doubling
-    # the token-explode + bit-vote work. The table is (id, int64) —
-    # ~16 bytes/doc — so it stays cacheable at any corpus size.
-    sh = _register_cache(simhash_table(df, text_col, id_col, bits))
+    # the fingerprint derivation. The table is (id, int64) — ~16
+    # bytes/doc — so it stays cacheable at any corpus size.
+    sh = _register_cache(fp_df.select(F.col(id_col).alias("_id"),
+                                      F.col(fp_col).alias("_fp")))
 
-    # chunk_val = (simhash >>> (chunk_bits*idx)) & (2^chunk_bits - 1).
+    # chunk_val = (fp >>> (chunk_bits*idx)) & (2^chunk_bits - 1).
     # Literal shift counts (one struct per chunk, inlined to rows) keep
     # the extraction exact for all 64 bits and correct for NEGATIVE
-    # fingerprints (bit 63 set): the old floor(x / pow(2, idx*cb)) form
-    # was only exact below 2^53 and rounded toward zero for negatives,
-    # which at bits=64 made high chunks degenerate and the pigeonhole
+    # fingerprints (bit 63 set): a floor(x / pow(2, idx*cb)) form is
+    # only exact below 2^53 and rounds toward zero for negatives,
+    # which at bits=64 makes high chunks degenerate and the pigeonhole
     # equi-join quadratic.
     def chunk_val(i: int) -> Column:
-        v = F.col("simhash") if i == 0 else \
-            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+        v = F.col("_fp") if i == 0 else \
+            F.shiftrightunsigned(F.col("_fp"), i * chunk_bits)
         if chunk_bits < 64:
             v = v.bitwiseAND(F.lit((1 << chunk_bits) - 1))
         return v
 
-    chunks = (sh.select(F.col(id_col).alias("_id"), "simhash")
-              .select("_id", "simhash",
-                      F.inline(F.array(*[
-                          F.struct(F.lit(i).alias("chunk_idx"),
-                                   chunk_val(i).alias("chunk_val"))
-                          for i in range(n_chunks)]))))
+    chunks = (sh.select("_id", "_fp",
+                        F.inline(F.array(*[
+                            F.struct(F.lit(i).alias("chunk_idx"),
+                                     chunk_val(i).alias("chunk_val"))
+                            for i in range(n_chunks)]))))
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -519,13 +521,27 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                    & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+                    F.col("a._fp").alias("fp_a"),
+                    F.col("b._fp").alias("fp_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (cand.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  n_chunks: int = 4, bits: int = 32) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance: simhash_table
+    fingerprints fed through the generic pigeonhole chunk pairing
+    (hamming_pairs — see its docstring for the guarantee and the
+    web-scale sizing rule). Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    return hamming_pairs(simhash_table(df, text_col, id_col, bits),
+                         fp_col="simhash", id_col=id_col,
+                         max_hamming=max_hamming, n_chunks=n_chunks,
+                         bits=bits)
 
 
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a",

@@ -1122,3 +1122,118 @@ def test_ivf_kmeanspp_seeding_beats_ordered_seeds_on_clustered_ids(spark):
         return sum(r["recall"] for r in rows) / len(rows)
 
     assert mean_recall(seeded) >= mean_recall(first_n)
+
+
+def test_png_codec_roundtrip_and_dhash():
+    """Pure-stdlib PNG encode/decode round-trip (filters 0-4 decode,
+    RGB/RGBA luma) and dHash: gradient bits over the downsampled grid,
+    signed-64 convention matching simhash_table."""
+    import struct
+    import zlib
+
+    from json_schema_spark.textops.multimodal import (
+        decode_png_gray, encode_png_gray, image_dhash,
+        parse_image_dimensions)
+
+    grid = [[(x * 13 + y * 31) % 251 for x in range(9)] for y in range(8)]
+    png = encode_png_gray(grid)
+    assert parse_image_dimensions(png) == (9, 8)
+    assert decode_png_gray(png) == (9, 8, grid)
+
+    # reference dhash
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            if grid[y][x + 1] > grid[y][x]:
+                val |= 1 << (y * 8 + x)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    assert image_dhash(png) == val
+
+    # a filter-2 (Up) encoded PNG of the same pixels decodes identically
+    raw = b"\x00" + bytes(grid[0])
+    for y in range(1, 8):
+        raw += b"\x02" + bytes((grid[y][x] - grid[y - 1][x]) & 0xFF
+                               for x in range(9))
+
+    def chunk(tag, payload):
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", crc))
+
+    png2 = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png_gray(png2) == (9, 8, grid)
+    # an RGB image where every channel equals the gray value lumas back
+    rgb_raw = b"".join(
+        b"\x00" + bytes(v for x in range(9)
+                        for v in (grid[y][x],) * 3) for y in range(8))
+    png3 = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(rgb_raw)) + chunk(b"IEND", b""))
+    assert decode_png_gray(png3) == (9, 8, grid)
+    # downsampling path: a 2x-scaled image hashes identically (block
+    # means reproduce the original grid)
+    big = [[grid[y // 2][x // 2] for x in range(18)] for y in range(16)]
+    assert image_dhash(encode_png_gray(big)) == val
+
+
+def test_image_dhash_stub_policy_for_non_png():
+    """JPEG/GIF perceptual hashing requires PIL — absent here, the
+    documented stub policy must raise NotImplementedError (not return
+    a wrong hash); non-image bytes return None."""
+    import pytest as _pytest
+
+    from json_schema_spark.textops.multimodal import image_dhash
+
+    try:
+        import PIL  # type: ignore  # noqa: F401
+        _pytest.skip("PIL present — stub policy not exercised")
+    except ImportError:
+        pass
+    jpeg_ish = bytes.fromhex("FFD8FFC0001108000900090300000000000000")
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        image_dhash(jpeg_ish)
+    assert image_dhash(b"not an image at all") is None
+    assert image_dhash(None) is None
+
+
+def test_image_near_duplicates_groups_variants(spark):
+    """End-to-end perceptual dedup: identical patterns pair at hamming
+    0, corner-perturbed variants pair at hamming <= 2, and the pairs
+    feed dedup_groups exactly like text near-dups."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import dedup_groups
+    from json_schema_spark.textops.multimodal import (
+        encode_png_gray, image_near_duplicates)
+
+    def pattern(k, v):
+        return [[(k * 7 + x * 13 + y * 31
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    # ids 0-2: one pattern family (k=1, variants 0/1/2); 3-4: another
+    # identical pair (k=40); 5: a singleton far from both
+    rows = [(0, encode_png_gray(pattern(1, 0))),
+            (1, encode_png_gray(pattern(1, 1))),
+            (2, encode_png_gray(pattern(1, 2))),
+            (3, encode_png_gray(pattern(40, 0))),
+            (4, encode_png_gray(pattern(40, 0))),
+            (5, encode_png_gray([[255 * ((x + y) % 2)
+                                  for x in range(9)] for y in range(8)]))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    try:
+        pairs = image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in pairs.collect()}
+        assert got[(3, 4)] == 0
+        assert all((a, b) in got for a, b in [(0, 1), (0, 2), (1, 2)])
+        assert all(h <= 2 for (a, b), h in got.items() if b <= 2)
+        assert not any(5 in p for p in got)
+        groups = {r["doc_id"]: r["group_id"]
+                  for r in dedup_groups(pairs).collect()}
+        assert groups[0] == groups[1] == groups[2] == 0
+        assert groups[3] == groups[4] == 3
+    finally:
+        release_caches()
