@@ -175,7 +175,11 @@ def test_new_operator_plan_shapes(spark):
                # exchange pair); js_drift's six are all
                # O(days x categories)-sized stitch tables
                "redact_pii": 0, "pack_sequences": 1, "line_dedup": 2,
-               "js_drift": 6}
+               "js_drift": 6,
+               # round 4: baseline_drift's five are all O(days x
+               # categories) stitch tables; ann_lsh_multi shuffles the
+               # (table, bucket) join sides and the pair dedupe
+               "baseline_drift": 5, "ann_lsh_multi": 3}
     import re
 
     for name, max_exchanges in budgets.items():
