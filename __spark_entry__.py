@@ -2412,6 +2412,121 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 """
 
 
+def _q_image_dedup_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF variant of image_dedup (round 4): the SAME analytic 9x8
+    pattern encoded as real GIF89a blobs (256-gray palette,
+    uncompressed-LZW literal codes; every 3rd image interlaced so the
+    distributed decode exercises the de-interlace path), decoded by
+    the pure-stdlib GIF LZW decoder inside image_perceptual_hashes.
+    The grayscale palette maps index i -> (i,i,i), whose BT.601 luma
+    is exactly i, so the oracle replay is the identical dHash
+    arithmetic as the PNG row — the codec is the only moving part."""
+    from json_schema_spark.textops.multimodal import (
+        encode_gif_gray, image_near_duplicates)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def pattern(i: int) -> list[list[int]]:
+        k, v = i % 60, (i // 60) % 3
+        return [[(k * 7 + x * 13 + y * 31
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    blobs = [(int(i), encode_gif_gray(pattern(int(i)),
+                                      interlaced=(int(i) % 3 == 0)))
+             for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+
+
+def _q_image_dedup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG variant of image_dedup (round 4): the SAME
+    analytic 9x8 pattern encoded as real baseline JPEGs (SOF0, flat
+    all-ones quant table, self-built canonical Huffman tables; every
+    4th image with restart markers every MCU), decoded by the
+    pure-stdlib JPEG decoder (Huffman entropy decode + dequant +
+    float IDCT) inside image_perceptual_hashes. The flat quant table
+    makes the roundtrip near-lossless (max pixel error 1) while the
+    pattern's smallest dHash-relevant neighbor gap is 13, so the
+    decoded gradient directions — and therefore the dHash and the
+    pair set — are byte-identical to the analytic oracle replay."""
+    from json_schema_spark.textops.multimodal import (
+        encode_jpeg_gray, image_near_duplicates)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def pattern(i: int) -> list[list[int]]:
+        k, v = i % 60, (i // 60) % 3
+        return [[(k * 7 + x * 13 + y * 31
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    blobs = [(int(i), encode_jpeg_gray(
+        pattern(int(i)), restart_interval=(1 if int(i) % 4 == 0 else 0)))
+        for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+
+
+# the pinned numeric baseline for ks_baseline: quantized-bucket masses
+# (floor(value*4)), deliberately overlapping only part of the observed
+# support — absent-on-either-side buckets carry zero mass on that side,
+# so both zero branches are exercised. Shared verbatim by the Spark
+# call and the SQL replay.
+_BASELINE_BUCKETS = {-5: 0.05, 0: 0.25, 1: 0.25, 2: 0.2, 3: 0.15,
+                     40: 0.1}
+
+
+def _q_ks_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed KS per day vs a PINNED numeric baseline
+    snapshot (round 4): the numeric analog of baseline_drift,
+    completing the {per-period, vs-baseline} x {categorical, numeric}
+    drift matrix. Same quantized-bucket exactness story as ks_drift."""
+    from json_schema_spark.checks.drift import ks_vs_baseline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ks_vs_baseline(ev, "value", _BASELINE_BUCKETS, "ts")
+            .withColumn("day", F.col("day").cast("string")))
+
+
+def _sql_ks_baseline() -> str:
+    base_values = ", ".join(
+        f"({k}, {v!r})" for k, v in sorted(_BASELINE_BUCKETS.items()))
+    return f"""
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(value AS DOUBLE) * 4) AS BIGINT) AS b,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+day_totals AS (SELECT day, sum(n) AS day_n FROM counts GROUP BY 1),
+base(b, q) AS (VALUES {base_values}),
+buckets AS (
+  SELECT COALESCE(o.b, base.b) AS b, COALESCE(base.q, 0.0) AS q
+  FROM (SELECT DISTINCT b FROM counts) o
+  FULL OUTER JOIN base ON o.b = base.b
+),
+grid AS (
+  SELECT d.day, bt.b, d.day_n, bt.q, COALESCE(c.n, 0) AS n
+  FROM day_totals d CROSS JOIN buckets bt
+  LEFT JOIN counts c ON c.day = d.day AND c.b = bt.b
+),
+cums AS (
+  SELECT day,
+         abs(CAST(sum(n) OVER (PARTITION BY day ORDER BY b
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(day_n AS DOUBLE)
+           - sum(q) OVER (PARTITION BY day ORDER BY b
+                          ROWS UNBOUNDED PRECEDING)) AS gap
+  FROM grid
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, round(max(gap), 6) AS ks
+FROM cums GROUP BY day ORDER BY day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2445,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dims": _q_multimodal_dims,
         "multimodal_audio": _q_multimodal_audio,
         "image_dedup": _q_image_dedup,
+        "image_dedup_gif": _q_image_dedup_gif,
+        "image_dedup_jpeg": _q_image_dedup_jpeg,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2460,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "js_drift": _q_js_drift,
         "baseline_drift": _q_baseline_drift,
+        "ks_baseline": _q_ks_baseline,
         "ivf_topk": _q_ivf_topk,
         "kw_combinators": _q_kw_combinators,
         "kw_array": _q_kw_array,
@@ -2505,6 +2623,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dims": _SQL_MULTIMODAL_DIMS,
         "multimodal_audio": _SQL_MULTIMODAL_AUDIO,
         "image_dedup": _SQL_IMAGE_DEDUP,
+        "image_dedup_gif": _SQL_IMAGE_DEDUP,
+        "image_dedup_jpeg": _SQL_IMAGE_DEDUP,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,
@@ -2520,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _SQL_KS_DRIFT,
         "js_drift": _SQL_JS_DRIFT,
         "baseline_drift": _sql_baseline_drift(),
+        "ks_baseline": _sql_ks_baseline(),
         "ivf_topk": _SQL_IVF_TOPK,
         "kw_combinators": _SQL_KW_COMBINATORS,
         "kw_array": _SQL_KW_ARRAY,

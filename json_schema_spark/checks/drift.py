@@ -275,6 +275,72 @@ def ks_by_period(df: DataFrame, value_col: str, ts_col: str = "ts",
             .orderBy("day"))
 
 
+def numeric_baseline_snapshot(df: DataFrame, value_col: str,
+                              quantize: float = 4.0) -> dict[int, float]:
+    """Pinned baseline for ks_vs_baseline: quantized-bucket relative
+    mass of a numeric column — the snapshot a monitoring job takes at
+    deploy time. One groupBy over the scan; the collected map is
+    O(buckets), not data."""
+    rows = (df.filter(F.col(value_col).isNotNull())
+            .select(F.floor(F.col(value_col).cast("double")
+                            * F.lit(quantize)).cast("bigint").alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    total = sum(r["n"] for r in rows) or 1
+    return {int(r["b"]): r["n"] / total for r in rows}
+
+
+def ks_vs_baseline(df: DataFrame, value_col: str,
+                   baseline_freqs: dict[int, float],
+                   ts_col: str = "ts",
+                   quantize: float = 4.0) -> DataFrame:
+    """Exact distributed KS per day of a numeric column vs a PINNED
+    baseline snapshot (the numeric analog of drift_vs_baseline,
+    completing the {per-period, vs-baseline} x {categorical, numeric}
+    drift matrix): (day, ks). The baseline is a quantized-bucket
+    frequency map as produced by numeric_baseline_snapshot — both
+    sides quantize with the same floor(value*quantize), so the
+    statistic is the exact KS of the two quantized distributions and
+    engine-reproducible (floor is deterministic; round half-modes are
+    not).
+
+    Plan: one groupBy(day, bucket) count over the scan, a broadcast
+    grid of days x (observed UNION baseline) buckets, two running-sum
+    windows (cumulative ECDF vs cumulative baseline CDF), one final
+    per-day max. Every shuffle is O(days x buckets), independent of
+    row count; buckets absent from either side carry zero mass on
+    that side, so support mismatch is measured, not an error."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    day = F.to_date(F.col(ts_col)).alias("day")
+    b = F.floor(F.col(value_col).cast("double") * F.lit(quantize)) \
+        .cast("bigint").alias("b")
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .select(day, b)
+              .groupBy("day", "b").agg(F.count(F.lit(1)).alias("n")))
+    day_totals = counts.groupBy("day").agg(F.sum("n").alias("day_n"))
+    base = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in sorted(baseline_freqs.items())],
+        "b bigint, q double")
+    buckets = (counts.select("b").distinct()
+               .join(base, "b", "full_outer")
+               .select("b", F.coalesce(F.col("q"), F.lit(0.0)).alias("q")))
+
+    grid = (day_totals.crossJoin(F.broadcast(buckets))
+            .join(counts, ["day", "b"], "left")
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    w = W.partitionBy("day").orderBy("b") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum_day = F.sum("n").over(w).cast("double") \
+        / F.col("day_n").cast("double")
+    cum_base = F.sum("q").over(w)
+    gaps = grid.withColumn("gap", F.abs(cum_day - cum_base))
+    return (gaps.groupBy("day")
+            .agg(F.round(F.max("gap"), 6).alias("ks"))
+            .orderBy("day"))
+
+
 def drift_report(df: DataFrame,
                  numeric_col,
                  cat_col: str,

@@ -17,6 +17,7 @@ buffers stay within executor memory.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -192,9 +193,492 @@ def sample_video_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
     raise NotImplementedError("frame extraction not implemented")
 
 
+# --- baseline JPEG (ITU T.81), pure stdlib ---------------------------------
+# Zigzag order of the 64 coefficients in an 8x8 block (public spec fig 5).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+_JPEG_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+             for x in range(8)]
+_JPEG_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _dct2d(block: list[float]) -> list[float]:
+    """Forward 8x8 DCT-II (T.81 A.3.3 definition, separable passes)."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            tmp[y * 8 + u] = sum(block[y * 8 + x] * _JPEG_COS[x][u]
+                                 for x in range(8))
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = sum(tmp[y * 8 + u] * _JPEG_COS[y][v] for y in range(8))
+            out[v * 8 + u] = s * _JPEG_C[u] * _JPEG_C[v] / 4
+    return out
+
+
+def _idct2d(coef: list[float]) -> list[float]:
+    """Inverse 8x8 DCT (T.81 A.3.3), separable passes."""
+    tmp = [0.0] * 64
+    for v in range(8):
+        for x in range(8):
+            tmp[v * 8 + x] = sum(_JPEG_C[u] * coef[v * 8 + u]
+                                 * _JPEG_COS[x][u] for u in range(8))
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = sum(_JPEG_C[v] * tmp[v * 8 + x] * _JPEG_COS[y][v]
+                    for v in range(8))
+            out[y * 8 + x] = s / 4
+    return out
+
+
+def _jpeg_category(v: int) -> int:
+    return v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def _jpeg_huff_table(symbols: list[int]) -> tuple[bytes, dict[int, tuple]]:
+    """A legal DHT payload assigning every symbol an equal-length
+    canonical code (length 8 holds up to 255 symbols with the
+    all-ones code left unused, per the spec convention). Correctness
+    of the DECODER never depends on these choices — it rebuilds codes
+    from whatever DHT the file carries."""
+    syms = sorted(set(symbols))
+    assert len(syms) <= 255
+    bits = [0] * 16
+    bits[7] = len(syms)  # all codes 8 bits long
+    enc = {s: (code, 8) for code, s in enumerate(syms)}
+    return (bytes(bits) + bytes(syms), enc)
+
+
+def encode_jpeg_gray(pixels: list[list[int]],
+                     restart_interval: int = 0) -> bytes:
+    """Encode an 8-bit grayscale grid as a real baseline JPEG (SOI /
+    DQT / SOF0 / DHT / SOS / EOI) — pure stdlib. Uses a FLAT all-ones
+    quantization table, so the only loss is DCT-coefficient rounding
+    (max ~2 levels per pixel): near-lossless, deterministic, and
+    decodable by any conformant reader. `restart_interval` > 0 emits a
+    DRI segment and RSTn markers every N MCUs (exercises decoders'
+    restart/DC-reset path)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+
+    # forward DCT + quantize(1) every block (edge-replicated padding)
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = [float(pixels[min(by * 8 + y, h - 1)]
+                         [min(bx * 8 + x, w - 1)]) - 128.0
+                   for y in range(8) for x in range(8)]
+            coef = _dct2d(blk)
+            blocks.append([int(round(c)) for c in coef])
+
+    # symbol scan (DC diffs + AC run/size) to build the two tables;
+    # DC prediction resets at every restart boundary
+    dc_syms, ac_syms = [], []
+    runs_per_block = []
+    prev_dc = 0
+    for bi, q in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            prev_dc = 0
+        diff = q[0] - prev_dc
+        prev_dc = q[0]
+        dc_syms.append(_jpeg_category(diff))
+        zz = [q[_JPEG_ZIGZAG[i]] for i in range(1, 64)]
+        run = 0
+        items = []
+        for v in zz:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                items.append((0xF0, 0, 0))
+                ac_syms.append(0xF0)
+                run -= 16
+            s = _jpeg_category(v)
+            items.append(((run << 4) | s, v, s))
+            ac_syms.append((run << 4) | s)
+            run = 0
+        if run:
+            items.append((0x00, 0, 0))
+            ac_syms.append(0x00)
+        runs_per_block.append((diff, items))
+    ac_syms.append(0x00)  # EOB must be encodable even if unused so far
+
+    dc_dht, dc_enc = _jpeg_huff_table(dc_syms)
+    ac_dht, ac_enc = _jpeg_huff_table(ac_syms)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(0xDB, b"\x00" + bytes([1] * 64))            # DQT: table 0, all 1s
+    seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)      # SOF0: 1 component
+        + bytes([1, 0x11, 0]))                      # id 1, 1x1, quant 0
+    seg(0xC4, b"\x00" + dc_dht)                     # DHT DC table 0
+    seg(0xC4, b"\x10" + ac_dht)                     # DHT AC table 0
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))        # SOS
+
+    acc, nbits = 0, 0
+    data = bytearray()
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)  # byte stuffing
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def flush_pad() -> None:
+        nonlocal acc, nbits
+        if nbits:
+            pad = 8 - nbits
+            byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+            acc = nbits = 0
+
+    for bi, (diff, items) in enumerate(runs_per_block):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_pad()
+            data.extend(bytes([0xFF,
+                               0xD0 + (bi // restart_interval - 1) % 8]))
+        s = _jpeg_category(diff)
+        code, ln = dc_enc[s]
+        put(code, ln)
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        for sym, v, vs in items:
+            code, ln = ac_enc[sym]
+            put(code, ln)
+            if vs:
+                put(v if v > 0 else v + (1 << vs) - 1, vs)
+    flush_pad()  # pad the final partial byte with 1-bits (spec F.1.2.3)
+    out.extend(data)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: unstuffs FF00, stops at markers."""
+
+    def __init__(self, blob: bytes, pos: int) -> None:
+        self.blob, self.pos, self.acc, self.nbits = blob, pos, 0, 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            b = self.blob[self.pos]
+            if b == 0xFF:
+                nxt = self.blob[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                    raise _JpegRestart()
+                else:
+                    raise _JpegEndOfScan()
+            else:
+                self.pos += 1
+            self.acc, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume the RSTn marker and realign to a byte boundary."""
+        self.nbits = 0
+        while self.blob[self.pos] != 0xFF \
+                or not (0xD0 <= self.blob[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _JpegRestart(Exception):
+    pass
+
+
+class _JpegEndOfScan(Exception):
+    pass
+
+
+def _jpeg_read_dht(body: bytes) -> dict[tuple[int, int], dict]:
+    """Parse DHT payload(s) into {(class, id): {(length, code): symbol}}
+    canonical code maps."""
+    tables = {}
+    pos = 0
+    while pos < len(body):
+        tc, th = body[pos] >> 4, body[pos] & 0x0F
+        counts = body[pos + 1:pos + 17]
+        pos += 17
+        lut = {}
+        code = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                lut[(ln, code)] = body[pos]
+                pos += 1
+                code += 1
+            code <<= 1
+        tables[(tc, th)] = lut
+    return tables
+
+
+def _jpeg_decode_huff(reader: _JpegBitReader, lut: dict) -> int:
+    code = ln = 0
+    while ln < 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(blob: bytes | None) -> \
+        tuple[int, int, list[list[int]]] | None:
+    """REAL pure-stdlib baseline JPEG decode to an 8-bit grayscale
+    grid: marker parse (DQT/DHT/SOF0/SOS/DRI), canonical Huffman
+    entropy decode of every component's interleaved MCU blocks,
+    dequantize + de-zigzag + float IDCT of the LUMA blocks (JFIF
+    grayscale IS the Y channel, so chroma blocks are entropy-parsed to
+    keep the bitstream aligned but never transformed), restart-marker
+    support, edge crop. Baseline sequential (SOF0) only; progressive /
+    arithmetic / 12-bit route to the PIL-gated stub policy via None."""
+    if blob is None or blob[:2] != b"\xff\xd8":
+        return None
+    try:
+        import struct
+
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        comps: list[dict] = []
+        w = h = 0
+        restart_interval = 0
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (ln,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+            body = blob[pos + 4:pos + 2 + ln]
+            pos += 2 + ln
+            if marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    prec, tid = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    if prec:
+                        vals = [int.from_bytes(body[p + 2 * i:p + 2 * i + 2],
+                                               "big") for i in range(64)]
+                        p += 128
+                    else:
+                        vals = list(body[p:p + 64])
+                        p += 64
+                    qt[tid] = vals
+            elif marker == 0xC4:
+                huff.update(_jpeg_read_dht(body))
+            elif marker == 0xC0:
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    return None
+                for i in range(nc):
+                    cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
+                    comps.append({"id": cid, "hs": samp >> 4,
+                                  "vs": samp & 0x0F, "tq": tq})
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                    comp = next(c for c in comps if c["id"] == cs)
+                    comp["dc"], comp["ac"] = tt >> 4, tt & 0x0F
+                    scan.append(comp)
+                if not comps or not w or not h:
+                    return None
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                luma = comps[0]
+                lw, lh = mcux * 8 * luma["hs"], mcuy * 8 * luma["vs"]
+                plane = [[0] * lw for _ in range(lh)]
+                reader = _JpegBitReader(blob, pos)
+                preds = {c["id"]: 0 for c in scan}
+                since_restart = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval \
+                                and since_restart == restart_interval:
+                            reader.sync_restart()
+                            preds = {c["id"]: 0 for c in scan}
+                            since_restart = 0
+                        for c in scan:
+                            for by in range(c["vs"]):
+                                for bx in range(c["hs"]):
+                                    s = _jpeg_decode_huff(
+                                        reader, huff[(0, c["dc"])])
+                                    diff = _jpeg_extend(reader.bits(s), s) \
+                                        if s else 0
+                                    preds[c["id"]] += diff
+                                    coef = [0] * 64
+                                    coef[0] = preds[c["id"]]
+                                    k = 1
+                                    while k < 64:
+                                        sym = _jpeg_decode_huff(
+                                            reader, huff[(1, c["ac"])])
+                                        if sym == 0x00:
+                                            break
+                                        if sym == 0xF0:
+                                            k += 16
+                                            continue
+                                        k += sym >> 4
+                                        s = sym & 0x0F
+                                        if k > 63:
+                                            raise ValueError("AC overflow")
+                                        coef[k] = _jpeg_extend(
+                                            reader.bits(s), s)
+                                        k += 1
+                                    if c is luma:
+                                        q = qt[c["tq"]]
+                                        deq = [0.0] * 64
+                                        for i in range(64):
+                                            deq[_JPEG_ZIGZAG[i]] = \
+                                                float(coef[i] * q[i])
+                                        px = _idct2d(deq)
+                                        oy = (my * c["vs"] + by) * 8
+                                        ox = (mx * c["hs"] + bx) * 8
+                                        for y in range(8):
+                                            row = plane[oy + y]
+                                            for x in range(8):
+                                                v = int(round(
+                                                    px[y * 8 + x])) + 128
+                                                row[ox + x] = \
+                                                    0 if v < 0 else \
+                                                    (255 if v > 255 else v)
+                        since_restart += 1
+                # luma plane covers the frame when Y has max sampling;
+                # otherwise scale up by pixel replication before crop
+                if luma["hs"] != hmax or luma["vs"] != vmax:
+                    fx = hmax // luma["hs"]
+                    fy = vmax // luma["vs"]
+                    plane = [[plane[y // fy][x // fx]
+                              for x in range(lw * fx)]
+                             for y in range(lh * fy)]
+                return (w, h, [row[:w] for row in plane[:h]])
+        return None
+    except (_JpegRestart, _JpegEndOfScan, StopIteration, IndexError,
+            KeyError, ValueError, ZeroDivisionError):
+        return None
+
+
+def encode_wav_pcm(samples: list[int], sample_rate: int = 16000,
+                   bits: int = 16, channels: int = 1) -> bytes:
+    """Encode integer PCM samples (first channel replicated across
+    channels) as a canonical RIFF/WAVE blob — pure stdlib, used to
+    synthesize deterministic test/oracle audio. 8-bit is unsigned per
+    the spec; 16/24/32-bit are signed little-endian."""
+    import struct
+
+    width = bits // 8
+    frames = bytearray()
+    for s in samples:
+        raw = bytes([s + 128]) if bits == 8 else \
+            int(s).to_bytes(width, "little", signed=True)
+        frames += raw * channels
+    block = width * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    data = bytes(frames)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(blob: bytes | None) -> \
+        tuple[int, int, list[int]] | None:
+    """REAL pure-stdlib PCM WAV sample decode: (sample_rate, n_frames,
+    first-channel samples as ints). Integer PCM at 8/16/24/32 bits
+    (format tag 1, or extensible tag 0xFFFE wrapping PCM) — the public
+    RIFF layout; 8-bit is unsigned per spec, wider widths are signed
+    little-endian. None for float/compressed/truncated blobs (those
+    keep the soundfile-gated stub policy in decode_audio)."""
+    info = parse_wav_info(blob)
+    if info is None:
+        return None
+    channels, rate, bits = info
+    if bits not in (8, 16, 24, 32) or channels < 1:
+        return None
+    try:
+        pos = 12
+        fmt_tag = None
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+            body = blob[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag = int.from_bytes(body[0:2], "little")
+            elif cid == b"data":
+                if fmt_tag not in (1, 0xFFFE):
+                    return None
+                width = bits // 8
+                frame = width * channels
+                n_frames = len(body) // frame
+                samples = []
+                for i in range(n_frames):
+                    s = body[i * frame:i * frame + width]
+                    if bits == 8:
+                        samples.append(s[0] - 128)
+                    else:
+                        samples.append(
+                            int.from_bytes(s, "little", signed=True))
+                return (rate, n_frames, samples)
+            pos += 8 + size + (size & 1)
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
 def decode_audio(blob: bytes) -> Any:
-    """Decode audio to (sample_rate, n_frames). Requires soundfile —
-    STUB, same policy as decode_image."""
+    """Decode audio to (sample_rate, n_frames). PCM WAV decodes via
+    the pure-stdlib path above (REAL samples, no codec lib);
+    compressed/float formats require soundfile — STUB, same policy as
+    decode_image."""
+    pcm = decode_wav_pcm(blob)
+    if pcm is not None:
+        return pcm[0], pcm[1]
     try:
         import io
 
@@ -228,6 +712,194 @@ def encode_png_gray(pixels: list[list[int]]) -> bytes:
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def encode_gif_gray(pixels: list[list[int]], interlaced: bool = False)\
+        -> bytes:
+    """Encode an 8-bit grayscale pixel grid as a real GIF89a — pure
+    stdlib, using the public "uncompressed GIF" technique: a 256-entry
+    grayscale palette (index i -> (i,i,i)), min LZW code size 8, every
+    pixel emitted as a literal 9-bit code with a clear code interleaved
+    before the code table can force a width change. Decodes in any
+    conformant reader. `interlaced=True` writes rows in the four-pass
+    GIF interlace order with the interlace flag set (exercises the
+    decoder's de-interlace path)."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0; no aspect
+    for i in range(256):        # grayscale palette: luma(i,i,i) == i
+        out += bytes([i, i, i])
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    out += bytes([8])  # min LZW code size
+
+    rows = [pixels[y] for y in _gif_interlace_order(h)] if interlaced \
+        else pixels
+    clear, end, code_size = 256, 257, 9
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for row in rows:
+        for px in row:
+            if since_clear >= 125:  # keep next_code < 511 (9-bit ceiling)
+                emit(clear)
+                since_clear = 0
+            emit(px)
+            since_clear += 1
+    emit(end)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row order of the four GIF interlace passes (public spec §20)."""
+    return ([*range(0, h, 8)] + [*range(4, h, 8)]
+            + [*range(2, h, 4)] + [*range(1, h, 2)])
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (public spec, appendix F): codes
+    packed LSB-first, clear/end codes, code width grows when the table
+    fills, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_idx = bitpos >> 3
+        window = int.from_bytes(data[byte_idx:byte_idx + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_gray(blob: bytes | None) -> \
+        tuple[int, int, list[list[int]]] | None:
+    """REAL pure-stdlib GIF pixel decode to an 8-bit grayscale grid:
+    parse the logical screen descriptor + global/local color table,
+    skip extension blocks, LZW-decompress the first image's index
+    stream, de-interlace if flagged, map palette entries through
+    integer BT.601 luma (same formula as the PNG path), and composite
+    a sub-rectangle frame onto a black canvas. First frame only
+    (animation dedup wants the poster frame); None for truncated or
+    exotic blobs (those keep the PIL-gated stub policy in
+    image_dhash)."""
+    if blob is None or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        packed = blob[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = blob[pos:pos + 3 * size]
+            pos += 3 * size
+        while pos < len(blob):
+            b0 = blob[pos]
+            if b0 == 0x21:  # extension: label, then sub-blocks
+                pos += 2
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                ix = int.from_bytes(blob[pos + 1:pos + 3], "little")
+                iy = int.from_bytes(blob[pos + 3:pos + 5], "little")
+                iw = int.from_bytes(blob[pos + 5:pos + 7], "little")
+                ih = int.from_bytes(blob[pos + 7:pos + 9], "little")
+                ipacked = blob[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    size = 2 << (ipacked & 0x07)
+                    ct = blob[pos:pos + 3 * size]
+                    pos += 3 * size
+                min_code = blob[pos]
+                pos += 1
+                data = bytearray()
+                while blob[pos] != 0:
+                    ln = blob[pos]
+                    data += blob[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                if ct is None or not (0 < iw and 0 < ih):
+                    return None
+                idx = _gif_lzw_decode(bytes(data), min_code)
+                if len(idx) < iw * ih:
+                    return None
+                luma = [(299 * ct[3 * i] + 587 * ct[3 * i + 1]
+                         + 114 * ct[3 * i + 2]) // 1000
+                        for i in range(len(ct) // 3)]
+                frame = [[luma[idx[y * iw + x]] for x in range(iw)]
+                         for y in range(ih)]
+                if ipacked & 0x40:  # de-interlace
+                    ordered: list[list[int] | None] = [None] * ih
+                    for src, dst in enumerate(_gif_interlace_order(ih)):
+                        ordered[dst] = frame[src]
+                    frame = ordered  # type: ignore[assignment]
+                if (ix, iy, iw, ih) == (0, 0, w, h):
+                    return (w, h, frame)
+                canvas = [[0] * w for _ in range(h)]
+                for y in range(min(ih, h - iy)):
+                    row = canvas[iy + y]
+                    src = frame[y]
+                    for x in range(min(iw, w - ix)):
+                        row[ix + x] = src[x]
+                return (w, h, canvas)
+            elif b0 == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except (IndexError, ValueError):
+        return None
+    return None
 
 
 # PNG filter types (public spec, RFC 2083 §6): each scanline is
@@ -346,13 +1018,15 @@ def image_dhash(blob: bytes | None, hash_size: int = 8) -> int | None:
     same convention as simhash_table) so it feeds the chunked-bit
     hamming pairing machinery directly.
 
-    PNGs decode via the pure-stdlib path above (REAL pixels, no codec
-    lib); other formats require PIL and keep the documented stub
+    PNG, GIF, and baseline JPEG decode via the pure-stdlib paths above
+    (REAL pixels, no codec lib); exotic layouts (progressive JPEG,
+    interlaced PNG, 16-bit) require PIL and keep the documented stub
     policy (NotImplementedError when absent). None for undecodable
     blobs."""
     if blob is None:
         return None
-    decoded = decode_png_gray(blob)
+    decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
+               or decode_jpeg_gray(blob))
     if decoded is None:
         if sniff_media_type(blob) in ("image/jpeg", "image/gif"):
             w, h, _mode = decode_image(blob)  # PIL-gated stub policy

@@ -33,12 +33,14 @@ def test_query_registry_is_pinned():
         "text_analysis", "token_stats", "line_dedup", "redact_pii",
         "pack_sequences", "repetition_features", "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",
-        "multimodal_audio", "image_dedup", "validate_json_dynamic",
+        "multimodal_audio", "image_dedup", "image_dedup_gif",
+        "image_dedup_jpeg", "validate_json_dynamic",
         "validate_json_hybrid", "validate_json_variant",
         "containment_winnowing", "sessionize", "asof_join",
         "asof_join_keyless", "time_rollup", "hash_split", "range_join",
         "cast_props", "psi_drift", "ks_drift", "js_drift",
-        "baseline_drift", "ann_lsh_multi", "ivf_topk", "kw_combinators", "kw_array",
+        "baseline_drift", "ks_baseline", "ann_lsh_multi", "ivf_topk",
+        "kw_combinators", "kw_array",
         "kw_object", "kw_numeric", "kw_formats", "kw_content",
         "cast_scalars", "url_dedup",
     }

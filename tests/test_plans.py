@@ -179,7 +179,10 @@ def test_new_operator_plan_shapes(spark):
                # round 4: baseline_drift's five are all O(days x
                # categories) stitch tables; ann_lsh_multi shuffles the
                # (table, bucket) join sides and the pair dedupe
-               "baseline_drift": 5, "ann_lsh_multi": 3}
+               "baseline_drift": 5, "ann_lsh_multi": 3,
+               # ks_baseline stitches O(days x buckets) tables like its
+               # drift siblings; everything is broadcast-or-tiny
+               "ks_baseline": 6}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -1237,3 +1237,144 @@ def test_image_near_duplicates_groups_variants(spark):
         assert groups[3] == groups[4] == 3
     finally:
         release_caches()
+
+
+def test_gif_codec_roundtrip_and_dhash():
+    """Pure-stdlib GIF encode/decode round-trip (round 4): LZW literal
+    stream with interleaved clear codes, both plain and interlaced row
+    order, grayscale palette whose BT.601 luma is the identity — so a
+    GIF and a PNG of the same pixels produce the SAME dHash and the
+    codec is the only moving part."""
+    from json_schema_spark.textops.multimodal import (
+        decode_gif_gray, encode_gif_gray, encode_png_gray, image_dhash,
+        parse_image_dimensions, sniff_media_type)
+
+    grid = [[(x * 13 + y * 31) % 251 for x in range(9)] for y in range(8)]
+    gif = encode_gif_gray(grid)
+    assert sniff_media_type(gif) == "image/gif"
+    assert parse_image_dimensions(gif) == (9, 8)
+    assert decode_gif_gray(gif) == (9, 8, grid)
+    assert decode_gif_gray(encode_gif_gray(grid, interlaced=True)) \
+        == (9, 8, grid)
+    assert image_dhash(gif) == image_dhash(encode_png_gray(grid))
+
+    # multi-subblock + LZW code-table growth/reset path
+    big = [[(x * 3 + y * 5) % 251 for x in range(200)]
+           for y in range(150)]
+    assert decode_gif_gray(encode_gif_gray(big)) == (200, 150, big)
+    assert decode_gif_gray(encode_gif_gray(big, interlaced=True)) \
+        == (200, 150, big)
+    assert image_dhash(encode_gif_gray(big)) \
+        == image_dhash(encode_png_gray(big))
+
+    # truncated / exotic blobs return None (and image_dhash routes
+    # them to the PIL-gated stub policy, unchanged)
+    assert decode_gif_gray(b"GIF89a\x01") is None
+    assert decode_gif_gray(None) is None
+    assert decode_gif_gray(b"not a gif") is None
+
+
+def test_gif_lzw_decodes_real_compression():
+    """The LZW decoder handles genuinely compressed streams (repeat
+    runs build multi-byte table entries, including the KwKwK
+    self-reference case) — not just the literal codes our encoder
+    emits. Encode by hand with a growing code table."""
+    from json_schema_spark.textops.multimodal import _gif_lzw_decode
+
+    # min_code_size=2: clear=4, end=5, first table code 6
+    # stream: clear, 1, 1 (-> KwKwK would be code 6 = b'11')
+    def pack(codes, widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in zip(codes, widths):
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear(4), 1, 6 (KwKwK: prev=b'1' -> b'11'), 7 (prev+b'1'= b'111'),
+    # end(5) — all at width 3
+    data = pack([4, 1, 6, 7, 5], [3, 3, 3, 3, 3])
+    assert _gif_lzw_decode(data, 2) == b"\x01\x01\x01\x01\x01\x01"
+
+
+def test_wav_pcm_codec_roundtrip():
+    """Pure-stdlib PCM WAV encode/decode round-trip (round 4) at every
+    integer width; decode_audio now uses the real path for PCM WAV and
+    keeps the soundfile-gated stub for everything else."""
+    import pytest as _pytest
+
+    from json_schema_spark.textops.multimodal import (
+        decode_audio, decode_wav_pcm, encode_wav_pcm, parse_wav_info)
+
+    samples = [((i * 37) % 255) - 127 for i in range(480)]
+    for bits in (8, 16, 24, 32):
+        for channels in (1, 2):
+            blob = encode_wav_pcm(samples, 8000, bits, channels)
+            assert parse_wav_info(blob) == (channels, 8000, bits)
+            got = decode_wav_pcm(blob)
+            assert got == (8000, 480, samples), (bits, channels)
+            assert decode_audio(blob) == (8000, 480)
+
+    assert decode_wav_pcm(b"RIFFxxxxWAVE") is None
+    assert decode_wav_pcm(None) is None
+    try:
+        import soundfile  # type: ignore  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"ID3\x03\x00 not really an mp3")
+
+
+def test_jpeg_codec_roundtrip_and_dhash():
+    """Pure-stdlib baseline JPEG encode/decode (round 4). The encoder
+    uses a FLAT all-ones quant table so DCT-coefficient rounding is
+    the only loss: DC-only (flat) blocks decode EXACTLY, smooth
+    gradients decode exactly, and the oracle pattern (neighbor gaps
+    >= 13) round-trips with max pixel error 1 — so dHash(jpeg) ==
+    dHash(png) of the same pixels. Restart markers (DRI/RSTn) and
+    multi-MCU images exercise the full entropy-decode path."""
+    from json_schema_spark.textops.multimodal import (
+        decode_jpeg_gray, encode_jpeg_gray, encode_png_gray,
+        image_dhash, parse_image_dimensions, sniff_media_type)
+
+    flat = [[77] * 16 for _ in range(16)]
+    j = encode_jpeg_gray(flat)
+    assert sniff_media_type(j) == "image/jpeg"
+    assert parse_image_dimensions(j) == (16, 16)
+    assert decode_jpeg_gray(j) == (16, 16, flat)  # DC-only: exact
+
+    grid = [[(x * 3 + y * 2) % 256 for x in range(24)] for y in range(17)]
+    w, h, rows = decode_jpeg_gray(encode_jpeg_gray(grid))
+    assert (w, h) == (24, 17)
+    assert max(abs(rows[y][x] - grid[y][x])
+               for y in range(17) for x in range(24)) <= 1
+
+    def pattern(k, v):
+        return [[(k * 7 + x * 13 + y * 31
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    for k in (0, 17, 42, 59):
+        for v in range(3):
+            p = pattern(k, v)
+            assert image_dhash(encode_jpeg_gray(p)) \
+                == image_dhash(encode_png_gray(p)), (k, v)
+
+    # restart markers: DC prediction resets, bitstream realigns
+    big = [[(x * 5 + y * 7) % 256 for x in range(64)] for y in range(48)]
+    for ri in (1, 3, 5):
+        w, h, rows = decode_jpeg_gray(encode_jpeg_gray(big,
+                                                       restart_interval=ri))
+        assert (w, h) == (64, 48)
+        assert max(abs(rows[y][x] - big[y][x])
+                   for y in range(48) for x in range(64)) <= 1
+
+    # non-baseline / truncated blobs return None (stub policy intact)
+    assert decode_jpeg_gray(None) is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x06truncated") is None
+    assert decode_jpeg_gray(b"not a jpeg") is None
