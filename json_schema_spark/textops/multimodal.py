@@ -3,10 +3,14 @@
 Images/audio/video ride Spark tables as `binary` columns with a typed
 metadata struct alongside. The Spark-side machinery here is real and
 tested — schema, batch iteration (mapInPandas over Arrow record batches),
-partition-friendly feature extraction — while the actual codec work is
-STUBBED: the decode functions raise NotImplementedError unless the
-optional libraries (PIL / soundfile) are importable, with a deterministic
-header-sniff fallback so pipelines are testable in this container.
+partition-friendly feature extraction — and so is the common-format codec
+work: pure-stdlib pixel decode for PNG / GIF (incl. animated, with
+graphic-control compositing) / baseline JPEG / uncompressed BMP, PCM WAV
+sample decode, deterministic block-mean resize, and per-frame sampling of
+animated GIFs. Only the exotic layouts (progressive JPEG, 16-bit PNG,
+compressed audio, real video containers) stay behind clearly-marked
+stubs that raise NotImplementedError unless the optional libraries
+(PIL / soundfile / PyAV) are importable.
 
 Scale notes: feature extraction is mapInPandas (no shuffle, no driver
 data); batch size is governed by spark.sql.execution.arrow.
@@ -49,6 +53,7 @@ _MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"\x89PNG": "image/png",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
     b"RIFF": "audio/wav",
     b"ID3": "audio/mpeg",
     b"<htm": "text/html",
@@ -93,6 +98,12 @@ def parse_image_dimensions(blob: bytes | None) -> tuple[int, int] | None:
         if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
             w = int.from_bytes(blob[6:8], "little")
             h = int.from_bytes(blob[8:10], "little")
+            return (w, h)
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            # BITMAPINFOHEADER: signed LE width/height at 18/22 (a
+            # negative height means top-down row order)
+            w = int.from_bytes(blob[18:22], "little", signed=True)
+            h = abs(int.from_bytes(blob[22:26], "little", signed=True))
             return (w, h)
         if blob[:2] == b"\xff\xd8":
             pos = 2
@@ -158,18 +169,28 @@ def decode_image(blob: bytes) -> Any:
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Re-encode an image at (width, height). Requires PIL — STUB,
-    same policy as decode_image; the Spark-side plumbing for batch
-    resize is extract_media_features-style mapInPandas with this
-    function applied per blob inside the batch loop."""
+    """Re-encode an image at (width, height). REAL for every format
+    the stdlib decoders read (PNG/GIF/baseline JPEG/BMP): decode to
+    grayscale, deterministic integer block-mean downsample (nearest-
+    neighbor upsample), re-encode as grayscale PNG. Color-preserving
+    resize of exotic layouts requires PIL (same stub policy as
+    decode_image); the Spark-side plumbing for batch resize is
+    extract_media_features-style mapInPandas with this function
+    applied per blob inside the batch loop."""
+    decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
+               or decode_jpeg_gray(blob) or decode_bmp_gray(blob))
+    if decoded is not None:
+        _w, _h, rows = decoded
+        return encode_png_gray(_downsample_gray(rows, width, height))
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
-            "image resizing requires PIL; install pillow on "
-            "executors") from exc
+            "resizing this image layout requires PIL; install pillow "
+            "on executors (PNG/GIF/baseline-JPEG/BMP resize works "
+            "without it)") from exc
     img = Image.open(io.BytesIO(blob)).resize((width, height))
     buf = io.BytesIO()
     img.save(buf, format=img.format or "PNG")
@@ -177,20 +198,155 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
-    """Every n-th frame of a video blob as encoded images. Requires an
-    actual video codec (av / opencv) — STUB: neither is vendored in
-    this environment. The Spark-side shape for frame sampling is
-    mapInPandas yielding one row per sampled frame
-    ((id, frame_idx, frame_blob)), with
+    """Every n-th frame of a video blob, each re-encoded as a
+    grayscale PNG. REAL for animated GIF (the one motion container the
+    pure-stdlib decoders read): frames are composited with full
+    graphic-control semantics (transparency, disposal) before
+    sampling, so frame k is the true on-screen canvas, not a partial
+    sub-rectangle. Real video codecs (mp4/webm/mkv) require PyAV or
+    OpenCV — STUB, neither is vendored here. The Spark-side shape is
+    sample_frames_table: mapInPandas yielding one row per sampled
+    frame ((id, frame_idx, frame_png)), with
     spark.sql.execution.arrow.maxRecordsPerBatch lowered so the
     exploded frame rows stay within Arrow batch budgets."""
+    frames = decode_gif_frames(blob)
+    if frames is not None:
+        return [encode_png_gray(rows) for _w, _h, rows
+                in frames[::max(every_n, 1)]]
     try:
         import av  # type: ignore  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "video frame sampling requires PyAV (or OpenCV); install "
-            "one on executors") from exc
+            "frame sampling for this container requires PyAV (or "
+            "OpenCV); install one on executors (animated GIF works "
+            "without it)") from exc
     raise NotImplementedError("frame extraction not implemented")
+
+
+def sample_frames_table(df: DataFrame, blob_col: str,
+                        id_col: str = "doc_id", every_n: int = 30,
+                        dedup_consecutive: bool = False) -> DataFrame:
+    """(id, frame_idx, frame_png) — one row per sampled frame, via
+    mapInPandas (Arrow-batched, zero shuffle, nothing on the driver).
+    frame_idx is the index in the SOURCE stream (0, every_n, 2*every_n
+    ...), so downstream joins can align frames across variants of the
+    same video. Blobs whose container we can't decode yield no rows
+    (the NULL-hash convention of image_perceptual_hashes). With
+    dedup_consecutive=True, a sampled frame byte-identical to the
+    previously sampled frame of the same blob is skipped — the cheap
+    static-scene cut that makes downstream perceptual hashing
+    near-linear in distinct frames.
+
+    Scale note: output can be ~n_frames/every_n times larger than the
+    input row count; lower
+    spark.sql.execution.arrow.maxRecordsPerBatch (e.g. 64) when blobs
+    are large so a single Arrow batch of exploded frames stays within
+    executor memory. Downstream image_dhash + hamming_pairs gives
+    video near-dup detection over the sampled frames."""
+    id_name, blob_name = id_col, blob_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            idxs: list[int] = []
+            blobs: list[bytes] = []
+            for rid, blob in zip(pdf[id_name], pdf[blob_name]):
+                frames = decode_gif_frames(blob)
+                if frames is None:
+                    continue
+                prev = None
+                for k, (_w, _h, rows) in enumerate(
+                        frames[::max(every_n, 1)]):
+                    png = encode_png_gray(rows)
+                    if dedup_consecutive and png == prev:
+                        continue
+                    ids.append(str(rid))
+                    idxs.append(k * max(every_n, 1))
+                    blobs.append(png)
+                    prev = png
+            yield pd.DataFrame({
+                "id": pd.array(ids, dtype="string"),
+                "frame_idx": pd.array(idxs, dtype="Int64"),
+                "frame_png": blobs})
+
+    return (df.select(F.col(id_col), F.col(blob_col))
+            .mapInPandas(extract,
+                         "id string, frame_idx long, frame_png binary"))
+
+
+def encode_bmp_gray(pixels: list[list[int]]) -> bytes:
+    """Encode an 8-bit grayscale grid as an uncompressed 8-bpp BMP
+    (BITMAPINFOHEADER + 256-gray palette, bottom-up rows, 4-byte row
+    padding) — pure stdlib, public layout."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    stride = (w + 3) & ~3
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    raster = b"".join(
+        bytes(pixels[y]) + b"\x00" * (stride - w)
+        for y in range(h - 1, -1, -1))  # bottom-up
+    offset = 14 + 40 + len(palette)
+    header = (b"BM" + struct.pack("<IHHI", offset + len(raster), 0, 0,
+                                  offset)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                            len(raster), 2835, 2835, 256, 0))
+    return header + palette + raster
+
+
+def decode_bmp_gray(blob: bytes | None) -> \
+        tuple[int, int, list[list[int]]] | None:
+    """REAL pure-stdlib BMP decode to an 8-bit grayscale grid:
+    uncompressed 8-bpp palettized and 24/32-bpp BGR(A), bottom-up or
+    top-down, BITMAPINFOHEADER-or-later. Palette/channel values map
+    through integer BT.601 luma like the PNG/GIF/JPEG paths. None for
+    compressed (RLE) or 1/4/16-bpp layouts."""
+    import struct
+
+    if blob is None or blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    try:
+        (offset,) = struct.unpack("<I", blob[10:14])
+        (hdr_size,) = struct.unpack("<I", blob[14:18])
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER not supported
+        w, h_raw = struct.unpack("<ii", blob[18:26])
+        planes, bpp = struct.unpack("<HH", blob[26:30])
+        (compression,) = struct.unpack("<I", blob[30:34])
+        (palette_n,) = struct.unpack("<I", blob[46:50])
+        if planes != 1 or compression not in (0, 3) \
+                or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
+            return None
+        top_down = h_raw < 0
+        h = abs(h_raw)
+        luma = None
+        if bpp == 8:
+            n = palette_n or 256
+            pal = blob[14 + hdr_size:14 + hdr_size + 4 * n]
+            if len(pal) < 4 * n:
+                return None
+            luma = [(299 * pal[4 * i + 2] + 587 * pal[4 * i + 1]
+                     + 114 * pal[4 * i]) // 1000 for i in range(n)]
+        stride = ((w * bpp + 31) // 32) * 4
+        if offset + stride * h > len(blob):
+            return None
+        rows = []
+        for yy in range(h):
+            y = yy if top_down else h - 1 - yy
+            base = offset + y * stride
+            if bpp == 8:
+                rows.append([luma[blob[base + x]] for x in range(w)])
+            else:
+                step = bpp // 8
+                rows.append([
+                    (299 * blob[base + step * x + 2]
+                     + 587 * blob[base + step * x + 1]
+                     + 114 * blob[base + step * x]) // 1000
+                    for x in range(w)])
+        return (w, h, rows)
+    except (struct.error, IndexError):
+        return None
 
 
 # --- baseline JPEG (ITU T.81), pure stdlib ---------------------------------
@@ -731,6 +887,17 @@ def encode_gif_gray(pixels: list[list[int]], interlaced: bool = False)\
     out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0; no aspect
     for i in range(256):        # grayscale palette: luma(i,i,i) == i
         out += bytes([i, i, i])
+    out += _gif_image_block(pixels, w, h, interlaced)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_image_block(pixels: list[list[int]], w: int, h: int,
+                     interlaced: bool) -> bytes:
+    """One full-canvas GIF image block: descriptor + literal-code LZW
+    data sub-blocks + terminator (shared by the single- and
+    multi-frame encoders)."""
+    out = bytearray()
     out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes([0x40 if interlaced else 0x00])
@@ -766,7 +933,34 @@ def encode_gif_gray(pixels: list[list[int]], interlaced: bool = False)\
     for i in range(0, len(data), 255):
         block = data[i:i + 255]
         out += bytes([len(block)]) + block
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += b"\x00"  # block terminator
+    return bytes(out)
+
+
+def encode_gif_gray_frames(frames: list[list[list[int]]],
+                           disposals: list[int] | None = None,
+                           transparent: int | None = None) -> bytes:
+    """Encode full-canvas grayscale frames as a real ANIMATED GIF89a
+    (one graphic-control extension + image block per frame) — pure
+    stdlib, used to synthesize deterministic test/oracle animations.
+    `disposals[i]` sets each frame's disposal method; `transparent`
+    marks one palette index transparent in every frame after the
+    first (so composition semantics are exercised)."""
+    h = len(frames[0])
+    w = len(frames[0][0]) if h else 0
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fi, frame in enumerate(frames):
+        disp = disposals[fi] if disposals else 0
+        trans = transparent if (transparent is not None and fi) else None
+        flags = (disp & 0x07) << 2 | (1 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0,
+                      trans if trans is not None else 0, 0])
+        out += _gif_image_block(frame, w, h, interlaced=False)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -820,6 +1014,82 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_raw_frames(blob: bytes):
+    """Generator over a GIF's image blocks: yields
+    (ix, iy, iw, ih, luma_rows, index_rows, transparent_idx, disposal)
+    per frame, de-interlaced, with palette already luma-mapped
+    (integer BT.601). Graphic-control extensions (transparency index,
+    disposal method) are parsed; other extensions are skipped. Raises
+    ValueError on truncated/exotic blobs."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = blob[pos:pos + 3 * size]
+        pos += 3 * size
+    trans_idx = None
+    disposal = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label, then sub-blocks
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                flags = blob[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                trans_idx = blob[pos + 4] if flags & 1 else None
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix = int.from_bytes(blob[pos + 1:pos + 3], "little")
+            iy = int.from_bytes(blob[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(blob[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(blob[pos + 7:pos + 9], "little")
+            ipacked = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                ct = blob[pos:pos + 3 * size]
+                pos += 3 * size
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if ct is None or not (0 < iw and 0 < ih):
+                raise ValueError("missing color table")
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("short index stream")
+            luma = [(299 * ct[3 * i] + 587 * ct[3 * i + 1]
+                     + 114 * ct[3 * i + 2]) // 1000
+                    for i in range(len(ct) // 3)]
+            frame = [[luma[idx[y * iw + x]] for x in range(iw)]
+                     for y in range(ih)]
+            irows = [[idx[y * iw + x] for x in range(iw)]
+                     for y in range(ih)]
+            if ipacked & 0x40:  # de-interlace
+                order = _gif_interlace_order(ih)
+                df_, di_ = [None] * ih, [None] * ih
+                for src, dst in enumerate(order):
+                    df_[dst], di_[dst] = frame[src], irows[src]
+                frame, irows = df_, di_  # type: ignore[assignment]
+            yield (ix, iy, iw, ih, frame, irows, trans_idx, disposal)
+            trans_idx, disposal = None, 0
+        elif b0 == 0x3B:  # trailer
+            return
+        else:
+            raise ValueError("unknown block")
+
+
 def decode_gif_gray(blob: bytes | None) -> \
         tuple[int, int, list[list[int]]] | None:
     """REAL pure-stdlib GIF pixel decode to an 8-bit grayscale grid:
@@ -828,78 +1098,68 @@ def decode_gif_gray(blob: bytes | None) -> \
     stream, de-interlace if flagged, map palette entries through
     integer BT.601 luma (same formula as the PNG path), and composite
     a sub-rectangle frame onto a black canvas. First frame only
-    (animation dedup wants the poster frame); None for truncated or
-    exotic blobs (those keep the PIL-gated stub policy in
-    image_dhash)."""
-    if blob is None or blob[:6] not in (b"GIF87a", b"GIF89a"):
+    (animation dedup wants the poster frame — decode_gif_frames walks
+    the rest); None for truncated or exotic blobs (those keep the
+    PIL-gated stub policy in image_dhash)."""
+    if blob is None:
         return None
     try:
         w = int.from_bytes(blob[6:8], "little")
         h = int.from_bytes(blob[8:10], "little")
-        packed = blob[10]
-        pos = 13
-        gct = None
-        if packed & 0x80:
-            size = 2 << (packed & 0x07)
-            gct = blob[pos:pos + 3 * size]
-            pos += 3 * size
-        while pos < len(blob):
-            b0 = blob[pos]
-            if b0 == 0x21:  # extension: label, then sub-blocks
-                pos += 2
-                while blob[pos] != 0:
-                    pos += 1 + blob[pos]
-                pos += 1
-            elif b0 == 0x2C:  # image descriptor
-                ix = int.from_bytes(blob[pos + 1:pos + 3], "little")
-                iy = int.from_bytes(blob[pos + 3:pos + 5], "little")
-                iw = int.from_bytes(blob[pos + 5:pos + 7], "little")
-                ih = int.from_bytes(blob[pos + 7:pos + 9], "little")
-                ipacked = blob[pos + 9]
-                pos += 10
-                ct = gct
-                if ipacked & 0x80:
-                    size = 2 << (ipacked & 0x07)
-                    ct = blob[pos:pos + 3 * size]
-                    pos += 3 * size
-                min_code = blob[pos]
-                pos += 1
-                data = bytearray()
-                while blob[pos] != 0:
-                    ln = blob[pos]
-                    data += blob[pos + 1:pos + 1 + ln]
-                    pos += 1 + ln
-                if ct is None or not (0 < iw and 0 < ih):
-                    return None
-                idx = _gif_lzw_decode(bytes(data), min_code)
-                if len(idx) < iw * ih:
-                    return None
-                luma = [(299 * ct[3 * i] + 587 * ct[3 * i + 1]
-                         + 114 * ct[3 * i + 2]) // 1000
-                        for i in range(len(ct) // 3)]
-                frame = [[luma[idx[y * iw + x]] for x in range(iw)]
-                         for y in range(ih)]
-                if ipacked & 0x40:  # de-interlace
-                    ordered: list[list[int] | None] = [None] * ih
-                    for src, dst in enumerate(_gif_interlace_order(ih)):
-                        ordered[dst] = frame[src]
-                    frame = ordered  # type: ignore[assignment]
-                if (ix, iy, iw, ih) == (0, 0, w, h):
-                    return (w, h, frame)
-                canvas = [[0] * w for _ in range(h)]
-                for y in range(min(ih, h - iy)):
-                    row = canvas[iy + y]
-                    src = frame[y]
-                    for x in range(min(iw, w - ix)):
-                        row[ix + x] = src[x]
-                return (w, h, canvas)
-            elif b0 == 0x3B:  # trailer
-                return None
-            else:
-                return None
+        for ix, iy, iw, ih, frame, _irows, _t, _d in _gif_raw_frames(blob):
+            if (ix, iy, iw, ih) == (0, 0, w, h):
+                return (w, h, frame)
+            canvas = [[0] * w for _ in range(h)]
+            for y in range(min(ih, h - iy)):
+                row = canvas[iy + y]
+                src = frame[y]
+                for x in range(min(iw, w - ix)):
+                    row[ix + x] = src[x]
+            return (w, h, canvas)
     except (IndexError, ValueError):
         return None
     return None
+
+
+def decode_gif_frames(blob: bytes | None,
+                      max_frames: int | None = None) -> \
+        list[tuple[int, int, list[list[int]]]] | None:
+    """REAL pure-stdlib ANIMATED GIF decode: every frame composited to
+    a full (w, h) grayscale canvas with graphic-control semantics —
+    transparent pixels keep the previous canvas, disposal 2 restores
+    the frame's rectangle to background (black) after rendering,
+    disposal 3 restores the pre-frame canvas. Returns
+    [(w, h, rows), ...] (capped at max_frames); None for truncated or
+    exotic blobs."""
+    if blob is None:
+        return None
+    try:
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        canvas = [[0] * w for _ in range(h)]
+        out = []
+        for ix, iy, iw, ih, frame, irows, trans, disposal \
+                in _gif_raw_frames(blob):
+            before = [row[:] for row in canvas] if disposal == 3 else None
+            for y in range(min(ih, h - iy)):
+                crow = canvas[iy + y]
+                srow, xrow = frame[y], irows[y]
+                for x in range(min(iw, w - ix)):
+                    if trans is None or xrow[x] != trans:
+                        crow[ix + x] = srow[x]
+            out.append((w, h, [row[:] for row in canvas]))
+            if max_frames is not None and len(out) >= max_frames:
+                return out
+            if disposal == 2:  # restore rect to background
+                for y in range(min(ih, h - iy)):
+                    crow = canvas[iy + y]
+                    for x in range(min(iw, w - ix)):
+                        crow[ix + x] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+        return out or None
+    except (IndexError, ValueError):
+        return None
 
 
 # PNG filter types (public spec, RFC 2083 §6): each scanline is
@@ -1026,7 +1286,7 @@ def image_dhash(blob: bytes | None, hash_size: int = 8) -> int | None:
     if blob is None:
         return None
     decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
-               or decode_jpeg_gray(blob))
+               or decode_jpeg_gray(blob) or decode_bmp_gray(blob))
     if decoded is None:
         if sniff_media_type(blob) in ("image/jpeg", "image/gif"):
             w, h, _mode = decode_image(blob)  # PIL-gated stub policy

@@ -1378,3 +1378,171 @@ def test_jpeg_codec_roundtrip_and_dhash():
     assert decode_jpeg_gray(None) is None
     assert decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x06truncated") is None
     assert decode_jpeg_gray(b"not a jpeg") is None
+
+
+def test_bmp_codec_roundtrip_and_dhash():
+    """Pure-stdlib BMP encode/decode round-trip (round 4): 8-bpp
+    palettized bottom-up with 4-byte row padding, palette luma is the
+    identity — so a BMP and a PNG of the same pixels produce the same
+    dHash. Top-down and 24/32-bpp layouts decode too."""
+    import struct
+
+    from json_schema_spark.textops.multimodal import (
+        decode_bmp_gray, encode_bmp_gray, encode_png_gray, image_dhash,
+        parse_image_dimensions, sniff_media_type)
+
+    grid = [[(x * 13 + y * 31) % 251 for x in range(9)] for y in range(8)]
+    bmp = encode_bmp_gray(grid)
+    assert sniff_media_type(bmp) == "image/bmp"
+    assert parse_image_dimensions(bmp) == (9, 8)
+    assert decode_bmp_gray(bmp) == (9, 8, grid)
+    assert image_dhash(bmp) == image_dhash(encode_png_gray(grid))
+
+    # width not a multiple of 4 exercises row padding; 1x1 edge case
+    odd = [[(x * 7 + y) % 256 for x in range(5)] for y in range(3)]
+    assert decode_bmp_gray(encode_bmp_gray(odd)) == (5, 3, odd)
+    assert decode_bmp_gray(encode_bmp_gray([[42]])) == (1, 1, [[42]])
+
+    # hand-rolled 24-bpp bottom-up BMP: BGR = (v, v, v) -> luma v
+    w, h = 3, 2
+    px = [[10, 20, 30], [40, 50, 60]]
+    stride = ((w * 24 + 31) // 32) * 4
+    raster = b"".join(
+        b"".join(bytes([px[y][x]] * 3) for x in range(w)).ljust(stride,
+                                                                b"\x00")
+        for y in range(h - 1, -1, -1))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(raster), 0, 0, 0, 0))
+    assert decode_bmp_gray(hdr + raster) == (w, h, px)
+    # top-down variant: negative height, same pixels, rows not flipped
+    raster_td = b"".join(
+        b"".join(bytes([px[y][x]] * 3) for x in range(w)).ljust(stride,
+                                                                b"\x00")
+        for y in range(h))
+    hdr_td = (b"BM" + struct.pack("<IHHI", 54 + len(raster_td), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                            len(raster_td), 0, 0, 0, 0))
+    assert decode_bmp_gray(hdr_td + raster_td) == (w, h, px)
+
+    # stub policy intact: RLE-compressed / truncated -> None
+    assert decode_bmp_gray(None) is None
+    assert decode_bmp_gray(b"BMshort") is None
+    rle = bytearray(bmp)
+    rle[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    assert decode_bmp_gray(bytes(rle)) is None
+
+
+def test_animated_gif_composition_semantics():
+    """decode_gif_frames composites with real graphic-control
+    semantics: transparent pixels keep the prior canvas, disposal 2
+    clears the frame rect to background, disposal 3 restores the
+    pre-frame canvas."""
+    from json_schema_spark.textops.multimodal import (
+        decode_gif_frames, decode_gif_gray, encode_gif_gray_frames)
+
+    f0 = [[100] * 4 for _ in range(3)]
+    f1 = [[0, 0, 200, 200],
+          [0, 0, 200, 200],
+          [0, 0, 0, 0]]
+    f2 = [[7] * 4 for _ in range(3)]
+    # frame 1 marks index 0 transparent -> those pixels keep frame 0's
+    blob = encode_gif_gray_frames([f0, f1, f2], transparent=0)
+    frames = decode_gif_frames(blob)
+    assert frames is not None and len(frames) == 3
+    assert frames[0] == (4, 3, f0)
+    assert frames[1] == (4, 3, [[100, 100, 200, 200],
+                                [100, 100, 200, 200],
+                                [100, 100, 100, 100]])
+    # frame 2 has no transparent pixels (value 7 everywhere)
+    assert frames[2] == (4, 3, f2)
+    # first frame of the animation == the single-frame poster decode
+    assert decode_gif_gray(blob) == frames[0]
+
+    # disposal 2 after frame 0: canvas resets to background before f1;
+    # transparent f1 pixels now read 0, not 100
+    blob2 = encode_gif_gray_frames([f0, f1], disposals=[2, 0],
+                                   transparent=0)
+    frames2 = decode_gif_frames(blob2)
+    assert frames2[1] == (4, 3, f1)
+
+    # disposal 3 on frame 1: frame 2's transparent pixels see frame
+    # 0's canvas again (f1's paint was reverted)
+    f2t = [[0, 0, 0, 0], [0, 9, 9, 0], [0, 0, 0, 0]]
+    blob3 = encode_gif_gray_frames([f0, f1, f2t], disposals=[0, 3, 0],
+                                   transparent=0)
+    frames3 = decode_gif_frames(blob3)
+    assert frames3[2] == (4, 3, [[100, 100, 100, 100],
+                                 [100, 9, 9, 100],
+                                 [100, 100, 100, 100]])
+    # max_frames caps the walk
+    assert len(decode_gif_frames(blob3, max_frames=2)) == 2
+
+
+def test_sample_video_frames_real_for_gif():
+    """sample_video_frames is REAL for animated GIF: every n-th
+    composited frame comes back as a decodable grayscale PNG; other
+    containers keep the PyAV-gated stub policy."""
+    from json_schema_spark.textops.multimodal import (
+        decode_png_gray, encode_gif_gray_frames, sample_video_frames)
+
+    frames = [[[(k * 40 + x + y) % 251 for x in range(6)]
+               for y in range(4)] for k in range(7)]
+    blob = encode_gif_gray_frames(frames)
+    sampled = sample_video_frames(blob, every_n=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    for k, png in zip((0, 3, 6), sampled):
+        assert decode_png_gray(png) == (6, 4, frames[k])
+    assert len(sample_video_frames(blob, every_n=1)) == 7
+
+
+def test_resize_image_real_for_stdlib_formats():
+    """resize_image decodes PNG/GIF/BMP/JPEG via the stdlib paths and
+    block-mean downsamples deterministically; undecodable layouts keep
+    the PIL-gated stub policy."""
+    from json_schema_spark.textops.multimodal import (
+        _downsample_gray, decode_png_gray, encode_bmp_gray,
+        encode_gif_gray, encode_png_gray, resize_image)
+
+    grid = [[(x * 11 + y * 17) % 256 for x in range(16)]
+            for y in range(12)]
+    want = _downsample_gray(grid, 4, 3)
+    for blob in (encode_png_gray(grid), encode_gif_gray(grid),
+                 encode_bmp_gray(grid)):
+        assert decode_png_gray(resize_image(blob, 4, 3)) == (4, 3, want)
+    # identity resize round-trips exactly
+    assert decode_png_gray(resize_image(encode_png_gray(grid), 16, 12)) \
+        == (16, 12, grid)
+
+
+def test_sample_frames_table(spark):
+    """Spark-side frame sampling: one row per sampled frame via
+    mapInPandas, source-stream frame_idx, undecodable blobs yield no
+    rows, consecutive-dup frames skippable."""
+    from json_schema_spark.textops.multimodal import (
+        decode_png_gray, encode_gif_gray_frames, sample_frames_table)
+
+    def anim(seed, n, static=False):
+        return encode_gif_gray_frames(
+            [[[(seed if static else seed + 40 * k + x + y) % 251
+               for x in range(5)] for y in range(4)]
+             for k in range(n)])
+
+    df = spark.createDataFrame(
+        [("a", anim(3, 5)), ("b", anim(9, 2)),
+         ("s", anim(60, 6, static=True)), ("junk", b"not a gif"),
+         ("n", None)],
+        "doc_id string, blob binary")
+    out = sample_frames_table(df, "blob", "doc_id", every_n=2)
+    rows = {(r["id"], r["frame_idx"]): r["frame_png"]
+            for r in out.collect()}
+    assert set(rows) == {("a", 0), ("a", 2), ("a", 4), ("b", 0),
+                         ("s", 0), ("s", 2), ("s", 4)}
+    assert decode_png_gray(rows[("a", 2)]) == (
+        5, 4, [[(3 + 80 + x + y) % 251 for x in range(5)]
+               for y in range(4)])
+    # static animation collapses to one frame with dedup_consecutive
+    out2 = sample_frames_table(df, "blob", "doc_id", every_n=2,
+                               dedup_consecutive=True)
+    got = {(r["id"], r["frame_idx"]) for r in out2.collect()}
+    assert got == {("a", 0), ("a", 2), ("a", 4), ("b", 0), ("s", 0)}
