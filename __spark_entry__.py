@@ -2470,6 +2470,69 @@ def _q_image_dedup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
 
 
+def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs (round 4): each doc_id becomes a
+    deterministic 4-frame animated GIF89a of the image_dedup 9x8
+    pattern with a per-frame phase term (+ f*41); the pipeline samples
+    every 2nd frame (frames 0 and 2), dHashes each sampled frame, pairs
+    frames at equal frame_idx with the pigeonhole chunk join, and keeps
+    only video pairs whose sampled frames ALL matched within hamming 3.
+    Same-(k,v) videos are byte-identical (hamming 0 at both frames);
+    same-k different-v videos differ only in the 2x2 corner (near-dup
+    at every frame); everything else is far. The grayscale palette maps
+    index i -> (i,i,i) (luma = i), so the oracle replays the identical
+    dHash arithmetic per frame and the same all-frames gate in SQL."""
+    from json_schema_spark.textops.multimodal import (
+        encode_gif_gray_frames, video_near_duplicates)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def frame(i: int, f: int) -> list[list[int]]:
+        k, v = i % 60, (i // 60) % 3
+        return [[(k * 7 + x * 13 + y * 31 + f * 41
+                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+                 for x in range(9)] for y in range(8)]
+
+    blobs = [(int(i), encode_gif_gray_frames(
+        [frame(int(i), f) for f in range(4)])) for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return video_near_duplicates(df, "blob", "doc_id", every_n=2,
+                                 max_hamming=3)
+
+
+_SQL_VIDEO_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
+  FROM documents
+),
+h AS (
+  SELECT doc_id, fi,
+    CAST(list_aggregate(list_transform(range(0, 64), i ->
+      CASE WHEN
+        ((k*7 + ((i % 8) + 1)*13 + (i // 8)*31 + fi*41
+          + CASE WHEN (i % 8) + 1 < 2 AND i // 8 < 2
+                 THEN 37*v ELSE 0 END) % 251)
+        >
+        ((k*7 + (i % 8)*13 + (i // 8)*31 + fi*41
+          + CASE WHEN (i % 8) < 2 AND i // 8 < 2
+                 THEN 37*v ELSE 0 END) % 251)
+      THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+           ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END
+      ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS dhash
+  FROM d CROSS JOIN (VALUES (0), (2)) AS frames(fi)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS ham
+  FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.fi = b.fi
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+)
+SELECT id_a, id_b, count(*) AS n_frames, max(ham) AS max_hamming
+FROM p GROUP BY id_a, id_b HAVING count(*) = 2
+"""
+
+
 # the pinned numeric baseline for ks_baseline: quantized-bucket masses
 # (floor(value*4)), deliberately overlapping only part of the observed
 # support — absent-on-either-side buckets carry zero mass on that side,
@@ -2562,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": _q_image_dedup,
         "image_dedup_gif": _q_image_dedup_gif,
         "image_dedup_jpeg": _q_image_dedup_jpeg,
+        "video_dedup": _q_video_dedup,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2625,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup": _SQL_IMAGE_DEDUP,
         "image_dedup_gif": _SQL_IMAGE_DEDUP,
         "image_dedup_jpeg": _SQL_IMAGE_DEDUP,
+        "video_dedup": _SQL_VIDEO_DEDUP,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,

@@ -459,7 +459,8 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def hamming_pairs(fp_df: DataFrame, fp_col: str = "simhash",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  n_chunks: int = 4, bits: int = 32) -> DataFrame:
+                  n_chunks: int = 4, bits: int = 32,
+                  group_cols: list[str] | None = None) -> DataFrame:
     """Pairs of rows within ``max_hamming`` bit-distance of a 64-bit
     fingerprint column, without the all-pairs cross product — the
     generic core behind simhash_pairs and image_near_duplicates.
@@ -479,21 +480,30 @@ def hamming_pairs(fp_df: DataFrame, fp_col: str = "simhash",
     residual skewed bucket. Candidate volume is sum of per-bucket m^2,
     the same cost profile as MinHash LSH banding.
 
+    ``group_cols`` restrict pairing to rows with EQUAL values in those
+    columns (e.g. frame_idx when pairing sampled video frames): the
+    group columns join into the pigeonhole equi-join keys — which also
+    subdivides the candidate buckets, so groups make the join cheaper,
+    not costlier — and lead the output.
+
     ``fp_df`` is persisted via the shared registry (self-join reads it
-    twice; caller releases). Returns (id_a, id_b, hamming), id_a < id_b.
+    twice; caller releases). Returns ([group_cols...,] id_a, id_b,
+    hamming), id_a < id_b.
     """
     if max_hamming >= n_chunks:
         raise ValueError("need max_hamming < n_chunks for the pigeonhole "
                          "guarantee (no false negatives)")
     if bits % n_chunks:
         raise ValueError("bits must divide evenly into n_chunks")
+    groups = list(group_cols or [])
     chunk_bits = bits // n_chunks
     # persist the fingerprints: a self-join recomputes BOTH branches of
     # its input otherwise (no ReuseExchange across join sides), doubling
     # the fingerprint derivation. The table is (id, int64) — ~16
     # bytes/doc — so it stays cacheable at any corpus size.
     sh = _register_cache(fp_df.select(F.col(id_col).alias("_id"),
-                                      F.col(fp_col).alias("_fp")))
+                                      F.col(fp_col).alias("_fp"),
+                                      *[F.col(c) for c in groups]))
 
     # chunk_val = (fp >>> (chunk_bits*idx)) & (2^chunk_bits - 1).
     # Literal shift counts (one struct per chunk, inlined to rows) keep
@@ -509,25 +519,29 @@ def hamming_pairs(fp_df: DataFrame, fp_col: str = "simhash",
             v = v.bitwiseAND(F.lit((1 << chunk_bits) - 1))
         return v
 
-    chunks = (sh.select("_id", "_fp",
+    chunks = (sh.select("_id", "_fp", *groups,
                         F.inline(F.array(*[
                             F.struct(F.lit(i).alias("chunk_idx"),
                                      chunk_val(i).alias("chunk_val"))
                             for i in range(n_chunks)]))))
 
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"),
+    cond = ((F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")))
+    for c in groups:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (a.join(b, cond)
+            .select(*[F.col(f"a.{c}") for c in groups],
+                    F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
                     F.col("a._fp").alias("fp_a"),
                     F.col("b._fp").alias("fp_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .dropDuplicates([*groups, "id_a", "id_b"]))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (cand.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select(*groups, "id_a", "id_b", "hamming"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",

@@ -247,7 +247,7 @@ def sample_frames_table(df: DataFrame, blob_col: str,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[str] = []
+            ids: list[Any] = []
             idxs: list[int] = []
             blobs: list[bytes] = []
             for rid, blob in zip(pdf[id_name], pdf[blob_name]):
@@ -260,18 +260,23 @@ def sample_frames_table(df: DataFrame, blob_col: str,
                     png = encode_png_gray(rows)
                     if dedup_consecutive and png == prev:
                         continue
-                    ids.append(str(rid))
+                    ids.append(rid)
                     idxs.append(k * max(every_n, 1))
                     blobs.append(png)
                     prev = png
             yield pd.DataFrame({
-                "id": pd.array(ids, dtype="string"),
+                "id": ids,
                 "frame_idx": pd.array(idxs, dtype="Int64"),
                 "frame_png": blobs})
 
+    schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ])
     return (df.select(F.col(id_col), F.col(blob_col))
-            .mapInPandas(extract,
-                         "id string, frame_idx long, frame_png binary"))
+            .mapInPandas(extract, schema)
+            .withColumnRenamed("id", id_col))
 
 
 def encode_bmp_gray(pixels: list[list[int]]) -> bytes:
@@ -1316,28 +1321,34 @@ def image_dhash(blob: bytes | None, hash_size: int = 8) -> int | None:
 def image_perceptual_hashes(df: DataFrame, blob_col: str,
                             id_col: str = "doc_id",
                             hash_size: int = 8,
-                            out_col: str = "dhash") -> DataFrame:
-    """(id, dhash) via mapInPandas — Arrow-batched, no shuffle, no
-    driver data; undecodable blobs drop out (NULL hash). The decode
-    per blob is the sanctioned non-expressible step (same policy as
-    the dynamic-JSON validator); everything downstream of the hash is
-    pure Catalyst."""
+                            out_col: str = "dhash",
+                            carry_cols: list[str] | None = None)\
+        -> DataFrame:
+    """(id, [carry_cols...], dhash) via mapInPandas — Arrow-batched, no
+    shuffle, no driver data; undecodable blobs drop out (NULL hash).
+    ``carry_cols`` pass through unchanged (e.g. frame_idx when hashing
+    sampled video frames). The decode per blob is the sanctioned
+    non-expressible step (same policy as the dynamic-JSON validator);
+    everything downstream of the hash is pure Catalyst."""
     id_name, blob_name = id_col, blob_col
+    carry = list(carry_cols or [])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({
-                "id": pdf[id_name],
-                out_col: pd.array(
-                    [image_dhash(b, hash_size) for b in pdf[blob_name]],
-                    dtype="Int64"),
-            })
+            out = {"id": pdf[id_name]}
+            for c in carry:
+                out[c] = pdf[c]
+            out[out_col] = pd.array(
+                [image_dhash(b, hash_size) for b in pdf[blob_name]],
+                dtype="Int64")
+            yield pd.DataFrame(out)
 
-    schema = T.StructType([
-        T.StructField("id", df.schema[id_col].dataType),
-        T.StructField(out_col, T.LongType()),
-    ])
-    return (df.select(F.col(id_col), F.col(blob_col))
+    schema = T.StructType(
+        [T.StructField("id", df.schema[id_col].dataType)]
+        + [T.StructField(c, df.schema[c].dataType) for c in carry]
+        + [T.StructField(out_col, T.LongType())])
+    return (df.select(F.col(id_col), *[F.col(c) for c in carry],
+                      F.col(blob_col))
             .mapInPandas(extract, schema)
             .filter(F.col(out_col).isNotNull())
             .withColumnRenamed("id", id_col))
@@ -1359,6 +1370,54 @@ def image_near_duplicates(df: DataFrame, blob_col: str,
     return hamming_pairs(hashes, fp_col="dhash", id_col=id_col,
                          max_hamming=max_hamming, n_chunks=n_chunks,
                          bits=64)
+
+
+def video_near_duplicates(df: DataFrame, blob_col: str,
+                          id_col: str = "doc_id",
+                          every_n: int = 30,
+                          max_hamming: int = 3,
+                          n_chunks: int = 4) -> DataFrame:
+    """Near-duplicate VIDEO pairs by per-frame perceptual hashing:
+    sample every n-th composited frame (sample_frames_table), dHash
+    each frame, pair frames at the SAME frame_idx with the pigeonhole
+    chunk join (hamming_pairs grouped on frame_idx — grouping
+    subdivides the candidate buckets, so it's cheaper than one global
+    pairing), then keep the video pairs whose sampled frames ALL
+    matched within ``max_hamming``. Returns
+    (id_a, id_b, n_frames, max_hamming), id_a < id_b, where n_frames
+    is the number of sampled frame positions both videos matched on.
+
+    Scale story: frame explosion is mapInPandas (no shuffle); the
+    per-frame pairing shuffles on (frame_idx, chunk_idx, chunk_val);
+    the all-frames gate is one aggregation on (id_a, id_b) plus two
+    broadcast-or-shuffle joins against the tiny per-video frame-count
+    table. Videos with different sampled-frame counts can never
+    satisfy the equality gate, so variable-length inputs are safe."""
+    from json_schema_spark.textops.dedup import (_register_cache,
+                                                 hamming_pairs)
+
+    frames = sample_frames_table(df, blob_col, id_col, every_n)
+    # persist the per-frame hashes: both the pairing and the frame-count
+    # gate read them, and recomputing means re-decoding every frame.
+    # (id, frame_idx, int64) is ~24 bytes/frame — cacheable at any scale.
+    hashes = _register_cache(
+        image_perceptual_hashes(frames, "frame_png", id_col,
+                                carry_cols=["frame_idx"]))
+    pairs = hamming_pairs(hashes, fp_col="dhash", id_col=id_col,
+                          max_hamming=max_hamming, n_chunks=n_chunks,
+                          bits=64, group_cols=["frame_idx"])
+    agg = (pairs.groupBy("id_a", "id_b")
+           .agg(F.count(F.lit(1)).alias("n_frames"),
+                F.max("hamming").alias("max_hamming")))
+    counts = (hashes.groupBy(F.col(id_col).alias("_vid"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    return (agg
+            .join(counts, agg["id_a"] == counts["_vid"])
+            .filter(F.col("n_frames") == F.col("_n"))
+            .drop("_vid", "_n")
+            .join(counts, agg["id_b"] == counts["_vid"])
+            .filter(F.col("n_frames") == F.col("_n"))
+            .select("id_a", "id_b", "n_frames", "max_hamming"))
 
 
 def with_media_metadata(df: DataFrame, blob_col: str,

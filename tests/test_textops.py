@@ -1534,7 +1534,7 @@ def test_sample_frames_table(spark):
          ("n", None)],
         "doc_id string, blob binary")
     out = sample_frames_table(df, "blob", "doc_id", every_n=2)
-    rows = {(r["id"], r["frame_idx"]): r["frame_png"]
+    rows = {(r["doc_id"], r["frame_idx"]): r["frame_png"]
             for r in out.collect()}
     assert set(rows) == {("a", 0), ("a", 2), ("a", 4), ("b", 0),
                          ("s", 0), ("s", 2), ("s", 4)}
@@ -1544,5 +1544,59 @@ def test_sample_frames_table(spark):
     # static animation collapses to one frame with dedup_consecutive
     out2 = sample_frames_table(df, "blob", "doc_id", every_n=2,
                                dedup_consecutive=True)
-    got = {(r["id"], r["frame_idx"]) for r in out2.collect()}
+    got = {(r["doc_id"], r["frame_idx"]) for r in out2.collect()}
     assert got == {("a", 0), ("a", 2), ("a", 4), ("b", 0), ("s", 0)}
+
+
+def test_video_near_duplicates(spark):
+    """Per-frame perceptual pairing grouped on frame_idx: identical
+    animations pair at hamming 0; a corner-perturbed variant pairs as
+    a near-dup; a different animation and a shorter animation do not
+    pair (the all-frames gate rejects partial matches)."""
+    from json_schema_spark.textops.dedup import release_caches
+    from json_schema_spark.textops.multimodal import (
+        encode_gif_gray_frames, video_near_duplicates)
+
+    def anim(k, v=0, n=4, invert=False):
+        def px(x, y, f):
+            p = (k * 7 + x * 13 + y * 31 + f * 41
+                 + (37 * v if (x < 2 and y < 2) else 0)) % 251
+            return 250 - p if invert else p
+        return encode_gif_gray_frames(
+            [[[px(x, y, f) for x in range(9)] for y in range(8)]
+             for f in range(n)])
+
+    # invert=True flips every horizontal gradient -> dHash far from
+    # the others (a plain k shift mostly preserves gradients)
+    df = spark.createDataFrame(
+        [(1, anim(5)), (2, anim(5)), (3, anim(5, v=1)),
+         (4, anim(5, invert=True)), (5, anim(5, n=2))],
+        "doc_id long, blob binary")
+    out = video_near_duplicates(df, "blob", "doc_id", every_n=2,
+                                max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): (r["n_frames"], r["max_hamming"])
+            for r in out.collect()}
+    release_caches()
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    assert rows[(1, 2)] == (2, 0)          # identical, frames 0 and 2
+    assert rows[(1, 3)][0] == 2            # near-dup at every frame
+    assert 0 < rows[(1, 3)][1] <= 3
+
+
+def test_hamming_pairs_group_cols(spark):
+    """group_cols restrict pairing to equal-group rows and lead the
+    output columns."""
+    from json_schema_spark.textops.dedup import hamming_pairs, release_caches
+
+    df = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 5), (1, 1, 5), (1, 3, 4)],
+        "g long, doc_id long, fp long")
+    out = hamming_pairs(df, fp_col="fp", id_col="doc_id",
+                        max_hamming=1, n_chunks=4, bits=64,
+                        group_cols=["g"])
+    got = {(r["g"], r["id_a"], r["id_b"], r["hamming"])
+           for r in out.collect()}
+    release_caches()
+    # (0,1)x(0,2) same group identical; (1,1)x(1,3) hamming 1 (5^4=1);
+    # cross-group (0,*)x(1,*) never pair
+    assert got == {(0, 1, 2, 0), (1, 1, 3, 1)}
