@@ -2501,6 +2501,63 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  max_hamming=3)
 
 
+def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs (round 4): each doc_id becomes a
+    deterministic 650-sample 16-bit PCM WAV of an analytic signal
+    (same k/v parameterization as the image queries; the v term
+    perturbs only the first 20 samples, i.e. energy windows 0-1, so
+    same-k different-v clips pair as near-dups while same-(k,v) clips
+    are byte-identical). The pipeline decodes the REAL RIFF bytes
+    distributed (pure-stdlib PCM path), fingerprints each clip with
+    the 65-window energy-difference hash, and pairs via the pigeonhole
+    chunk join. Energies are integer |sample| sums over equal windows,
+    so the oracle replays the identical arithmetic in SQL."""
+    from json_schema_spark.textops.multimodal import (
+        audio_near_duplicates, encode_wav_pcm)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def sig(i: int) -> list[int]:
+        k, v = i % 60, (i // 60) % 3
+        return [((k * 7 + t * 13 + (94 * v if t < 20 else 0)) % 251)
+                - 125 for t in range(650)]
+
+    blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return audio_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+
+
+_SQL_AUDIO_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(list_aggregate(list_transform(range(0, 64), i ->
+      CASE WHEN
+        (list_aggregate(list_transform(range(0, 10), j ->
+           abs(((k*7 + ((i+1)*10 + j)*13
+                 + CASE WHEN (i+1)*10 + j < 20 THEN 94*v ELSE 0 END)
+                % 251) - 125)), 'sum'))
+        >
+        (list_aggregate(list_transform(range(0, 10), j ->
+           abs(((k*7 + (i*10 + j)*13
+                 + CASE WHEN i*10 + j < 20 THEN 94*v ELSE 0 END)
+                % 251) - 125)), 'sum'))
+      THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+           ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END
+      ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS afp
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
 _SQL_VIDEO_DEDUP = """
 WITH d AS (
   SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
@@ -2626,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_gif": _q_image_dedup_gif,
         "image_dedup_jpeg": _q_image_dedup_jpeg,
         "video_dedup": _q_video_dedup,
+        "audio_dedup": _q_audio_dedup,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2690,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_gif": _SQL_IMAGE_DEDUP,
         "image_dedup_jpeg": _SQL_IMAGE_DEDUP,
         "video_dedup": _SQL_VIDEO_DEDUP,
+        "audio_dedup": _SQL_AUDIO_DEDUP,
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,

@@ -1420,6 +1420,88 @@ def video_near_duplicates(df: DataFrame, blob_col: str,
             .select("id_a", "id_b", "n_frames", "max_hamming"))
 
 
+def audio_fingerprint(blob: bytes | None, n_windows: int = 65) -> int | None:
+    """64-bit energy-difference audio fingerprint (a 1-D dHash in
+    time, the integer-exact simplification of the Haitsma-Kalker
+    energy-band fingerprint): decode first-channel PCM via the
+    pure-stdlib WAV path, split the stream into ``n_windows`` equal
+    windows (remainder truncated), window energy = SUM of |sample|
+    (equal windows, so comparing sums == comparing means — and stays
+    integer-exact, replayable in SQL), bit i set iff
+    energy[i+1] > energy[i]. Signed-64 like image_dhash (bit 63 via
+    two's complement). None for undecodable blobs or streams shorter
+    than ``n_windows`` frames."""
+    pcm = decode_wav_pcm(blob)
+    if pcm is None:
+        return None
+    _, n_frames, samples = pcm
+    win = n_frames // n_windows
+    if win < 1:
+        return None
+    energies = [sum(abs(s) for s in samples[w * win:(w + 1) * win])
+                for w in range(n_windows)]
+    fp = 0
+    for i in range(n_windows - 1):
+        if energies[i + 1] > energies[i]:
+            fp |= 1 << i
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def audio_fingerprints(df: DataFrame, blob_col: str,
+                       id_col: str = "doc_id",
+                       n_windows: int = 65,
+                       out_col: str = "afp") -> DataFrame:
+    """(id, afp) via mapInPandas — Arrow-batched, no shuffle, no
+    driver data; undecodable/too-short blobs drop out (NULL
+    fingerprint). The PCM decode per blob is the sanctioned
+    non-expressible step (same policy as image_perceptual_hashes);
+    everything downstream of the fingerprint is pure Catalyst."""
+    id_name, blob_name = id_col, blob_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_name],
+                out_col: pd.array(
+                    [audio_fingerprint(b, n_windows)
+                     for b in pdf[blob_name]],
+                    dtype="Int64"),
+            })
+
+    schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField(out_col, T.LongType()),
+    ])
+    return (df.select(F.col(id_col), F.col(blob_col))
+            .mapInPandas(extract, schema)
+            .filter(F.col(out_col).isNotNull())
+            .withColumnRenamed("id", id_col))
+
+
+def audio_near_duplicates(df: DataFrame, blob_col: str,
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3,
+                          n_chunks: int = 4) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy-difference fingerprints +
+    the SAME pigeonhole chunked-bit pairing as simhash_pairs /
+    image_near_duplicates (Manku WWW'07) — buckets on 16-bit
+    fingerprint chunks, never all-pairs, exact hamming verification.
+    Returns (id_a, id_b, hamming), id_a < id_b. The fingerprint is
+    robust to uniform gain (scaling every sample by c > 0 preserves
+    every energy comparison) and to any perturbation confined to a
+    few windows — which also bounds how far a near-dup can drift
+    (m corrupted windows flip at most m+1 bits). Completes the
+    image / video / audio perceptual-dedup trio on one pairing core."""
+    from json_schema_spark.textops.dedup import hamming_pairs
+
+    fps = audio_fingerprints(df, blob_col, id_col)
+    return hamming_pairs(fps, fp_col="afp", id_col=id_col,
+                         max_hamming=max_hamming, n_chunks=n_chunks,
+                         bits=64)
+
+
 def with_media_metadata(df: DataFrame, blob_col: str,
                         meta_col: str = "media_meta") -> DataFrame:
     """Typed metadata struct computed JVM-side (no Python): media type is

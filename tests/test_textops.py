@@ -1600,3 +1600,57 @@ def test_hamming_pairs_group_cols(spark):
     # (0,1)x(0,2) same group identical; (1,1)x(1,3) hamming 1 (5^4=1);
     # cross-group (0,*)x(1,*) never pair
     assert got == {(0, 1, 2, 0), (1, 1, 3, 1)}
+
+
+def test_audio_fingerprint_properties():
+    """Fingerprint is gain-invariant, locally perturbable (m corrupted
+    windows flip <= m+1 bits), and None for short/undecodable blobs."""
+    from json_schema_spark.textops.multimodal import (
+        audio_fingerprint, encode_wav_pcm)
+
+    def sig(mult=13, bump=0):
+        return [((7 * 5 + t * mult + (bump if t < 20 else 0)) % 251) - 125
+                for t in range(650)]
+
+    base = audio_fingerprint(encode_wav_pcm(sig()))
+    assert base is not None
+    # uniform gain preserves every energy comparison
+    doubled = audio_fingerprint(
+        encode_wav_pcm([2 * s for s in sig()]))
+    assert doubled == base
+    # perturbation confined to windows 0-1 flips at most bits 0-2
+    near = audio_fingerprint(encode_wav_pcm(sig(bump=100)))
+    assert near is not None
+    assert bin((base ^ near) & ~0b111).count("1") == 0
+    # a different signal is far
+    far = audio_fingerprint(encode_wav_pcm(sig(mult=17)))
+    assert bin(base ^ far).count("1") > 10
+    # shorter than n_windows frames -> None; garbage -> None
+    assert audio_fingerprint(encode_wav_pcm(sig()[:40])) is None
+    assert audio_fingerprint(b"not a wav") is None
+    assert audio_fingerprint(None) is None
+
+
+def test_audio_near_duplicates(spark):
+    """Identical PCM pairs at hamming 0; an early-window perturbation
+    pairs as a near-dup; a different signal and an undecodable blob
+    never pair."""
+    from json_schema_spark.textops.dedup import release_caches
+    from json_schema_spark.textops.multimodal import (
+        audio_near_duplicates, encode_wav_pcm)
+
+    def sig(mult=13, bump=0):
+        return [((7 * 5 + t * mult + (bump if t < 20 else 0)) % 251) - 125
+                for t in range(650)]
+
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm(sig())), (2, encode_wav_pcm(sig())),
+         (3, encode_wav_pcm(sig(bump=100))),
+         (4, encode_wav_pcm(sig(mult=17))), (5, b"not a wav")],
+        "doc_id long, blob binary")
+    out = audio_near_duplicates(df, "blob", "doc_id", max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    release_caches()
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    assert rows[(1, 2)] == 0
+    assert 0 < rows[(1, 3)] <= 3
