@@ -2558,6 +2558,51 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call media near-dedup (round 4): the audio_dedup corpus
+    minus every non-canonical group member — exactly one survivor per
+    perceptual-duplicate group plus all singletons, the media mirror
+    of near_dedup_corpus. The oracle derives the same survivor set
+    from the audio pair SQL's transitive closure."""
+    from json_schema_spark.textops.multimodal import (
+        encode_wav_pcm, near_dedup_media)
+
+    ids = sorted(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect())
+
+    def sig(i: int) -> list[int]:
+        k, v = i % 60, (i // 60) % 3
+        return [((k * 7 + t * 13 + (94 * v if t < 20 else 0)) % 251)
+                - 125 for t in range(650)]
+
+    blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    return (near_dedup_media(df, "blob", "doc_id", kind="audio")
+            .select("doc_id"))
+
+
+def _sql_media_dedup() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_SQL_AUDIO_DEDUP}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.s AS node, r.lab
+  FROM edges e JOIN reach r ON e.t = r.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node != min(lab)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 _SQL_VIDEO_DEDUP = """
 WITH d AS (
   SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
@@ -2684,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_jpeg": _q_image_dedup_jpeg,
         "video_dedup": _q_video_dedup,
         "audio_dedup": _q_audio_dedup,
+        "media_dedup": _q_media_dedup,
         "validate_json_dynamic": _q_validate_json_dynamic,
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
@@ -2749,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_jpeg": _SQL_IMAGE_DEDUP,
         "video_dedup": _SQL_VIDEO_DEDUP,
         "audio_dedup": _SQL_AUDIO_DEDUP,
+        "media_dedup": _sql_media_dedup(),
         "validate_json_dynamic": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,

@@ -1502,6 +1502,38 @@ def audio_near_duplicates(df: DataFrame, blob_col: str,
                          bits=64)
 
 
+def near_dedup_media(df: DataFrame, blob_col: str,
+                     id_col: str = "doc_id", kind: str = "image",
+                     max_hamming: int = 3, **kwargs: Any) -> DataFrame:
+    """The one-call media near-dedup, mirroring text's
+    near_dedup_corpus: perceptual pairs (``kind`` = image | video |
+    audio) -> connected components -> keep ONE canonical row per group
+    (the minimum id) plus every row with no near-duplicate. Returns
+    the surviving rows of ``df`` unchanged. ``kwargs`` pass through to
+    the kind's pair operator (e.g. every_n for video).
+
+    Same scale story as near_dedup_corpus: the pair stage is bucketed
+    (pigeonhole chunks), components converge in O(clique diameter)
+    rounds, and the final anti-join is deliberately UNHINTED so AQE
+    broadcasts the loser set only when it measures small. Caller
+    releases operator caches afterwards (cache.release_caches())."""
+    from json_schema_spark.textops.dedup import dedup_groups
+
+    pair_fns = {"image": image_near_duplicates,
+                "video": video_near_duplicates,
+                "audio": audio_near_duplicates}
+    if kind not in pair_fns:
+        raise ValueError(f"kind must be one of {sorted(pair_fns)}, "
+                         f"got {kind!r}")
+    pairs = pair_fns[kind](df, blob_col, id_col,
+                           max_hamming=max_hamming, **kwargs)
+    groups = dedup_groups(pairs.select("id_a", "id_b"),
+                          out_id_col=id_col)
+    losers = (groups.filter(F.col("group_id") != F.col(id_col))
+              .select(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def with_media_metadata(df: DataFrame, blob_col: str,
                         meta_col: str = "media_meta") -> DataFrame:
     """Typed metadata struct computed JVM-side (no Python): media type is

@@ -33,7 +33,7 @@ def test_query_registry_is_pinned():
         "text_analysis", "token_stats", "line_dedup", "redact_pii",
         "pack_sequences", "repetition_features", "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",
-        "multimodal_audio", "image_dedup", "image_dedup_gif", "video_dedup", "audio_dedup",
+        "multimodal_audio", "image_dedup", "image_dedup_gif", "video_dedup", "audio_dedup", "media_dedup",
         "image_dedup_jpeg", "validate_json_dynamic",
         "validate_json_hybrid", "validate_json_variant",
         "containment_winnowing", "sessionize", "asof_join",

@@ -1654,3 +1654,30 @@ def test_audio_near_duplicates(spark):
     assert set(rows) == {(1, 2), (1, 3), (2, 3)}
     assert rows[(1, 2)] == 0
     assert 0 < rows[(1, 3)] <= 3
+
+
+def test_near_dedup_media(spark):
+    """One-call media dedup: of three identical clips + one near-dup,
+    exactly the minimum id survives; the far clip and the undecodable
+    blob survive untouched; bad kind raises."""
+    import pytest as _pytest
+
+    from json_schema_spark.textops.dedup import release_caches
+    from json_schema_spark.textops.multimodal import (
+        encode_wav_pcm, near_dedup_media)
+
+    def sig(mult=13, bump=0):
+        return [((7 * 5 + t * mult + (bump if t < 20 else 0)) % 251) - 125
+                for t in range(650)]
+
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm(sig())), (2, encode_wav_pcm(sig())),
+         (3, encode_wav_pcm(sig(bump=100))),
+         (4, encode_wav_pcm(sig(mult=17))), (5, b"not a wav")],
+        "doc_id long, blob binary")
+    out = near_dedup_media(df, "blob", "doc_id", kind="audio")
+    got = sorted(r["doc_id"] for r in out.collect())
+    release_caches()
+    assert got == [1, 4, 5]
+    with _pytest.raises(ValueError):
+        near_dedup_media(df, "blob", "doc_id", kind="text")
