@@ -2503,15 +2503,18 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO pairs (round 4): each doc_id becomes a
-    deterministic 650-sample 16-bit PCM WAV of an analytic signal
-    (same k/v parameterization as the image queries; the v term
-    perturbs only the first 20 samples, i.e. energy windows 0-1, so
-    same-k different-v clips pair as near-dups while same-(k,v) clips
-    are byte-identical). The pipeline decodes the REAL RIFF bytes
-    distributed (pure-stdlib PCM path), fingerprints each clip with
-    the 65-window energy-difference hash, and pairs via the pigeonhole
-    chunk join. Energies are integer |sample| sums over equal windows,
-    so the oracle replays the identical arithmetic in SQL."""
+    deterministic 650-sample 16-bit PCM WAV whose amplitude steps per
+    10-sample window: amp(k, v, w) = (k*k*7 + k*w*31 + w*w*11) % 97
+    + (40*v if w < 2). The k*w cross term makes cross-k fingerprints
+    FAR (min hamming 11 over all 60x60 k pairs — no phase-shift
+    collisions, verified analytically), while the v term perturbs only
+    windows 0-1, so same-k different-v clips pair as near-dups
+    (hamming <= 1) and same-(k,v) clips are byte-identical: clean
+    per-k cliques, no giant component. The pipeline decodes the REAL
+    RIFF bytes distributed (pure-stdlib PCM path), fingerprints each
+    clip with the 65-window energy-difference hash, and pairs via the
+    pigeonhole chunk join. Window energy = |amp| * 10, so the oracle
+    replays the amp comparisons directly in SQL."""
     from json_schema_spark.textops.multimodal import (
         audio_near_duplicates, encode_wav_pcm)
 
@@ -2520,8 +2523,9 @@ def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sig(i: int) -> list[int]:
         k, v = i % 60, (i // 60) % 3
-        return [((k * 7 + t * 13 + (94 * v if t < 20 else 0)) % 251)
-                - 125 for t in range(650)]
+        return [(k * k * 7 + k * (t // 10) * 31
+                 + (t // 10) * (t // 10) * 11) % 97
+                + (40 * v if t < 20 else 0) for t in range(650)]
 
     blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
     df = spark.createDataFrame(blobs, "doc_id long, blob binary")
@@ -2537,15 +2541,11 @@ h AS (
   SELECT doc_id,
     CAST(list_aggregate(list_transform(range(0, 64), i ->
       CASE WHEN
-        (list_aggregate(list_transform(range(0, 10), j ->
-           abs(((k*7 + ((i+1)*10 + j)*13
-                 + CASE WHEN (i+1)*10 + j < 20 THEN 94*v ELSE 0 END)
-                % 251) - 125)), 'sum'))
+        ((k*k*7 + k*(i+1)*31 + (i+1)*(i+1)*11) % 97
+         + CASE WHEN i + 1 < 2 THEN 40*v ELSE 0 END)
         >
-        (list_aggregate(list_transform(range(0, 10), j ->
-           abs(((k*7 + (i*10 + j)*13
-                 + CASE WHEN i*10 + j < 20 THEN 94*v ELSE 0 END)
-                % 251) - 125)), 'sum'))
+        ((k*k*7 + k*i*31 + i*i*11) % 97
+         + CASE WHEN i < 2 THEN 40*v ELSE 0 END)
       THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
            ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END
       ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS afp
@@ -2572,8 +2572,9 @@ def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sig(i: int) -> list[int]:
         k, v = i % 60, (i // 60) % 3
-        return [((k * 7 + t * 13 + (94 * v if t < 20 else 0)) % 251)
-                - 125 for t in range(650)]
+        return [(k * k * 7 + k * (t // 10) * 31
+                 + (t // 10) * (t // 10) * 11) % 97
+                + (40 * v if t < 20 else 0) for t in range(650)]
 
     blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
     df = spark.createDataFrame(blobs, "doc_id long, blob binary")

@@ -1420,26 +1420,69 @@ def video_near_duplicates(df: DataFrame, blob_col: str,
             .select("id_a", "id_b", "n_frames", "max_hamming"))
 
 
+def _wav_first_channel(blob: bytes | None):
+    """First-channel PCM samples as a numpy int array (vectorized
+    frombuffer for 8/16/32-bit; 24-bit via the reference loop), or
+    None for undecodable blobs. Semantically identical to
+    decode_wav_pcm's sample list (test-pinned) — this is the hot-path
+    form the batch fingerprint operator reads."""
+    import numpy as np
+
+    info = parse_wav_info(blob)
+    if info is None:
+        return None
+    channels, _, bits = info
+    if bits == 24:
+        pcm = decode_wav_pcm(blob)
+        return None if pcm is None else np.asarray(pcm[2], dtype=np.int64)
+    if bits not in (8, 16, 32) or channels < 1:
+        return None
+    try:
+        pos, fmt_tag = 12, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+            body = blob[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag = int.from_bytes(body[0:2], "little")
+            elif cid == b"data":
+                if fmt_tag not in (1, 0xFFFE):
+                    return None
+                width = bits // 8
+                frame = width * channels
+                n = len(body) // frame
+                dt = {8: np.uint8, 16: np.dtype("<i2"),
+                      32: np.dtype("<i4")}[bits]
+                arr = np.frombuffer(body[:n * frame], dtype=dt)
+                arr = arr.reshape(n, channels)[:, 0].astype(np.int64)
+                return arr - 128 if bits == 8 else arr
+            pos += 8 + size + (size & 1)
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
 def audio_fingerprint(blob: bytes | None, n_windows: int = 65) -> int | None:
     """64-bit energy-difference audio fingerprint (a 1-D dHash in
     time, the integer-exact simplification of the Haitsma-Kalker
     energy-band fingerprint): decode first-channel PCM via the
-    pure-stdlib WAV path, split the stream into ``n_windows`` equal
-    windows (remainder truncated), window energy = SUM of |sample|
-    (equal windows, so comparing sums == comparing means — and stays
-    integer-exact, replayable in SQL), bit i set iff
+    pure-stdlib WAV path (vectorized), split the stream into
+    ``n_windows`` equal windows (remainder truncated), window energy =
+    SUM of |sample| (equal windows, so comparing sums == comparing
+    means — and stays integer-exact, replayable in SQL), bit i set iff
     energy[i+1] > energy[i]. Signed-64 like image_dhash (bit 63 via
     two's complement). None for undecodable blobs or streams shorter
     than ``n_windows`` frames."""
-    pcm = decode_wav_pcm(blob)
-    if pcm is None:
+    samples = _wav_first_channel(blob)
+    if samples is None:
         return None
-    _, n_frames, samples = pcm
-    win = n_frames // n_windows
+    win = len(samples) // n_windows
     if win < 1:
         return None
-    energies = [sum(abs(s) for s in samples[w * win:(w + 1) * win])
-                for w in range(n_windows)]
+    import numpy as np
+
+    energies = (np.abs(samples[:n_windows * win])
+                .reshape(n_windows, win).sum(axis=1).tolist())
     fp = 0
     for i in range(n_windows - 1):
         if energies[i + 1] > energies[i]:

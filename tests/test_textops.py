@@ -1681,3 +1681,23 @@ def test_near_dedup_media(spark):
     assert got == [1, 4, 5]
     with _pytest.raises(ValueError):
         near_dedup_media(df, "blob", "doc_id", kind="text")
+
+
+def test_wav_first_channel_matches_reference_decode():
+    """The vectorized first-channel reader is sample-identical to
+    decode_wav_pcm across widths and channel counts (24-bit routes
+    through the reference loop)."""
+    from json_schema_spark.textops.multimodal import (
+        _wav_first_channel, decode_wav_pcm, encode_wav_pcm)
+
+    sig = [((t * 37) % 251) - 125 for t in range(130)]
+    for bits in (8, 16, 24, 32):
+        for channels in (1, 2):
+            s = [x % 120 for x in sig] if bits == 8 else sig
+            blob = encode_wav_pcm(s, bits=bits, channels=channels)
+            ref = decode_wav_pcm(blob)
+            fast = _wav_first_channel(blob)
+            assert ref is not None and fast is not None, (bits, channels)
+            assert fast.tolist() == ref[2], (bits, channels)
+    assert _wav_first_channel(b"junk") is None
+    assert _wav_first_channel(None) is None
