@@ -69,6 +69,13 @@ split = hash_split(near.join(kept_ids, "doc_id"),
 dist = {r["split"]: r["n"] for r in
         split.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
+# 7. multimodal: perceptual dedup of an image/audio/video column rides
+#    the same pairs -> components -> keep-canonical composition:
+#    near_dedup_media(df, "blob", kind="image"|"video"|"audio").
+#    (Synthesizing a media column here would just restate the
+#    media_dedup oracle query — see _q_media_dedup in
+#    __spark_entry__.py for the runnable composition.)
+
 dedup.release_caches()  # pair-finder intermediates
 
 print(f"input docs:          {n0}")

@@ -272,3 +272,48 @@ def test_unigram_logprob_derived_vocab_not_broadcast(docs):
         assert t_keyed_broadcast_joins(_plan(external))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_media_dedup_plans_arrow_only_no_cartesian(spark):
+    """The media perceptual-dedup pipelines (image/video/audio pairs,
+    one-call media dedup) must keep Python strictly Arrow-batched
+    (MapInPandas — the sanctioned decode step) with NO row-at-a-time
+    Python, and the pigeonhole self-join must be a real equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere, at any
+    corpus size."""
+    from json_schema_spark.textops.dedup import release_caches
+    from json_schema_spark.textops.multimodal import (
+        audio_near_duplicates, encode_gif_gray_frames, encode_wav_pcm,
+        near_dedup_media, video_near_duplicates)
+
+    def sig(i):
+        return [(i * 7 + (t // 10) * 29) % 97 for t in range(650)]
+
+    def anim(k):
+        return encode_gif_gray_frames(
+            [[[(k * 7 + x * 13 + y * 31 + f * 41) % 251
+               for x in range(9)] for y in range(8)] for f in range(4)])
+
+    wav = spark.createDataFrame(
+        [(i, encode_wav_pcm(sig(i))) for i in range(20)],
+        "doc_id long, blob binary")
+    gif = spark.createDataFrame(
+        [(i, anim(i)) for i in range(10)], "doc_id long, blob binary")
+    builders = [
+        ("audio", lambda: audio_near_duplicates(wav, "blob", "doc_id")),
+        ("video", lambda: video_near_duplicates(gif, "blob", "doc_id",
+                                                every_n=2)),
+        ("media", lambda: near_dedup_media(wav, "blob", "doc_id",
+                                           kind="audio")),
+    ]
+    try:
+        for tag, build in builders:
+            plan = _plan(build())
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "PythonUDF", "CartesianProduct",
+                           "BroadcastNestedLoopJoin"):
+                assert marker not in plan, (tag, marker)
+            assert "MapInPandas" in plan, tag
+            release_caches()
+    finally:
+        release_caches()
