@@ -2489,9 +2489,14 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/documents.parquet").select("doc_id").collect())
 
     def frame(i: int, f: int) -> list[list[int]]:
-        k, v = i % 60, (i // 60) % 3
-        return [[(k * 7 + x * 13 + y * 31 + f * 41
-                  + (37 * v if (x < 2 and y < 2) else 0)) % 251
+        # k cycles 300 with a k*x cross term: cross-k fingerprints are
+        # far (no constant-gradient phase collisions), the v bump
+        # touches only row-0 bits 0-1 (within-k hamming <= 2, verified
+        # over all 300x3), so dup cliques stay per-k and the pair
+        # output is near-linear in corpus size, not clique-quadratic
+        k, v = i % 300, (i // 300) % 3
+        return [[(k * k * 7 + k * x * 31 + x * x * 13 + y * 29
+                  + f * 41 + (37 * v if (x < 2 and y < 1) else 0)) % 251
                  for x in range(9)] for y in range(8)]
 
     blobs = [(int(i), encode_gif_gray_frames(
@@ -2606,19 +2611,21 @@ WHERE doc_id NOT IN (SELECT node FROM losers)
 
 _SQL_VIDEO_DEDUP = """
 WITH d AS (
-  SELECT doc_id, doc_id % 60 AS k, (doc_id // 60) % 3 AS v
+  SELECT doc_id, doc_id % 300 AS k, (doc_id // 300) % 3 AS v
   FROM documents
 ),
 h AS (
   SELECT doc_id, fi,
     CAST(list_aggregate(list_transform(range(0, 64), i ->
       CASE WHEN
-        ((k*7 + ((i % 8) + 1)*13 + (i // 8)*31 + fi*41
-          + CASE WHEN (i % 8) + 1 < 2 AND i // 8 < 2
+        ((k*k*7 + k*((i % 8) + 1)*31 + ((i % 8) + 1)*((i % 8) + 1)*13
+          + (i // 8)*29 + fi*41
+          + CASE WHEN (i % 8) + 1 < 2 AND i // 8 < 1
                  THEN 37*v ELSE 0 END) % 251)
         >
-        ((k*7 + (i % 8)*13 + (i // 8)*31 + fi*41
-          + CASE WHEN (i % 8) < 2 AND i // 8 < 2
+        ((k*k*7 + k*(i % 8)*31 + (i % 8)*(i % 8)*13
+          + (i // 8)*29 + fi*41
+          + CASE WHEN (i % 8) < 2 AND i // 8 < 1
                  THEN 37*v ELSE 0 END) % 251)
       THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
            ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END
