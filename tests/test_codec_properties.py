@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis, derandomized) for the pure-stdlib
+media codec layer and the perceptual fingerprints built on it. These
+run entirely driver-side — the batch operators wrapping these
+functions are covered in test_textops.py — and pin the algebraic
+invariants the oracle queries rely on: lossless codec roundtrips,
+fingerprint gain/channel invariance, and cross-container dHash
+equality (the same pixels must hash identically regardless of which
+container carried them)."""
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_schema_spark.textops.multimodal import (
+    _wav_first_channel,
+    audio_fingerprint,
+    decode_bmp_gray,
+    decode_gif_frames,
+    decode_png_gray,
+    decode_wav_pcm,
+    encode_bmp_gray,
+    encode_gif_gray,
+    encode_gif_gray_frames,
+    encode_png_gray,
+    encode_wav_pcm,
+    image_dhash,
+)
+
+SETTINGS = settings(max_examples=40, deadline=None, derandomize=True)
+
+grids = st.integers(2, 12).flatmap(
+    lambda w: st.integers(2, 10).flatmap(
+        lambda h: st.lists(
+            st.lists(st.integers(0, 255), min_size=w, max_size=w),
+            min_size=h, max_size=h)))
+
+pcm16 = st.lists(st.integers(-32768, 32767), min_size=1, max_size=400)
+
+
+@SETTINGS
+@given(grids)
+def test_png_roundtrip_lossless(grid):
+    w, h, rows = decode_png_gray(encode_png_gray(grid))
+    assert (w, h) == (len(grid[0]), len(grid))
+    assert rows == grid
+
+
+@SETTINGS
+@given(grids)
+def test_bmp_roundtrip_lossless(grid):
+    w, h, rows = decode_bmp_gray(encode_bmp_gray(grid))
+    assert (w, h) == (len(grid[0]), len(grid))
+    assert rows == grid
+
+
+@SETTINGS
+@given(grids, st.booleans())
+def test_gif_roundtrip_lossless(grid, interlaced):
+    frames = decode_gif_frames(encode_gif_gray(grid,
+                                               interlaced=interlaced))
+    assert [f[2] for f in frames] == [grid]
+
+
+@SETTINGS
+@given(st.integers(2, 9).flatmap(
+    lambda w: st.integers(2, 8).flatmap(
+        lambda h: st.lists(
+            st.lists(st.lists(st.integers(0, 255),
+                              min_size=w, max_size=w),
+                     min_size=h, max_size=h),
+            min_size=1, max_size=4))))
+def test_animated_gif_roundtrip_lossless(frames):
+    decoded = decode_gif_frames(encode_gif_gray_frames(frames))
+    assert [f[2] for f in decoded] == frames
+
+
+@SETTINGS
+@given(grids)
+def test_dhash_container_independent(grid):
+    """The SAME pixels hash identically from PNG, BMP, and GIF — the
+    property that lets the image_dedup oracle share one SQL replay
+    across codec variants."""
+    png = image_dhash(encode_png_gray(grid))
+    assert png is not None
+    assert image_dhash(encode_bmp_gray(grid)) == png
+    assert image_dhash(encode_gif_gray(grid)) == png
+    assert image_dhash(encode_gif_gray(grid, interlaced=True)) == png
+
+
+@SETTINGS
+@given(pcm16, st.sampled_from([8, 16, 24, 32]),
+       st.integers(1, 3))
+def test_wav_roundtrip_and_fast_path(samples, bits, channels):
+    if bits == 8:
+        samples = [s % 120 for s in samples]
+    blob = encode_wav_pcm(samples, bits=bits, channels=channels)
+    ref = decode_wav_pcm(blob)
+    assert ref is not None and ref[2] == samples
+    fast = _wav_first_channel(blob)
+    assert fast is not None and fast.tolist() == samples
+
+
+@SETTINGS
+@given(st.lists(st.integers(-9000, 9000), min_size=65, max_size=300),
+       st.integers(1, 3))
+def test_audio_fingerprint_gain_invariant(samples, gain):
+    """Scaling every sample by a positive constant preserves every
+    window-energy comparison, hence the fingerprint — the invariance
+    audio_near_duplicates' docstring promises."""
+    base = audio_fingerprint(encode_wav_pcm(samples))
+    scaled = audio_fingerprint(
+        encode_wav_pcm([gain * s for s in samples]))
+    assert base is not None
+    assert scaled == base
+
+
+@SETTINGS
+@given(st.lists(st.integers(-32768, 32767), min_size=65, max_size=300))
+def test_audio_fingerprint_channel_invariant(samples):
+    """encode_wav_pcm replicates the first channel, and the
+    fingerprint reads only the first channel — stereo and mono
+    encodings of the same signal fingerprint identically."""
+    mono = audio_fingerprint(encode_wav_pcm(samples, channels=1))
+    stereo = audio_fingerprint(encode_wav_pcm(samples, channels=2))
+    assert mono is not None and mono == stereo
