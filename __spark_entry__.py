@@ -1506,6 +1506,38 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language rebalancing (round 4): alpha=0.5
+    boosts tail languages, damps the head; per-stratum keep-rates are
+    round(target * N * n^alpha / Z / n, 6), selection is the md5 unit
+    hash — the oracle reproduces rates and rows exactly (sqrt is
+    IEEE-correctly-rounded in both engines; the 6-decimal rounding
+    absorbs any pow ulp skew)."""
+    from json_schema_spark.textops.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_sample(docs, "lang", alpha=0.5,
+                              target_fraction=0.5)
+
+
+_SQL_TEMPERATURE_SAMPLE = """
+WITH c AS (
+  SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang
+),
+r AS (
+  SELECT s, least(1.0, round(
+           0.5 * sum(n) OVER () * pow(n, 0.5)
+           / sum(pow(n, 0.5)) OVER () / n, 6)) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.s
+WHERE CAST(('0x' || substr(md5('jss-temp:'
+           || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < r.rate
+"""
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample + train/val/test split: both keyed
     off md5(seed:doc_id), so the oracle reproduces row-for-row."""
@@ -2747,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_keyless": _q_asof_keyless,
         "time_rollup": _q_time_rollup,
         "hash_split": _q_hash_split,
+        "temperature_sample": _q_temperature_sample,
         "range_join": _q_range_join,
         "cast_props": _q_cast_props,
         "psi_drift": _q_psi_drift,
@@ -2813,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_keyless": _SQL_ASOF_KEYLESS,
         "time_rollup": _SQL_TIME_ROLLUP,
         "hash_split": _SQL_HASH_SPLIT,
+        "temperature_sample": _SQL_TEMPERATURE_SAMPLE,
         "range_join": _SQL_RANGE_JOIN,
         "cast_props": _SQL_CAST_PROPS,
         "psi_drift": _SQL_PSI_DRIFT,

@@ -45,6 +45,50 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.filter(u < rate)
 
 
+def temperature_sample(df: DataFrame, strata_col: str,
+                       alpha: float = 0.5,
+                       target_fraction: float = 0.5,
+                       id_col: str = "doc_id",
+                       seed: str = "jss-temp") -> DataFrame:
+    """Temperature-weighted stratum rebalancing (the XLM/mT5 corpus
+    recipe): target stratum share p_s ∝ n_s^alpha — alpha < 1 boosts
+    small strata (languages, sources) and damps head strata; alpha=1
+    is proportional (plain sampling), alpha=0 is uniform-over-strata.
+    Keeps ~``target_fraction`` of the corpus overall by sampling
+    stratum s at rate min(1, target_fraction * N * p_s / n_s), decided
+    per row by the same md5(seed:id) unit hash as
+    deterministic_sample — reproducible under any partitioning, any
+    engine. Rates are rounded to 6 decimals so the arithmetic is
+    engine-replayable despite pow() ulp differences. A stratum whose
+    boosted rate caps at 1 keeps everything (the overall kept fraction
+    then lands slightly under target — standard behavior).
+
+    Scale story: one partial+final count aggregation over the corpus,
+    a single-partition window over the #strata-row count table for the
+    rate derivation, and ONE broadcast join of the rate table
+    (#strata rows — a bounded dimension, same contract as the
+    referential check) back onto the corpus: no corpus shuffle.
+    NULL strata form their own stratum (null-safe join)."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(strata_col).alias("_s"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    # totals via an unpartitioned window over the counts table — a
+    # single-partition pass over #strata rows, not over the corpus
+    w = Window.partitionBy()
+    rate = F.round(F.lit(target_fraction) * F.sum("_n").over(w)
+                   * F.pow("_n", F.lit(alpha))
+                   / F.sum(F.pow("_n", F.lit(alpha))).over(w)
+                   / F.col("_n"), 6)
+    rates = counts.select(
+        "_s", F.least(F.lit(1.0), rate).alias("_rate"))
+    u = _unit_hash(F.col(id_col), seed)
+    return (df.join(F.broadcast(rates),
+                    df[strata_col].eqNullSafe(rates["_s"]))
+            .filter(u < F.col("_rate"))
+            .drop("_s", "_rate"))
+
+
 def pack_sequences(df: DataFrame, budget: int,
                    token_col: str = "n_tokens",
                    id_col: str = "doc_id",

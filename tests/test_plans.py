@@ -182,7 +182,11 @@ def test_new_operator_plan_shapes(spark):
                "baseline_drift": 5, "ann_lsh_multi": 3,
                # ks_baseline stitches O(days x buckets) tables like its
                # drift siblings; everything is broadcast-or-tiny
-               "ks_baseline": 6}
+               "ks_baseline": 6,
+               # temperature_sample: ONE corpus exchange (the stratum
+               # count agg); the rate window is a single-partition pass
+               # over #strata rows and the rate join is broadcast
+               "temperature_sample": 1}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -1701,3 +1701,35 @@ def test_wav_first_channel_matches_reference_decode():
             assert fast.tolist() == ref[2], (bits, channels)
     assert _wav_first_channel(b"junk") is None
     assert _wav_first_channel(None) is None
+
+
+def test_temperature_sample(spark):
+    """alpha < 1 boosts the tail stratum's keep-rate above the head's;
+    rates cap at 1; the selection is deterministic (same survivors on
+    re-run); NULL strata form their own stratum."""
+    from json_schema_spark.textops.sampling import temperature_sample
+
+    rows = ([(i, "en") for i in range(400)]
+            + [(400 + i, "fr") for i in range(40)]
+            + [(440 + i, None) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = temperature_sample(df, "lang", alpha=0.5, target_fraction=0.5)
+    kept = {r["doc_id"]: r["lang"] for r in out.collect()}
+    by = {"en": 0, "fr": 0, None: 0}
+    for lang in kept.values():
+        by[lang] += 1
+    # head stratum damped below its 400, tail boosted relative to size
+    assert 0 < by["en"] < 400
+    assert by["fr"] / 40 > by["en"] / 400
+    assert by[None] > 0  # null stratum survives the null-safe join
+    # deterministic: identical survivor set on re-run
+    again = {r["doc_id"] for r in
+             temperature_sample(df, "lang", alpha=0.5,
+                                target_fraction=0.5).collect()}
+    assert again == set(kept)
+    # alpha=0 with a generous target caps the tiny strata at rate 1
+    all_fr = temperature_sample(df, "lang", alpha=0.0,
+                                target_fraction=0.9)
+    n_fr = all_fr.filter("lang = 'fr'").count()
+    assert n_fr == 40
