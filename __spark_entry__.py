@@ -1369,6 +1369,67 @@ GROUP BY 1, 2 HAVING count(*) >= 20
 """
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 4): the eval set is a
+    deterministic slice of the corpus itself (every 25th doc's first
+    120 chars, re-keyed +100000), so each eval doc is fully contained
+    in its source document (containment 1.0 there) and partially
+    contained wherever the synthetic vocabulary repeats. The oracle
+    replays the identical winnowing pipeline on both sides."""
+    from json_schema_spark.textops.dedup import contamination_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    evals = (docs
+             .filter((F.col("doc_id") % 25 == 0)
+                     & F.col("text").isNotNull())
+             .select((F.col("doc_id") + 100000).alias("eval_id"),
+                     F.substring("text", 1, 120).alias("text")))
+    return contamination_pairs(docs, evals, min_shared=20)
+
+
+_SQL_DECONTAMINATION = """
+WITH evals AS (
+  SELECT doc_id + 100000 AS eval_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
+),
+cgrams AS (
+  SELECT doc_id AS cid,
+         list_transform(range(1, length(text) - 6),
+           i -> substr(md5(substr(text, i, 8)), 1, 16)) AS g
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 11
+),
+cfp AS (
+  SELECT cid, unnest(list_distinct(
+           list_transform(range(1, len(g) - 2),
+             i -> list_aggregate(g[i:i+3], 'min')))) AS fp
+  FROM cgrams
+),
+egrams AS (
+  SELECT eval_id,
+         list_transform(range(1, length(text) - 6),
+           i -> substr(md5(substr(text, i, 8)), 1, 16)) AS g
+  FROM evals WHERE length(text) >= 11
+),
+efp AS (
+  SELECT eval_id, unnest(list_distinct(
+           list_transform(range(1, len(g) - 2),
+             i -> list_aggregate(g[i:i+3], 'min')))) AS fp
+  FROM egrams
+),
+etot AS (
+  SELECT eval_id, count(*) AS eval_total FROM efp GROUP BY eval_id
+),
+pairs AS (
+  SELECT c.cid AS doc_id, e.eval_id, count(*) AS shared
+  FROM cfp c JOIN efp e ON c.fp = e.fp
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT p.doc_id, p.eval_id, p.shared, t.eval_total,
+       round(p.shared / t.eval_total, 6) AS containment
+FROM pairs p JOIN etot t ON p.eval_id = t.eval_id
+"""
+
+
 def _q_validate_json_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same verdicts as validate_json_dynamic, but routed through the
     columnar fast path (from_json + Catalyst constraints, zero Python) —
@@ -2774,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_hybrid": _q_validate_json_hybrid,
         "validate_json_variant": _q_validate_json_variant,
         "containment_winnowing": _q_containment,
+        "decontamination": _q_decontamination,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "asof_join_keyless": _q_asof_keyless,
@@ -2841,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_json_hybrid": _SQL_VALIDATE_JSON_DYNAMIC,
         "validate_json_variant": _SQL_VALIDATE_JSON_VARIANT,
         "containment_winnowing": _SQL_CONTAINMENT,
+        "decontamination": _SQL_DECONTAMINATION,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "asof_join_keyless": _SQL_ASOF_KEYLESS,

@@ -20,6 +20,7 @@ numeric min over the underlying uint128).
 from __future__ import annotations
 
 from functools import reduce
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -352,6 +353,74 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                      F.col("b._id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def contamination_pairs(df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text",
+                        eval_id_col: str = "eval_id",
+                        k: int = 8, w: int = 4, min_shared: int = 5,
+                        max_eval_freq: int | None = None) -> DataFrame:
+    """Benchmark-decontamination pairs (the GPT-3 / Pile train-test
+    overlap check): corpus documents sharing >= ``min_shared``
+    winnowing fingerprints with an eval-set document. Returns
+    (id_col, eval_id_col, shared, eval_total, containment) where
+    eval_total is the eval doc's distinct fingerprint count and
+    containment = round(shared / eval_total, 6) — containment ~1 means
+    the eval doc's text is (near-)fully present in the corpus doc.
+
+    Scale story: the corpus fingerprint table is the big side and
+    stays distributed (one pass, single consumer, never cached); the
+    eval side is a benchmark suite — a BOUNDED dimension like the
+    referential allow-list — so its fingerprints and per-doc totals
+    are explicitly broadcast. Join output is bounded by corpus-side
+    matches x eval multiplicity, never corpus x corpus.
+    ``max_eval_freq`` optionally drops fingerprints shared by more
+    than that many EVAL docs (boilerplate inside the benchmark
+    itself). Shares the winnowing guarantee: any common substring of
+    length >= k + w - 1 shares a fingerprint."""
+    if id_col == eval_id_col:
+        raise ValueError("id_col and eval_id_col must differ "
+                         f"(both {id_col!r})")
+    cfp = winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+    efp = _register_cache(
+        winnowing_fingerprint_rows(eval_df, eval_text_col,
+                                   eval_id_col, k, w)
+        .select(F.col("_id").alias("_eid"), "fp"))
+    if max_eval_freq:
+        rare = (efp.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_eval_freq)
+                .select("fp"))
+        efp = efp.join(rare, "fp")
+    totals = efp.groupBy("_eid").agg(
+        F.count(F.lit(1)).alias("eval_total"))
+    pairs = (cfp.join(F.broadcast(efp), "fp")
+             .groupBy("_id", "_eid")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    return (pairs.join(F.broadcast(totals), "_eid")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_eid").alias(eval_id_col),
+                    "shared", "eval_total",
+                    F.round(F.col("shared") / F.col("eval_total"), 6)
+                    .alias("containment")))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame,
+                  threshold: float = 0.5, id_col: str = "doc_id",
+                  **kwargs: Any) -> DataFrame:
+    """Drop corpus rows whose text contains an eval-set document at
+    containment >= ``threshold`` — the one-call decontamination cut.
+    Returns the surviving rows of ``df`` unchanged; kwargs pass
+    through to contamination_pairs. The contaminated-id set is the
+    anti-join's small side and deliberately UNHINTED (its size is the
+    contamination rate; AQE broadcasts when it measures small). Caller
+    releases operator caches (cache.release_caches())."""
+    pairs = contamination_pairs(df, eval_df, id_col=id_col, **kwargs)
+    bad = (pairs.filter(F.col("containment") >= threshold)
+           .select(id_col).distinct())
+    return df.join(bad, id_col, "left_anti")
 
 
 def _bit_literal(j: int) -> Column:

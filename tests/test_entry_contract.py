@@ -36,7 +36,7 @@ def test_query_registry_is_pinned():
         "multimodal_audio", "image_dedup", "image_dedup_gif", "video_dedup", "audio_dedup", "media_dedup",
         "image_dedup_jpeg", "validate_json_dynamic",
         "validate_json_hybrid", "validate_json_variant",
-        "containment_winnowing", "sessionize", "asof_join",
+        "containment_winnowing", "decontamination", "sessionize", "asof_join",
         "asof_join_keyless", "time_rollup", "hash_split", "temperature_sample", "range_join",
         "cast_props", "psi_drift", "ks_drift", "js_drift",
         "baseline_drift", "ks_baseline", "ann_lsh_multi", "ivf_topk",

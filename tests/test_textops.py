@@ -1733,3 +1733,44 @@ def test_temperature_sample(spark):
                                 target_fraction=0.9)
     n_fr = all_fr.filter("lang = 'fr'").count()
     assert n_fr == 40
+
+
+def test_contamination_and_decontaminate(spark):
+    """An eval doc that is a verbatim substring of a corpus doc reaches
+    containment 1.0 and gets that corpus doc dropped; unrelated corpus
+    docs survive; id-name collision raises."""
+    import pytest as _pytest
+
+    from json_schema_spark.textops.dedup import (contamination_pairs,
+                                                 decontaminate,
+                                                 release_caches)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen astronauts assemble a parquet reader on mars")
+    other = ("completely different content about streaming watermarks "
+             "and shuffle partitions in a distributed query engine")
+    corpus = spark.createDataFrame(
+        [(1, base + " with an extra training-set tail of words"),
+         (2, other), (3, None)],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, base[:60]), (101, "zebra xylophone quartz " * 4)],
+        "eval_id long, text string")
+
+    pairs = contamination_pairs(corpus, evals, min_shared=3)
+    got = {(r["doc_id"], r["eval_id"]):
+           (r["shared"], r["eval_total"], r["containment"])
+           for r in pairs.collect()}
+    assert (1, 100) in got
+    shared, total, cont = got[(1, 100)]
+    assert shared == total and cont == 1.0
+    assert all(eid != 101 for (_, eid) in got)
+
+    survivors = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, evals, threshold=0.8,
+                               min_shared=3).collect())
+    release_caches()
+    assert survivors == [2, 3]
+    with _pytest.raises(ValueError):
+        contamination_pairs(corpus, evals, eval_id_col="doc_id")
