@@ -935,7 +935,8 @@ def test_dedup_groups_long_chain_checkpointed(spark):
         [(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        out = dedup_groups(pairs, max_iterations=20, checkpoint_interval=5)
+        out = dedup_groups(pairs, max_iterations=20, checkpoint_interval=5,
+                           driver_threshold=0)
         got = {r["doc_id"]: r["group_id"] for r in out.collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -955,7 +956,7 @@ def test_dedup_groups_warns_when_not_converged(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
     with _pytest.warns(RuntimeWarning, match="under-merged"):
-        out = dedup_groups(pairs, max_iterations=2)
+        out = dedup_groups(pairs, max_iterations=2, driver_threshold=0)
         out.collect()
 
 
@@ -1774,3 +1775,24 @@ def test_contamination_and_decontaminate(spark):
     assert survivors == [2, 3]
     with _pytest.raises(ValueError):
         contamination_pairs(corpus, evals, eval_id_col="doc_id")
+
+
+def test_dedup_groups_driver_fast_path_matches_distributed(spark):
+    """The small-graph union-find fast path (edge count <= threshold)
+    returns byte-identical (doc_id, group_id) labels to the
+    distributed min-label propagation, across clique, path, and
+    disjoint-component shapes."""
+    from json_schema_spark.textops.dedup import dedup_groups, release_caches
+
+    edges = ([(1, 2), (2, 3), (1, 3)]          # clique -> min 1
+             + [(10, 11), (11, 12), (12, 13)]  # path -> min 10
+             + [(7, 20)])                      # two-node component
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["doc_id"], r["group_id"])
+            for r in dedup_groups(pairs).collect()}
+    dist = {(r["doc_id"], r["group_id"])
+            for r in dedup_groups(pairs, driver_threshold=0).collect()}
+    release_caches()
+    assert fast == dist
+    assert fast == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                    (12, 10), (13, 10), (7, 7), (20, 7)}
