@@ -11,6 +11,7 @@ row that gates it):
 5. token budgeting (BPE-ish pre-tokenizer counts)
 6. deterministic train/val/test split (md5-keyed — stable under
    repartitioning and engine-reproducible)
+7. benchmark decontamination (winnowing containment vs an eval set)
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
@@ -69,7 +70,17 @@ split = hash_split(near.join(kept_ids, "doc_id"),
 dist = {r["split"]: r["n"] for r in
         split.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
-# 7. multimodal: perceptual dedup of an image/audio/video column rides
+# 7. benchmark decontamination: drop training docs that contain an
+#    eval-set document (winnowing containment; the eval set here is a
+#    deterministic slice of the corpus, so its sources must drop)
+evals = (docs.filter((F.col("doc_id") % 50 == 0)
+                     & F.col("text").isNotNull())
+         .select((F.col("doc_id") + 100000).alias("eval_id"),
+                 F.substring("text", 1, 120).alias("text")))
+clean = dedup.decontaminate(near, evals, threshold=0.8, min_shared=20)
+n7 = clean.count()
+
+# 8. multimodal: perceptual dedup of an image/audio/video column rides
 #    the same pairs -> components -> keep-canonical composition:
 #    near_dedup_media(df, "blob", kind="image"|"video"|"audio").
 #    (Synthesizing a media column here would just restate the
@@ -85,4 +96,5 @@ print(f"after near-dup:      {n3}")
 print(f"after quality gate:  {n4}")
 print(f"token budget:        ws={budget['ws']}  bpe={budget['bpe']}")
 print(f"splits:              {dist}")
+print(f"after decontam:      {n7} (eval sources dropped)")
 spark.stop()

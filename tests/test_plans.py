@@ -186,7 +186,11 @@ def test_new_operator_plan_shapes(spark):
                # temperature_sample: ONE corpus exchange (the stratum
                # count agg); the rate window is a single-partition pass
                # over #strata rows and the rate join is broadcast
-               "temperature_sample": 1}
+               "temperature_sample": 1,
+               # decontamination: corpus-side winnowing window (per-doc
+               # local sort), the (doc, eval) shared-count agg, and the
+               # eval-total agg; eval fingerprints join broadcast
+               "decontamination": 3}
     import re
 
     for name, max_exchanges in budgets.items():
