@@ -2793,6 +2793,43 @@ FROM cums GROUP BY day ORDER BY day
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (round 4): 32-token windows,
+    stride 24 (8-token overlap); n_chunks = 1 if n <= 32 else
+    ceil((n-32)/24)+1, final window anchored to the last token. The
+    oracle replays the same whitespace split, window count, and
+    1-based inclusive slice in DuckDB."""
+    from json_schema_spark.textops.textanalysis import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_size=32, overlap=8)
+
+
+_SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(range(CASE WHEN n <= 0 THEN 0
+                           WHEN n <= 32 THEN 1
+                           ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1
+                      END)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(t, chunk_id * 24 + 1,
+                                  chunk_id * 24 + 32), ' ') AS chunk_text,
+       CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens
+FROM idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2819,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2887,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "redact_pii": _sql_redact_pii(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -437,3 +437,51 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob")))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 64,
+                    overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the RAG / long-context training prep step. Chunk i covers
+    whitespace tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the number of chunks is
+    1 if n <= chunk_size else ceil((n - chunk_size) / stride) + 1, so
+    the final window always reaches the last token and only the final
+    chunk may be short. Empty documents yield no chunks.
+
+    Output: id_col, chunk_id (0-based), chunk_text, n_chunk_tokens.
+
+    Scale story: a pure projection + one generate — the token split
+    runs ONCE per document (materialized by a select *before* the
+    posexplode, because Catalyst does no CSE inside the per-chunk
+    slice expressions), then the explode duplicates the evaluated
+    array, not the split. Zero shuffle, zero Python; parallelism is
+    the scan's. Chunk counts are bounded by document length, so no
+    skew beyond the corpus's own length skew (cap upstream via a
+    length filter if pathological documents exist)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    stride = chunk_size - overlap
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    n_chunks = (F.when(n <= 0, F.lit(0))
+                .when(n <= chunk_size, F.lit(1))
+                .otherwise(F.ceil((n - chunk_size)
+                                  / F.lit(float(stride))) + 1))
+    # sequence(0, -1) would count DOWN — guard the empty-doc case
+    idx = F.when(n_chunks > 0,
+                 F.sequence(F.lit(0), (n_chunks - 1).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    start = F.col("chunk_id") * stride
+    return (toks
+            .select(id_col, "_t", F.explode(idx).alias("chunk_id"))
+            .select(id_col, "chunk_id",
+                    F.concat_ws(" ", F.slice(F.col("_t"), start + 1,
+                                             chunk_size))
+                    .alias("chunk_text"),
+                    F.least(F.lit(chunk_size), F.size("_t") - start)
+                    .cast("int").alias("n_chunk_tokens")))

@@ -1796,3 +1796,54 @@ def test_dedup_groups_driver_fast_path_matches_distributed(spark):
     assert fast == dist
     assert fast == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                     (12, 10), (13, 10), (7, 7), (20, 7)}
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding token windows: stride = chunk_size - overlap, last
+    window reaches the final token, short/empty docs behave."""
+    from json_schema_spark.textops.textanalysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"w{i}" for i in range(10))),
+         ("b", "one two three"),   # single short chunk
+         ("c", ""),                # no chunks
+         ("d", "   "),             # blank -> no chunks
+         ("e", " ".join(f"t{i}" for i in range(7)))],  # exact multiple
+        "doc_id string, text string")
+    out = chunk_documents(docs, chunk_size=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+            for r in out.collect()}
+    assert rows[("a", 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[("a", 1)] == ("w3 w4 w5 w6", 4)   # 1-token overlap
+    assert rows[("a", 2)] == ("w6 w7 w8 w9", 4)   # anchored at the end
+    assert rows[("b", 0)] == ("one two three", 3)
+    assert rows[("e", 1)] == ("t3 t4 t5 t6", 4)
+    assert not any(d in ("c", "d") for d, _ in rows)
+    assert len(rows) == 6
+    # every token of every doc is covered by at least one chunk
+    covered = set()
+    for (d, i), (txt, _) in rows.items():
+        covered.update((d, w) for w in txt.split(" "))
+    assert ("a", "w9") in covered and ("e", "t6") in covered
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=0)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    """chunk_documents must stay a projection + one Generate: no
+    Exchange, no Python eval, and exactly one split of the text (the
+    token array is materialized before the per-chunk slices)."""
+    from json_schema_spark.textops.textanalysis import chunk_documents
+
+    docs = spark.createDataFrame([("a", "x y z")],
+                                 "doc_id string, text string")
+    out = chunk_documents(docs, chunk_size=2, overlap=1)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1
