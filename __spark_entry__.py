@@ -2830,6 +2830,40 @@ FROM idx
 """
 
 
+def _q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 trigrams (round 4): boilerplate /
+    memorization-risk screen. Deterministic top-k — ordered by total
+    occurrences desc then gram asc, so the rank-20 tie boundary is
+    engine-replayable."""
+    from json_schema_spark.textops.textanalysis import ngram_topk
+
+    return ngram_topk(_docs(spark, sf_dir), n=3, k=20)
+
+
+_SQL_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+counts AS (
+  SELECT gram,
+         count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY gram
+)
+SELECT gram, n_occ, n_docs
+FROM counts ORDER BY n_occ DESC, gram ASC LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2857,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
+        "ngram_topk": _q_ngram_topk,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2926,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _sql_redact_pii(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "ngram_topk": _SQL_NGRAM_TOPK,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -485,3 +485,43 @@ def chunk_documents(df: DataFrame, chunk_size: int = 64,
                     .alias("chunk_text"),
                     F.least(F.lit(chunk_size), F.size("_t") - start)
                     .cast("int").alias("n_chunk_tokens")))
+
+
+def ngram_topk(df: DataFrame, n: int = 3, k: int = 20,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate /
+    memorization-risk screen (a gram seen in thousands of documents is
+    template text; a rare long gram repeated many times in one doc is
+    a repetition artifact). Output: gram, n_occ (total occurrences),
+    n_docs (documents containing it), top ``k`` by n_occ with a
+    deterministic gram-lexicographic tie-break so results are
+    engine-replayable.
+
+    Scale story: tokens are split ONCE per document (materialized
+    before the per-gram slices — Catalyst does no CSE inside HOF
+    lambdas), the gram explode feeds a two-level aggregation
+    (gram,doc partial counts, then gram totals — both map-side
+    combined), and the top-k is TakeOrderedAndProject: per-partition
+    heads merged on the driver, never a global sort. Skew-safe: a
+    degenerate hot gram is still just one row per (gram, doc) after
+    the first aggregation."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = df.select(F.col(id_col),
+                     tokens(F.lower(F.col(text_col))).alias("_t"))
+    size = F.size("_t")
+    idx = F.when(size >= n,
+                 F.sequence(F.lit(1), size - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        id_col,
+        F.explode(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n))))
+        .alias("gram"))
+    per_doc = grams.groupBy("gram", id_col) \
+                   .agg(F.count(F.lit(1)).alias("_c"))
+    counts = per_doc.groupBy("gram").agg(
+        F.sum("_c").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_docs"))
+    return counts.orderBy(F.desc("n_occ"), F.asc("gram")).limit(k)

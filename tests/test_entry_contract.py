@@ -31,7 +31,8 @@ def test_query_registry_is_pinned():
         "simhash64", "simhash_pairs", "ann_cosine_topk",
         "ann_lsh_topk", "ann_lsh_probe", "emb_near_dup",
         "text_analysis", "token_stats", "line_dedup", "redact_pii",
-        "pack_sequences", "chunk_documents", "repetition_features",
+        "pack_sequences", "chunk_documents", "ngram_topk",
+        "repetition_features",
         "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",
         "multimodal_audio", "image_dedup", "image_dedup_gif", "video_dedup", "audio_dedup", "media_dedup",

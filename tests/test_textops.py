@@ -1847,3 +1847,22 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
         assert marker not in phys
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(") == 1
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    """n_occ counts occurrences, n_docs counts documents; ties at the
+    k boundary break lexicographically (deterministic top-k)."""
+    from json_schema_spark.textops.textanalysis import ngram_topk
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat the cat sat"),
+         ("b", "The Cat Sat on a hat"),   # casefolds into the same gram
+         ("c", ""), ("d", None)],
+        "doc_id string, text string")
+    rows = ngram_topk(docs, n=3, k=3).collect()
+    assert [(r.gram, r.n_occ, r.n_docs) for r in rows[:2]] == [
+        ("the cat sat", 3, 2), ("cat sat on", 2, 2)]
+    # rank 3 is a 6-way n_occ=1 tie -> lexicographically first gram wins
+    assert rows[2].n_occ == 1
+    assert rows[2].gram == min(["mat the cat", "on a hat", "on the mat",
+                                "sat on a", "sat on the", "the mat the"])
