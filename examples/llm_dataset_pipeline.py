@@ -12,6 +12,8 @@ row that gates it):
 6. deterministic train/val/test split (md5-keyed — stable under
    repartitioning and engine-reproducible)
 7. benchmark decontamination (winnowing containment vs an eval set)
+8. boilerplate screen (corpus-wide top n-grams) + RAG-style chunking
+   of the surviving docs into overlapping token windows
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
@@ -27,7 +29,7 @@ from json_schema_spark.session import get_spark  # noqa: E402
 from json_schema_spark.textops import dedup  # noqa: E402
 from json_schema_spark.textops.sampling import hash_split  # noqa: E402
 from json_schema_spark.textops.textanalysis import (  # noqa: E402
-    quality_filter, token_stats)
+    chunk_documents, ngram_topk, quality_filter, token_stats)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -80,7 +82,14 @@ evals = (docs.filter((F.col("doc_id") % 50 == 0)
 clean = dedup.decontaminate(near, evals, threshold=0.8, min_shared=20)
 n7 = clean.count()
 
-# 8. multimodal: perceptual dedup of an image/audio/video column rides
+# 8. boilerplate screen + chunking: the top corpus trigrams flag
+#    template text; surviving docs are cut into overlapping 64-token
+#    windows for retrieval / long-context packing
+top_grams = ngram_topk(clean, n=3, k=5).collect()
+chunks = chunk_documents(clean, chunk_size=64, overlap=16)
+n8 = chunks.count()
+
+# 9. multimodal: perceptual dedup of an image/audio/video column rides
 #    the same pairs -> components -> keep-canonical composition:
 #    near_dedup_media(df, "blob", kind="image"|"video"|"audio").
 #    (Synthesizing a media column here would just restate the
@@ -97,4 +106,6 @@ print(f"after quality gate:  {n4}")
 print(f"token budget:        ws={budget['ws']}  bpe={budget['bpe']}")
 print(f"splits:              {dist}")
 print(f"after decontam:      {n7} (eval sources dropped)")
+print(f"top trigrams:        {[(r.gram, r.n_occ) for r in top_grams]}")
+print(f"chunks (64/16):      {n8}")
 spark.stop()
