@@ -190,7 +190,12 @@ def test_new_operator_plan_shapes(spark):
                # decontamination: corpus-side winnowing window (per-doc
                # local sort), the (doc, eval) shared-count agg, and the
                # eval-total agg; eval fingerprints join broadcast
-               "decontamination": 3}
+               "decontamination": 3,
+               # chunk_documents is a pure projection + Generate;
+               # ngram_topk spends two on the (gram,doc) then gram
+               # aggregations (the top-k is TakeOrderedAndProject,
+               # not a sort exchange)
+               "chunk_documents": 0, "ngram_topk": 2}
     import re
 
     for name, max_exchanges in budgets.items():
