@@ -2864,6 +2864,62 @@ FROM counts ORDER BY n_occ DESC, gram ASC LIMIT 20
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl delta (round 4): the 'new' snapshot is a
+    deterministic perturbation of documents — ids % 11 == 0 removed,
+    ids % 7 == 0 edited (' v2' suffix), ids % 13 == 0 re-added under
+    id+1000000 with a 'new: ' prefix. snapshot_diff classifies
+    added/removed/changed by presence + normalized md5 digest; the
+    oracle rebuilds both snapshots and replays the full-outer
+    comparison."""
+    from json_schema_spark.textops.dedup import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edited = F.when(F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")))               .otherwise(F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 11 != 0)
+           .select("doc_id", edited.alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 13 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.lit("new: "), F.col("text"))
+                       .alias("text"))))
+    return snapshot_diff(docs, new)
+
+
+_SQL_SNAPSHOT_DIFF = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS old_digest
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                  ELSE text END)), '\s+', ' ', 'g')) AS new_digest
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5(regexp_replace(lower(trim('new: ' || text)),
+                            '\s+', ' ', 'g')) AS new_digest
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_digest IS DISTINCT FROM n.new_digest
+              THEN 'changed' END AS status,
+       o.old_digest, n.new_digest
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.old_digest IS DISTINCT FROM n.new_digest
+             THEN 'changed' END IS NOT NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2892,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "ngram_topk": _q_ngram_topk,
+        "snapshot_diff": _q_snapshot_diff,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -2962,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "ngram_topk": _SQL_NGRAM_TOPK,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -1103,3 +1103,46 @@ def seen_filter_sharded(reference: DataFrame, candidates: DataFrame,
                            bits_per_shard, n_hashes))
     return bloom_probe_shards(candidates, shards, key_col, n_shards,
                               bits_per_shard, n_hashes)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Crawl-over-crawl corpus delta: classify every document id across
+    two snapshots as 'added' (only in new), 'removed' (only in old), or
+    'changed' (present in both with a different normalized content
+    digest — casefolded, whitespace-collapsed, same normalization as
+    exact_duplicates). Unchanged ids are dropped, so the output is the
+    incremental work list: validate/dedup/re-embed only `added` +
+    `changed`, retire `removed` — the recurring-ingest pattern the
+    checkpoint/resume layer feeds.
+
+    Output: id_col, status, old_digest, new_digest (digests NULL on
+    the absent side).
+
+    Scale story: each side reduces to (id, digest) projections — text
+    never crosses the wire — then ONE full-outer shuffle join on the
+    id. The join is the irreducible cost of a snapshot diff;
+    co-locate it for free by writing both snapshots bucketed on the
+    id (sources/bucketing) so the exchange disappears. Digest
+    comparison is null-safe; no skew beyond id-duplication upstream
+    (dedup first if ids repeat)."""
+    norm = lambda c: F.md5(F.regexp_replace(
+        F.lower(F.trim(c)), r"\s+", " "))
+    # presence flags, not digest nullness: NULL text has a NULL digest
+    # but the document is still present on that side
+    o = old.select(F.col(id_col).alias("_id"),
+                   norm(F.col(text_col)).alias("old_digest"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(F.col(id_col).alias("_id"),
+                   norm(F.col(text_col)).alias("new_digest"),
+                   F.lit(True).alias("_in_new"))
+    joined = o.join(n, "_id", "full_outer")
+    status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .when(~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+                    F.lit("changed")))
+    return (joined.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(F.col("_id").alias(id_col), "status",
+                    "old_digest", "new_digest"))

@@ -195,7 +195,10 @@ def test_new_operator_plan_shapes(spark):
                # ngram_topk spends two on the (gram,doc) then gram
                # aggregations (the top-k is TakeOrderedAndProject,
                # not a sort exchange)
-               "chunk_documents": 0, "ngram_topk": 2}
+               "chunk_documents": 0, "ngram_topk": 2,
+               # snapshot_diff: the two sides of the full-outer join —
+               # text never crosses the wire (digest projections only)
+               "snapshot_diff": 2}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -1866,3 +1866,24 @@ def test_ngram_topk_counts_and_tiebreak(spark):
     assert rows[2].n_occ == 1
     assert rows[2].gram == min(["mat the cat", "on a hat", "on the mat",
                                 "sat on a", "sat on the", "the mat the"])
+
+
+def test_snapshot_diff_statuses_and_null_text(spark):
+    """added/removed/changed classification; normalization-equal text
+    is unchanged; NULL text marks presence (not 'added') and compares
+    null-safely."""
+    from json_schema_spark.textops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "keep me"), (3, "gone soon"),
+         (4, "CASE  fold"), (6, None), (7, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a b edited"), (2, "keep me"), (4, "case fold"),
+         (5, "brand new"), (6, None), (7, "now has text")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.status
+            for r in snapshot_diff(old, new).collect()}
+    # 2 (identical), 4 (normalization-equal), 6 (NULL both sides) drop
+    assert rows == {1: "changed", 3: "removed", 5: "added",
+                    7: "changed"}
