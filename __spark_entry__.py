@@ -2920,6 +2920,43 @@ WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
 """
 
 
+def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (round 4): sources src0/src1/src2 at
+    weights 3/1/1 toward a 2000-token budget; unlisted sources drop.
+    Rates are least(1, round(budget*w/sum_w/tokens_s, 6)); selection
+    is the md5(seed:id) unit hash — the oracle replays the token
+    sums, the rate arithmetic, and the hash threshold row-for-row."""
+    from json_schema_spark.textops.sampling import mix_corpus
+
+    out = mix_corpus(_docs(spark, sf_dir),
+                     {"src0": 3, "src1": 1, "src2": 1},
+                     token_budget=2000)
+    return out.select("doc_id", "source", "n_tokens")
+
+
+_SQL_MIX_CORPUS = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+tot AS (SELECT source AS s, sum(n_tokens) AS tn FROM base GROUP BY source),
+r AS (
+  SELECT s, least(1.0, round(
+           2000.0 * (CASE s WHEN 'src0' THEN 3.0 ELSE 1.0 END) / 5.0
+           / CAST(tn AS DOUBLE), 6)) AS rate
+  FROM tot
+)
+SELECT b.doc_id, b.source, b.n_tokens
+FROM base b JOIN r ON b.source = r.s
+WHERE CAST(('0x' || substr(md5('jss-mix:'
+           || CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < r.rate
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2949,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "ngram_topk": _q_ngram_topk,
         "snapshot_diff": _q_snapshot_diff,
+        "mix_corpus": _q_mix_corpus,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3020,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "ngram_topk": _SQL_NGRAM_TOPK,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "mix_corpus": _SQL_MIX_CORPUS,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -142,3 +142,60 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_corpus(df: DataFrame, weights: dict[str, float],
+               token_budget: int,
+               source_col: str = "source",
+               text_col: str = "text",
+               token_col: str | None = None,
+               id_col: str = "doc_id",
+               seed: str = "jss-mix") -> DataFrame:
+    """Weighted corpus mixing to a token budget — the mixture-spec
+    step of LLM pre-training prep (Pile/LLaMA-style source recipes):
+    source s receives a token_budget share proportional to
+    ``weights[s]``; sources absent from the spec are DROPPED. Each
+    source is then sampled at rate
+    least(1, round(budget * w_s / sum(w) / tokens_s, 6)), so the
+    expected kept-token count per source matches its share (a source
+    smaller than its share keeps everything — the overall mixture then
+    lands under budget, the standard behavior; rebalance weights or
+    upsample upstream if hard shares matter). Selection is the
+    md5(seed:id) unit hash — reproducible under any partitioning, any
+    engine. Contrast temperature_sample, which derives the shares from
+    corpus counts; here the recipe is explicit.
+
+    ``token_col`` names a precomputed per-doc token count; by default
+    whitespace tokens are counted inline. Output: input columns +
+    n_tokens.
+
+    Scale story: one partial+final token-sum aggregation per source
+    (bounded #sources rows), rate derivation on that tiny table, and
+    ONE broadcast join of the rates back onto the corpus — no corpus
+    shuffle, same contract as temperature_sample."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    from json_schema_spark.textops.textanalysis import token_count
+
+    total_w = float(sum(weights.values()))
+    n_tok = (F.col(token_col).cast("bigint") if token_col
+             else token_count(F.col(text_col)).cast("bigint"))
+    base = (df.filter(F.col(source_col).isin(list(weights)))
+            .withColumn("n_tokens", n_tok))
+    totals = base.groupBy(F.col(source_col).alias("_s")) \
+                 .agg(F.sum("n_tokens").alias("_tn"))
+    w_expr = None
+    for src, w in weights.items():
+        branch = (F.col("_s") == src, F.lit(float(w)))
+        w_expr = F.when(*branch) if w_expr is None else w_expr.when(*branch)
+    rate = F.least(F.lit(1.0), F.round(
+        F.lit(float(token_budget)) * w_expr / F.lit(total_w)
+        / F.col("_tn").cast("double"), 6))
+    rates = totals.select("_s", rate.alias("_rate"))
+    u = _unit_hash(F.col(id_col), seed)
+    return (base.join(F.broadcast(rates),
+                      base[source_col] == rates["_s"])
+            .filter(u < F.col("_rate"))
+            .drop("_s", "_rate"))

@@ -198,7 +198,10 @@ def test_new_operator_plan_shapes(spark):
                "chunk_documents": 0, "ngram_topk": 2,
                # snapshot_diff: the two sides of the full-outer join —
                # text never crosses the wire (digest projections only)
-               "snapshot_diff": 2}
+               "snapshot_diff": 2,
+               # mix_corpus: ONE exchange (the per-source token-sum
+               # agg); the rate join back onto the corpus is broadcast
+               "mix_corpus": 1}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -1887,3 +1887,35 @@ def test_snapshot_diff_statuses_and_null_text(spark):
     # 2 (identical), 4 (normalization-equal), 6 (NULL both sides) drop
     assert rows == {1: "changed", 3: "removed", 5: "added",
                     7: "changed"}
+
+
+def test_mix_corpus_rates_and_spec(spark):
+    """Sources get budget shares proportional to their weights;
+    unlisted sources drop; an under-sized source caps at keep-all;
+    selection is id-hash-deterministic (stable across calls)."""
+    from json_schema_spark.textops.sampling import mix_corpus
+
+    rows = [(i, "w " * 10, "big") for i in range(100)]          # 1000 toks
+    rows += [(1000 + i, "w " * 10, "small") for i in range(5)]  # 50 toks
+    rows += [(2000 + i, "w " * 10, "unlisted") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = mix_corpus(docs, {"big": 1, "small": 1}, token_budget=400)
+    per = {r.source: (r.n, r.toks) for r in
+           out.groupBy("source").agg(
+               F.count("*").alias("n"),
+               F.sum("n_tokens").alias("toks")).collect()}
+    assert "unlisted" not in per
+    # small's 200-token share exceeds its 50 tokens -> rate caps at 1
+    assert per["small"] == (5, 50)
+    # big is sampled at 200/1000 = 0.2 -> ~20 docs (hash-exact, so
+    # just re-run and require identical output)
+    again = mix_corpus(docs, {"big": 1, "small": 1}, token_budget=400)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+    assert 0 < per["big"][0] < 100
+
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {}, token_budget=400)
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {"big": 1}, token_budget=0)
