@@ -2957,6 +2957,33 @@ WHERE CAST(('0x' || substr(md5('jss-mix:'
 """
 
 
+def _q_dedup_lines_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (round 4): keep the first
+    occurrence of each trimmed line per document, keep blanks;
+    compared as md5 of the rebuilt text. The oracle replays the
+    indexed list filter + first-occurrence probe in DuckDB."""
+    from json_schema_spark.textops.textanalysis import dedup_lines_in_doc
+
+    out = dedup_lines_in_doc(_docs(spark, sf_dir))
+    return out.select("doc_id", F.md5("text_clean").alias("clean_digest"))
+
+
+_SQL_DEDUP_LINES_IN_DOC = """
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
+         md5(array_to_string(
+           list_filter(string_split(text, chr(10)),
+             (x, i) -> trim(x) = ''
+               OR list_position(
+                    list_transform(string_split(text, chr(10)),
+                                   y -> trim(y)),
+                    trim(x)) = i),
+           chr(10)))
+       END AS clean_digest
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -2987,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "snapshot_diff": _q_snapshot_diff,
         "mix_corpus": _q_mix_corpus,
+        "dedup_lines_in_doc": _q_dedup_lines_in_doc,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3059,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_topk": _SQL_NGRAM_TOPK,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "mix_corpus": _SQL_MIX_CORPUS,
+        "dedup_lines_in_doc": _SQL_DEDUP_LINES_IN_DOC,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

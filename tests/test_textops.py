@@ -1919,3 +1919,24 @@ def test_mix_corpus_rates_and_spec(spark):
         mix_corpus(docs, {}, token_budget=400)
     with pytest.raises(ValueError):
         mix_corpus(docs, {"big": 1}, token_budget=0)
+
+
+def test_dedup_lines_in_doc_keep_first(spark):
+    """Repeated trimmed lines drop (keep-first, including
+    whitespace-variant repeats); blank lines are kept; NULL text
+    stays NULL; plan stays a zero-shuffle projection with the split
+    and trim arrays materialized once."""
+    from json_schema_spark.textops.textanalysis import dedup_lines_in_doc
+
+    docs = spark.createDataFrame(
+        [(1, "Header\nbody one\nHeader\n\nbody two\n  Header  \nend"),
+         (2, "a\na\na"), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = dedup_lines_in_doc(docs)
+    got = {r.doc_id: r.text_clean for r in out.collect()}
+    assert got == {1: "Header\nbody one\n\nbody two\nend",
+                   2: "a", 3: None, 4: ""}
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1 and opt.count("transform(") == 1
