@@ -2984,6 +2984,94 @@ FROM documents
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (round 4): first-8 vectors as pinned
+    cluster centroids (same convention as ivf_topk — Lloyd refinement
+    is not oracle-reproducible), within-cell cosine >= 0.3 pairs
+    (synthetic embeddings are near-orthogonal; the threshold
+    exercises the machinery), transitive closure, keep the
+    least-centroid-similar member per group. The oracle replays
+    assignment, the cell-bounded pair join, a recursive closure, and
+    the keep-low window."""
+    from json_schema_spark.textops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(x) for x in r[0]]
+             for r in (emb.filter(F.col("vec_id") < 8)
+                       .orderBy("vec_id").select("embedding").collect())]
+    return semantic_dedup(emb, centroids=cents, threshold=0.3)
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+           (a, b) -> a + b) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cell, round(
+           list_reduce(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+             (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+                  (x, y) -> x + y))), 6) AS centroid_sim
+  FROM (
+    SELECT vec_id, embedding, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+  ) t JOIN cent ON t.cell = cent.cid
+  WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(b.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.s AS node, r.lab
+  FROM edges e JOIN reach r ON e.t = r.node
+),
+grp AS (SELECT node, min(lab) AS group_id FROM reach GROUP BY node),
+losers AS (
+  SELECT node FROM (
+    SELECT g.node,
+           row_number() OVER (PARTITION BY g.group_id
+                              ORDER BY a.centroid_sim, g.node) AS rn
+    FROM grp g JOIN assign a ON g.node = a.vec_id
+  ) WHERE rn > 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, centroid_sim
+FROM assign WHERE vec_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3015,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "mix_corpus": _q_mix_corpus,
         "dedup_lines_in_doc": _q_dedup_lines_in_doc,
+        "semantic_dedup": _q_semantic_dedup,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3088,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "mix_corpus": _SQL_MIX_CORPUS,
         "dedup_lines_in_doc": _SQL_DEDUP_LINES_IN_DOC,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

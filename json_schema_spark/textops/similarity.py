@@ -438,3 +438,75 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
                         F.round(F.col("n_hit").cast("double")
                                 / F.col("n_exact").cast("double"), 6))
             .select("query_id", "n_exact", "n_hit", "recall"))
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None = None,
+                   n_clusters: int = 8, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster_size: int | None = None,
+                   seed: str = "jss-ivf") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    deduplication for web-scale training data): cluster embeddings,
+    treat within-cluster pairs with cosine >= ``threshold`` as
+    semantic duplicates, connect them into groups, and keep exactly
+    ONE member per group — the member LEAST similar to its cluster
+    centroid (the paper's keep-low rule, which retains the cluster's
+    outlier; ties break to the lowest id). Singletons survive
+    untouched. Returns (id_col, cell, centroid_sim) for survivors.
+
+    ``centroids`` defaults to ivf_centroids (deterministic
+    farthest-point seeding + Lloyd); pass an explicit list for
+    engine-reproducible runs (the oracle query pins the first-K
+    vectors, same convention as ivf_topk).
+
+    Scale story: the driver holds only k x dim centroid floats;
+    assignment is a pure projection (every distance evaluated once —
+    see _nearest_centroid). The only corpus shuffle is the
+    cell-bounded self-join: cost is sum(cell_size^2), NOT corpus^2 —
+    size clusters so cells stay ~10^3-10^4 rows (more centroids =
+    smaller cells), and ``max_cluster_size`` excludes degenerate hot
+    cells from PAIRING (their members all survive — the same guard
+    contract as minhash max_bucket_size). Components use
+    dedup_groups (driver union-find below 1M edges, min-label
+    propagation above); the final cut is an unhinted anti-join."""
+    from json_schema_spark.cache import register_cache
+    from json_schema_spark.textops.dedup import dedup_groups
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_clusters, id_col, vec_col,
+                                  seed=seed)
+    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in centroids])
+    assigned = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cell"))
+    assigned = assigned.withColumn(
+        "centroid_sim",
+        F.round(cosine(F.col("_v"),
+                       F.element_at(cents_arr, F.col("cell") + 1)), 6))
+    register_cache(assigned)  # persists; caller releases post-action
+
+    pairable = assigned
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"))
+        pairable = (assigned.join(
+            F.broadcast(sizes.filter(F.col("_n") <= max_cluster_size)),
+            "cell").drop("_n"))
+    a, b = pairable.alias("a"), pairable.alias("b")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .withColumn("_sim",
+                         F.round(cosine(F.col("a._v"),
+                                        F.col("b._v")), 6))
+             .filter(F.col("_sim") >= threshold)
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b")))
+    groups = dedup_groups(pairs, out_id_col="_id")
+    members = groups.join(assigned.select("_id", "centroid_sim"), "_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.asc("centroid_sim"), F.asc("_id"))
+    losers = (members.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1).select("_id"))
+    return (assigned.join(losers, "_id", "left_anti")
+            .select(F.col("_id").alias(id_col), "cell", "centroid_sim"))

@@ -1940,3 +1940,32 @@ def test_dedup_lines_in_doc_keep_first(spark):
     assert "Exchange" not in phys
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(") == 1 and opt.count("transform(") == 1
+
+
+def test_semantic_dedup_keep_low_rule(spark):
+    """Within a duplicate group the survivor is the member LEAST
+    similar to its cluster centroid (SemDeDup keep-low); singletons
+    survive; max_cluster_size excludes hot cells from pairing (their
+    members all survive)."""
+    from json_schema_spark.textops.similarity import semantic_dedup
+    from json_schema_spark.cache import release_caches
+
+    # centroid c0 = x-axis: ids 1,2,3 near-identical (a dup group,
+    # sims to c0 differ), id 4 orthogonal-ish singleton in cell 1
+    rows = [(1, [1.0, 0.01]), (2, [1.0, 0.02]), (3, [1.0, 0.03]),
+            (4, [0.05, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = semantic_dedup(emb, centroids=cents, threshold=0.99)
+    got = sorted((r.vec_id, r.cell) for r in out.collect())
+    release_caches()
+    # ids 1-3 all >= 0.99 pairwise -> one group; id 3 has the LOWEST
+    # cosine to centroid [1,0] (largest y component) -> it survives
+    assert got == [(3, 0), (4, 1)]
+
+    # with the cell capped out of pairing, everyone survives
+    out2 = semantic_dedup(emb, centroids=cents, threshold=0.99,
+                          max_cluster_size=2)
+    n2 = out2.count()
+    release_caches()
+    assert n2 == 4
