@@ -3072,6 +3072,74 @@ FROM assign WHERE vec_id NOT IN (SELECT node FROM losers)
 """
 
 
+def _q_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL policy (round 4): seven deterministic url
+    variants per doc exercise the scheme allowlist, exact + subdomain
+    domain blocking (and the notblocked.net non-match), the
+    binary-extension path gate (query-string extensions pass), and
+    port stripping. The oracle replays every regex and the suffix
+    probe."""
+    from json_schema_spark.textops.urls import filter_urls
+
+    i = F.col("doc_id")
+    ex = F.concat(F.lit("example"), (i % 50).cast("string"),
+                  F.lit(".com"))
+    url = (F.when(i % 7 == 0, F.lit("ftp://files.example.com/data"))
+           .when(i % 7 == 1, F.lit("https://blocked.net/page"))
+           .when(i % 7 == 2, F.concat(F.lit("https://sub"),
+                                      (i % 5).cast("string"),
+                                      F.lit(".blocked.net/page")))
+           .when(i % 7 == 3, F.concat(F.lit("https://"), ex,
+                                      F.lit("/pic.jpg")))
+           .when(i % 7 == 4, F.concat(F.lit("http://"), ex,
+                                      F.lit(":8080/ok")))
+           .when(i % 7 == 5, F.lit("https://notblocked.net/page"))
+           .otherwise(F.concat(F.lit("https://"), ex,
+                               F.lit("/path?q=1.jpg"))))
+    df = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return filter_urls(df, block_domains=("blocked.net",))
+
+
+def _sql_filter_urls() -> str:
+    from json_schema_spark.textops.urls import BINARY_EXT_RX
+
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN 'ftp://files.example.com/data'
+           WHEN 1 THEN 'https://blocked.net/page'
+           WHEN 2 THEN 'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.blocked.net/page'
+           WHEN 3 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/pic.jpg'
+           WHEN 4 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com:8080/ok'
+           WHEN 5 THEN 'https://notblocked.net/page'
+           ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                || '.com/path?q=1.jpg'
+         END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           ':[0-9]+$', '') AS url_host,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)) AS path
+  FROM raw
+)
+SELECT doc_id, url, url_host FROM parsed
+WHERE scheme IN ('http', 'https')
+  AND NOT (url_host = 'blocked.net'
+           OR ends_with(url_host, '.blocked.net'))
+  AND NOT regexp_matches(path, $rx${BINARY_EXT_RX}$rx$)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3104,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "dedup_lines_in_doc": _q_dedup_lines_in_doc,
         "semantic_dedup": _q_semantic_dedup,
+        "filter_urls": _q_filter_urls,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3178,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": _SQL_MIX_CORPUS,
         "dedup_lines_in_doc": _SQL_DEDUP_LINES_IN_DOC,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "filter_urls": _sql_filter_urls(),
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

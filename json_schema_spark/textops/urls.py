@@ -85,3 +85,53 @@ def duplicate_urls(df: DataFrame, url_col: str = "url",
                 .agg(F.concat_ws(",", F.array_sort(F.collect_list("_raw")))
                      .alias("urls")))
     return counts.join(examples, "canonical_url")
+
+
+# static-asset / binary path extensions a text-crawl frontier drops
+# (alternation + anchor only — Java regex and RE2 agree)
+BINARY_EXT_RX = (r"\.(jpe?g|png|gif|webp|bmp|ico|svg|mp3|wav|ogg|mp4"
+                 r"|avi|mkv|mov|zip|gz|tar|rar|7z|exe|dmg|iso|css"
+                 r"|js|woff2?)$")
+_SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def filter_urls(df: DataFrame, url_col: str = "url",
+                allowed_schemes: tuple[str, ...] = ("http", "https"),
+                block_domains: tuple[str, ...] = (),
+                block_extensions: bool = True,
+                out_host_col: str = "url_host") -> DataFrame:
+    """Crawl-frontier URL policy filter — the gate every web pipeline
+    runs before fetch/parse:
+    - scheme allowlist (default http/https);
+    - domain blocklist: a listed domain blocks the exact host AND
+      every subdomain (host == d or host ends with '.'+d — so
+      'blocked.net' blocks 'a.blocked.net' but NOT 'notblocked.net');
+    - static-asset extension blocklist on the pre-query path
+      (case-insensitive, BINARY_EXT_RX).
+    NULL urls drop. Output: surviving rows + ``out_host_col`` (the
+    lowercased host, port stripped) for downstream per-domain stats.
+
+    Scale story: a pure filter+projection — regex extractions only,
+    the blocklist ships as an array literal probed with an exists HOF
+    (right for policy lists up to ~10^4 entries; beyond that switch
+    to a broadcast anti-join on the registered domain). Zero shuffle,
+    zero Python; combines with scan pushdown on any other
+    predicate."""
+    col = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RX, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(col, _HOST_RX, 1)), r":[0-9]+$", "")
+    path = F.lower(F.regexp_extract(col, _PATH_RX, 1))
+    keep = scheme.isin(*[s.lower() for s in allowed_schemes])
+    if block_domains:
+        doms = F.array(*[F.lit(d.lower()) for d in block_domains])
+        blocked = F.exists(
+            doms, lambda d: (host == d)
+            | host.endswith(F.concat(F.lit("."), d)))
+        keep = keep & ~blocked
+    if block_extensions:
+        keep = keep & ~path.rlike(BINARY_EXT_RX)
+    return (df.filter(col.isNotNull() & keep)
+            .withColumn(out_host_col, host))

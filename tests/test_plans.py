@@ -202,8 +202,9 @@ def test_new_operator_plan_shapes(spark):
                # mix_corpus: ONE exchange (the per-source token-sum
                # agg); the rate join back onto the corpus is broadcast
                "mix_corpus": 1,
-               # dedup_lines_in_doc is a pure projection
-               "dedup_lines_in_doc": 0}
+               # dedup_lines_in_doc / filter_urls are pure
+               # projections / filters
+               "dedup_lines_in_doc": 0, "filter_urls": 0}
     import re
 
     for name, max_exchanges in budgets.items():

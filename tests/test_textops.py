@@ -1969,3 +1969,27 @@ def test_semantic_dedup_keep_low_rule(spark):
     n2 = out2.count()
     release_caches()
     assert n2 == 4
+
+
+def test_filter_urls_policy(spark):
+    """Scheme allowlist, exact + subdomain blocklist (suffix must not
+    match mid-label), extension gate on the path only, port-stripped
+    host output, NULL drop — all zero-shuffle."""
+    from json_schema_spark.textops.urls import filter_urls
+
+    urls = ["ftp://files.example.com/data",       # scheme
+            "https://blocked.net/page",           # exact block
+            "https://sub.blocked.net/page",       # subdomain block
+            "https://example.com/pic.JPG",        # extension (case)
+            "http://example.com:8080/ok",         # kept, port stripped
+            "https://notblocked.net/page",        # kept (no mid-label)
+            "https://example.com/path?q=1.jpg",   # kept (ext in query)
+            None]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id long, url string")
+    out = filter_urls(df, block_domains=("blocked.net",))
+    got = {r.id: r.url_host for r in out.collect()}
+    assert got == {4: "example.com", 5: "notblocked.net",
+                   6: "example.com"}
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
