@@ -574,3 +574,38 @@ def test_streaming_drift_matches_batch_operator(spark, tmp_path):
     for day in batch:
         assert abs(streamed2[day][0] - batch[day][0]) < 2e-6
         assert abs(streamed2[day][1] - batch[day][1]) < 2e-6
+
+
+def test_chunking_and_url_filter_compose_with_streams(spark, tmp_path):
+    """chunk_documents and filter_urls are stateless projections /
+    filters (chunking's Generate is append-safe), so both must run on
+    a Structured Streaming source unchanged — the live-ingest prep
+    path."""
+    from json_schema_spark.textops.textanalysis import chunk_documents
+    from json_schema_spark.textops.urls import filter_urls
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "a b c d e f", "https://ok.com/x"),
+         (2, "g h", "https://blocked.net/y"),
+         (3, "i j k", "ftp://ok.com/z")],
+        "doc_id long, text string, url string").write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, url string")
+              .parquet(src))
+    out = chunk_documents(
+        filter_urls(stream, block_domains=("blocked.net",)),
+        chunk_size=4, overlap=1)
+    assert out.isStreaming
+
+    sink = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "chunks_ck")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.doc_id, r.chunk_id, r.chunk_text)
+                 for r in spark.read.parquet(sink).collect())
+    # doc 2 (blocked domain) and doc 3 (scheme) are gone; doc 1 chunks
+    assert got == [(1, 0, "a b c d"), (1, 1, "d e f")]
