@@ -68,3 +68,32 @@ def test_salted_join_rejects_outer_and_collisions(spark):
     # left join keeps unmatched left rows exactly once
     out = salted_join(left, right, "k", how="left")
     assert out.count() == 10
+
+
+def test_snapshot_diff_on_bucketed_snapshots_has_no_shuffle(spark):
+    """snapshot_diff's scale claim: writing both snapshots bucketed on
+    the id makes the full-outer join co-located — zero exchange — and
+    the delta itself is unchanged."""
+    from json_schema_spark.sources.bucketing import (plan_has_shuffle,
+                                                     write_bucketed)
+    from json_schema_spark.textops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string")
+    plain = {(r.doc_id, r.status)
+             for r in snapshot_diff(old, new).collect()}
+    assert plain == {(2, "changed"), (3, "removed"), (4, "added")}
+
+    write_bucketed(old, "b_snap_old", ["doc_id"], 4)
+    write_bucketed(new, "b_snap_new", ["doc_id"], 4)
+    try:
+        out = snapshot_diff(spark.table("b_snap_old"),
+                            spark.table("b_snap_new"))
+        assert not plan_has_shuffle(out), \
+            "bucketed snapshot diff must not exchange"
+        assert {(r.doc_id, r.status) for r in out.collect()} == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")
