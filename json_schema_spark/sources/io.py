@@ -41,3 +41,40 @@ def iceberg_snapshot_id(spark: SparkSession, table: str) -> int | None:
         return int(row["snapshot_id"]) if row else None
     except Exception:
         return None
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: str | None = None,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """Line-delimited JSON corpus reader — the LLM-data interchange
+    format. PERMISSIVE parse with an explicit corrupt-record column,
+    so malformed lines are COUNTABLE downstream instead of silently
+    dropped (filter ``corrupt_col IS NOT NULL`` to quarantine them —
+    Spark refuses queries that reference ONLY the corrupt column on a
+    raw JSON source, so keep a data column in the projection or cache
+    first).
+
+    Pass a DDL ``schema`` at scale: without one Spark runs a full
+    inference pass over the data before the real read (2x the scan).
+    The corrupt column is appended to the supplied schema
+    automatically."""
+    reader = (spark.read
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt_col))
+    if schema is not None:
+        reader = reader.schema(f"{schema}, {corrupt_col} string")
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str,
+                compression: str = "gzip",
+                n_shards: int | None = None) -> None:
+    """Export a curated corpus as compressed JSONL shards (the
+    training-data hand-off format). ``n_shards`` repartitions first —
+    one round-robin exchange — to control shard count/size for the
+    consumer (readers parallelize per shard; aim for 100 MB-1 GB
+    compressed each). Leave it None to keep the upstream partitioning
+    and skip the exchange."""
+    out = df.repartition(n_shards) if n_shards else df
+    out.write.mode("overwrite") \
+       .option("compression", compression).json(path)

@@ -609,3 +609,34 @@ def test_chunking_and_url_filter_compose_with_streams(spark, tmp_path):
                  for r in spark.read.parquet(sink).collect())
     # doc 2 (blocked domain) and doc 3 (scheme) are gone; doc 1 chunks
     assert got == [(1, 0, "a b c d"), (1, 1, "d e f")]
+
+
+def test_jsonl_roundtrip_with_corrupt_accounting(spark, tmp_path):
+    """read_jsonl surfaces malformed lines in the corrupt column
+    (countable, not dropped); write_jsonl shards and compresses; the
+    roundtrip is lossless."""
+    import os
+
+    from json_schema_spark.sources.io import read_jsonl, write_jsonl
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "part0.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "hello"}\n')
+        f.write('not json at all\n')
+        f.write('{"doc_id": 2, "text": "world"}\n')
+    df = read_jsonl(spark, src, schema="doc_id long, text string")
+    bad = df.filter("_corrupt_record is not null").select(
+        "doc_id", "_corrupt_record").collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+
+    out = str(tmp_path / "out")
+    write_jsonl(df.filter("_corrupt_record is null")
+                .drop("_corrupt_record"), out, n_shards=2)
+    shards = [x for x in os.listdir(out)
+              if x.startswith("part") and x.endswith(".json.gz")]
+    assert len(shards) == 2
+    back = read_jsonl(spark, out, schema="doc_id long, text string")
+    assert sorted((r.doc_id, r.text) for r in
+                  back.filter("_corrupt_record is null").collect()) == \
+        [(1, "hello"), (2, "world")]
