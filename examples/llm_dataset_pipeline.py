@@ -14,11 +14,14 @@ row that gates it):
 7. benchmark decontamination (winnowing containment vs an eval set)
 8. boilerplate screen (corpus-wide top n-grams) + RAG-style chunking
    of the surviving docs into overlapping token windows
+9. source-weighted mixing to a token budget + compressed JSONL export
+   (the training-data hand-off)
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +30,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from json_schema_spark.session import get_spark  # noqa: E402
 from json_schema_spark.textops import dedup  # noqa: E402
-from json_schema_spark.textops.sampling import hash_split  # noqa: E402
+from json_schema_spark.sources.io import (  # noqa: E402
+    read_jsonl, write_jsonl)
+from json_schema_spark.textops.sampling import (  # noqa: E402
+    hash_split, mix_corpus)
 from json_schema_spark.textops.textanalysis import (  # noqa: E402
     chunk_documents, ngram_topk, quality_filter, token_stats)
 
@@ -89,7 +95,21 @@ top_grams = ngram_topk(clean, n=3, k=5).collect()
 chunks = chunk_documents(clean, chunk_size=64, overlap=16)
 n8 = chunks.count()
 
-# 9. multimodal: perceptual dedup of an image/audio/video column rides
+# 9. mixture spec + hand-off: rebalance sources to a token budget and
+#    ship compressed JSONL shards
+mixed = mix_corpus(clean, {f"src{i}": 1 for i in range(10)},
+                   token_budget=8000)
+export_dir = os.path.join(tempfile.mkdtemp(prefix="llm_export_"),
+                          "corpus")
+write_jsonl(mixed.select("doc_id", "source", "text", "n_tokens"),
+            export_dir, n_shards=4)
+n9 = read_jsonl(spark, export_dir,
+                schema="doc_id long, source string, text string,"
+                       " n_tokens long") \
+    .filter("_corrupt_record is null") \
+    .agg(F.count("doc_id")).first()[0]
+
+# 10. multimodal: perceptual dedup of an image/audio/video column rides
 #    the same pairs -> components -> keep-canonical composition:
 #    near_dedup_media(df, "blob", kind="image"|"video"|"audio").
 #    (Synthesizing a media column here would just restate the
@@ -108,4 +128,5 @@ print(f"splits:              {dist}")
 print(f"after decontam:      {n7} (eval sources dropped)")
 print(f"top trigrams:        {[(r.gram, r.n_occ) for r in top_grams]}")
 print(f"chunks (64/16):      {n8}")
+print(f"mixed+exported:      {n9} docs in 4 jsonl shards")
 spark.stop()
