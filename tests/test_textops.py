@@ -1993,3 +1993,71 @@ def test_filter_urls_policy(spark):
                    6: "example.com"}
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
+
+
+def test_chunk_documents_matches_python_reference_model(spark):
+    """200 seeded random docs vs a pure-Python reference model:
+    chunk count formula, window contents, and final-window anchoring
+    must match exactly for several (chunk_size, overlap) shapes."""
+    import random
+
+    from json_schema_spark.textops.textanalysis import chunk_documents
+
+    rng = random.Random(42)
+    docs = [(i, " ".join(f"w{rng.randrange(50)}"
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def model(text, size, ov):
+        toks = text.split() if text.strip() else []
+        n, stride = len(toks), size - ov
+        if n == 0:
+            return {}
+        k = 1 if n <= size else -(-(n - size) // stride) + 1
+        return {c: " ".join(toks[c * stride:c * stride + size])
+                for c in range(k)}
+
+    for size, ov in ((4, 1), (8, 3), (5, 0)):
+        got = {}
+        for r in chunk_documents(df, chunk_size=size,
+                                 overlap=ov).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+        want = {i: model(t, size, ov) for i, t in docs
+                if model(t, size, ov)}
+        assert got == want, (size, ov)
+
+
+def test_dedup_lines_in_doc_matches_python_reference_model(spark):
+    """200 seeded random multi-line docs vs a keep-first reference
+    model; also idempotence (a cleaned doc is a fixed point)."""
+    import random
+
+    from json_schema_spark.textops.textanalysis import dedup_lines_in_doc
+
+    rng = random.Random(7)
+    lines_pool = ["alpha", " alpha ", "beta", "", "  ", "gamma x",
+                  "Alpha", "beta  "]
+    docs = [(i, "\n".join(rng.choice(lines_pool)
+                          for _ in range(rng.randrange(0, 12))))
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def model(text):
+        seen, out = set(), []
+        for ln in text.split("\n"):
+            t = ln.strip()
+            if t == "" or t not in seen:
+                out.append(ln)
+                seen.add(t)
+        return "\n".join(out)
+
+    got = {r.doc_id: r.text_clean
+           for r in dedup_lines_in_doc(df).collect()}
+    assert got == {i: model(t) for i, t in docs}
+    # idempotence: cleaning the cleaned text changes nothing
+    df2 = spark.createDataFrame(list(got.items()),
+                                "doc_id long, text string")
+    got2 = {r.doc_id: r.text_clean
+            for r in dedup_lines_in_doc(df2).collect()}
+    assert got2 == got
