@@ -472,6 +472,12 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None = None,
     from json_schema_spark.cache import register_cache
     from json_schema_spark.textops.dedup import dedup_groups
 
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    if centroids is None and n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    if centroids is not None and not centroids:
+        raise ValueError("centroids must be non-empty when given")
     if centroids is None:
         centroids = ivf_centroids(df, n_clusters, id_col, vec_col,
                                   seed=seed)

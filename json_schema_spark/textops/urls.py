@@ -119,6 +119,8 @@ def filter_urls(df: DataFrame, url_col: str = "url",
     to a broadcast anti-join on the registered domain). Zero shuffle,
     zero Python; combines with scan pushdown on any other
     predicate."""
+    if not allowed_schemes:
+        raise ValueError("allowed_schemes must be non-empty")
     col = F.col(url_col)
     scheme = F.lower(F.regexp_extract(col, _SCHEME_RX, 1))
     host = F.regexp_replace(
