@@ -3140,6 +3140,28 @@ WHERE scheme IN ('http', 'https')
 """
 
 
+def _q_take_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified selection (round 4): 20 docs per
+    language, ranked by md5(seed:id) with id tie-break — the oracle
+    replays the hash ranking row-for-row."""
+    from json_schema_spark.textops.sampling import take_per_stratum
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return take_per_stratum(docs, 20, "lang")
+
+
+_SQL_TAKE_PER_STRATUM = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('jss-take:' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3173,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_in_doc": _q_dedup_lines_in_doc,
         "semantic_dedup": _q_semantic_dedup,
         "filter_urls": _q_filter_urls,
+        "take_per_stratum": _q_take_per_stratum,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3248,6 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_in_doc": _SQL_DEDUP_LINES_IN_DOC,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "filter_urls": _sql_filter_urls(),
+        "take_per_stratum": _SQL_TAKE_PER_STRATUM,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -199,3 +199,30 @@ def mix_corpus(df: DataFrame, weights: dict[str, float],
                       base[source_col] == rates["_s"])
             .filter(u < F.col("_rate"))
             .drop("_s", "_rate"))
+
+
+def take_per_stratum(df: DataFrame, n: int, strata_col: str,
+                     id_col: str = "doc_id",
+                     seed: str = "jss-take") -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is
+    smaller) — the eval-set construction primitive that rate-based
+    deterministic_sample cannot express. Rows are ranked inside each
+    stratum by md5(seed:id) (a deterministic shuffle: no positional or
+    insertion-order bias, identical in any engine), id as tie-break,
+    and the first n win.
+
+    Scale story: ONE shuffle — the per-stratum window sort. Per-task
+    memory is bounded by the stratum's rows in that partition;
+    pathological single-stratum corpora degrade to a single-reducer
+    sort, so keep strata cardinality > parallelism or pre-filter.
+    (A top-n-per-key aggregate would bound memory at O(n) per task;
+    this form keeps the plan to one window and stays exact.)"""
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(h, F.col(id_col)))
+    return (df.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= n).drop("_rn"))

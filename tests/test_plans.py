@@ -204,7 +204,9 @@ def test_new_operator_plan_shapes(spark):
                "mix_corpus": 1,
                # dedup_lines_in_doc / filter_urls are pure
                # projections / filters
-               "dedup_lines_in_doc": 0, "filter_urls": 0}
+               "dedup_lines_in_doc": 0, "filter_urls": 0,
+               # take_per_stratum: the one per-stratum window sort
+               "take_per_stratum": 1}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -2061,3 +2061,22 @@ def test_dedup_lines_in_doc_matches_python_reference_model(spark):
     got2 = {r.doc_id: r.text_clean
             for r in dedup_lines_in_doc(df2).collect()}
     assert got2 == got
+
+
+def test_take_per_stratum_exact_counts_and_determinism(spark):
+    """Exactly n per stratum (fewer when the stratum is smaller),
+    selection stable across calls and partitioning."""
+    from json_schema_spark.textops.sampling import take_per_stratum
+
+    rows = [(i, "big") for i in range(50)] + [(100, "tiny"), (101, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = take_per_stratum(df, 5, "lang")
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"big": 5, "tiny": 2}
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               take_per_stratum(df.repartition(7), 5, "lang").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        take_per_stratum(df, 0, "lang")
