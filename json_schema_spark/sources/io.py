@@ -78,3 +78,32 @@ def write_jsonl(df: DataFrame, path: str,
     out = df.repartition(n_shards) if n_shards else df
     out.write.mode("overwrite") \
        .option("compression", compression).json(path)
+
+
+def write_curated(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  sort_by: list[str] | None = None,
+                  max_records_per_file: int | None = None,
+                  compression: str = "zstd") -> None:
+    """Parquet export with the layout controls a 100-TB consumer
+    needs: directory partitioning (partition pruning for readers),
+    within-file sort (row-group locality — sorting by host/url makes
+    per-domain scans touch few row groups and improves compression on
+    web text), and ``maxRecordsPerFile`` so output files stay
+    reader-sized regardless of task partitioning. zstd by default —
+    the practical web-text ratio/speed point.
+
+    Note: sort_by does a sortWithinPartitions (task-local, NO global
+    shuffle); combine with repartition(partition_cols) upstream if
+    you also want one file per partition value."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite").option("compression",
+                                                compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile",
+                               str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -640,3 +640,30 @@ def test_jsonl_roundtrip_with_corrupt_accounting(spark, tmp_path):
     assert sorted((r.doc_id, r.text) for r in
                   back.filter("_corrupt_record is null").collect()) == \
         [(1, "hello"), (2, "world")]
+
+
+def test_write_curated_layout_controls(spark, tmp_path):
+    """Partition directories, bounded file sizes, and a lossless
+    roundtrip with pruning-friendly layout."""
+    import os
+
+    from json_schema_spark.sources.io import write_curated
+
+    df = spark.createDataFrame(
+        [(i, f"lang{i % 2}", f"t{i}") for i in range(100)],
+        "doc_id long, lang string, text string").repartition(1)
+    out = str(tmp_path / "curated")
+    write_curated(df, out, partition_by=["lang"], sort_by=["doc_id"],
+                  max_records_per_file=20)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=lang0", "lang=lang1"]
+    files = [f for d in dirs
+             for f in os.listdir(os.path.join(out, d))
+             if f.endswith(".parquet")]
+    assert len(files) >= 5  # 50 rows per partition / 20-row cap
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    plan = (back.filter(F.col("lang") == "lang0").select("doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "lang" in \
+        plan.split("PartitionFilters:")[1].splitlines()[0]
