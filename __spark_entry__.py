@@ -3162,6 +3162,33 @@ SELECT doc_id, lang FROM (
 """
 
 
+def _q_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (round 4): per-language
+    percent-rank over the unigram avg negative log-prob, cut into
+    thirds with id tie-break. The oracle composes the unigram SQL
+    with the same window."""
+    from json_schema_spark.textops.textanalysis import perplexity_split
+
+    return perplexity_split(_docs(spark, sf_dir))
+
+
+_SQL_PERPLEXITY_SPLIT = f"""
+WITH u AS ({_SQL_UNIGRAM_LOGPROB}),
+r AS (
+  SELECT u.doc_id, d.lang, u.n_tokens, u.avg_neg_logprob,
+         percent_rank() OVER (PARTITION BY d.lang
+                              ORDER BY u.avg_neg_logprob, u.doc_id)
+           AS pr
+  FROM u JOIN documents d ON u.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_tokens, avg_neg_logprob,
+       CASE CAST(least(floor(pr * 3), 2) AS INT)
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3196,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "filter_urls": _q_filter_urls,
         "take_per_stratum": _q_take_per_stratum,
+        "perplexity_split": _q_perplexity_split,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3272,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "filter_urls": _sql_filter_urls(),
         "take_per_stratum": _SQL_TAKE_PER_STRATUM,
+        "perplexity_split": _SQL_PERPLEXITY_SPLIT,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

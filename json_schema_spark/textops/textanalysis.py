@@ -558,3 +558,42 @@ def dedup_lines_in_doc(df: DataFrame, text_col: str = "text",
     return (staged.withColumn(
         out_col, F.when(t.isNotNull(), F.array_join(kept, "\n")))
         .drop("_lines", "_tr"))
+
+
+def perplexity_split(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", lang_col: str = "lang",
+                     vocab: DataFrame | None = None,
+                     min_count: int = 1,
+                     n_buckets: int = 3,
+                     bucket_names: tuple[str, ...] = ("head", "middle",
+                                                      "tail")) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020,
+    §4.3): rank documents PER LANGUAGE by unigram average negative
+    log-probability (lower = more fluent) and cut at equal
+    percent-rank boundaries — bucket = min(floor(pr * n), n-1), so
+    'head' is the most-fluent third under the default 3 buckets.
+    Ties break by id, making the cut engine-reproducible. Output:
+    id, lang, n_tokens, avg_neg_logprob, ppl_bucket.
+
+    Scale story: rides unigram_logprob (token explode cached once,
+    two aggregations) plus ONE per-language window sort and an
+    id-equi-join back to the language column. A single dominant
+    language degrades the window toward one reducer — the same
+    caveat as take_per_stratum; pre-partition by language shards if
+    one language is the whole corpus."""
+    if not 1 <= n_buckets <= len(bucket_names):
+        raise ValueError("need a name per bucket")
+    from pyspark.sql import Window as W
+
+    scored = unigram_logprob(df, text_col, id_col, vocab=vocab,
+                             min_count=min_count)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    pr = F.percent_rank().over(
+        W.partitionBy(lang_col).orderBy("avg_neg_logprob", id_col))
+    names = F.array(*[F.lit(b) for b in bucket_names[:n_buckets]])
+    idx = F.least(F.floor(pr * n_buckets),
+                  F.lit(n_buckets - 1)).cast("int")
+    return (scored.join(langs, id_col)
+            .withColumn("ppl_bucket", F.element_at(names, idx + 1))
+            .select(id_col, lang_col, "n_tokens", "avg_neg_logprob",
+                    "ppl_bucket"))

@@ -33,7 +33,7 @@ def test_query_registry_is_pinned():
         "text_analysis", "token_stats", "line_dedup", "redact_pii",
         "pack_sequences", "chunk_documents", "ngram_topk", "snapshot_diff",
         "mix_corpus", "dedup_lines_in_doc", "semantic_dedup",
-        "filter_urls", "take_per_stratum",
+        "filter_urls", "take_per_stratum", "perplexity_split",
         "repetition_features",
         "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",

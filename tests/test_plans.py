@@ -206,7 +206,11 @@ def test_new_operator_plan_shapes(spark):
                # projections / filters
                "dedup_lines_in_doc": 0, "filter_urls": 0,
                # take_per_stratum: the one per-stratum window sort
-               "take_per_stratum": 1}
+               "take_per_stratum": 1,
+               # perplexity_split: unigram's derived-vocab join +
+               # aggregations plus the per-language window and the
+               # lang join — all bounded, no corpus re-explode
+               "perplexity_split": 7}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -2080,3 +2080,30 @@ def test_take_per_stratum_exact_counts_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         take_per_stratum(df, 0, "lang")
+
+
+def test_perplexity_split_terciles_per_language(spark):
+    """Equal-rank terciles inside each language: bucket sizes differ by
+    at most one, head holds the lowest scores, all docs bucketed."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.textanalysis import perplexity_split
+
+    rows = []
+    for i in range(30):
+        # common words -> fluent; rare ids -> high neg-logprob
+        text = "the the the" if i % 3 == 0 else f"rare{i} rare{i} odd{i}"
+        rows.append((i, text, "en" if i < 20 else "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_split(df).collect()
+    release_caches()
+    assert len(out) == 30
+    for lang, n in (("en", 20), ("de", 10)):
+        sub = sorted((r.avg_neg_logprob, r.doc_id, r.ppl_bucket)
+                     for r in out if r.lang == lang)
+        counts = {b: sum(1 for _, _, x in sub if x == b)
+                  for b in ("head", "middle", "tail")}
+        assert max(counts.values()) - min(counts.values()) <= 1, counts
+        # buckets are contiguous in score order
+        order = [x for _, _, x in sub]
+        assert order == sorted(order, key=("head", "middle",
+                                           "tail").index)
