@@ -3189,6 +3189,77 @@ FROM r
 """
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text/link extraction (round 4): deterministic markup is
+    synthesized around each document's text (title, style and script
+    subtrees that must vanish, one or two href links, a double-encoded
+    entity), then strip_tags + extract_links re-derive the visible
+    text and the outlink set. The oracle rebuilds the same markup and
+    replays every regex (RE2-safe: no backreferences)."""
+    from json_schema_spark.textops.html import html_to_text
+
+    i = F.col("doc_id")
+    link2 = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<a href="https://ref.example.org/p?d='),
+                 i.cast("string"), F.lit('">ref</a>'))).otherwise(
+        F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i.cast("string"),
+        F.lit("</title><style>p {color: red}</style></head><body><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><script>var x = "<b>no</b>";</script>'),
+        F.lit('<a href="https://example'), (i % 50).cast("string"),
+        F.lit(".com/"), i.cast("string"), F.lit('">next</a>'), link2,
+        F.lit("&amp;lt;fin&amp;gt;</body></html>"))
+    docs = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    out = html_to_text(docs)
+    return out.select(
+        "doc_id", F.md5("text_extracted").alias("clean_digest"),
+        F.size("links").cast("int").alias("n_links"),
+        F.concat_ws("|", "links").alias("links_joined"))
+
+
+_SQL_HTML_EXTRACT = r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p {color: red}</style></head><body><p>'
+         || COALESCE(text, '')
+         || '</p><script>var x = "<b>no</b>";</script>'
+         || '<a href="https://example' || CAST(doc_id % 50 AS VARCHAR)
+         || '.com/' || CAST(doc_id AS VARCHAR) || '">next</a>'
+         || CASE WHEN doc_id % 2 = 0
+              THEN '<a href="https://ref.example.org/p?d='
+                   || CAST(doc_id AS VARCHAR) || '">ref</a>'
+              ELSE '' END
+         || '&amp;lt;fin&amp;gt;</body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text_extracted,
+         regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1)
+           AS links
+  FROM raw
+)
+SELECT doc_id, md5(text_extracted) AS clean_digest,
+       CAST(len(links) AS INT) AS n_links,
+       array_to_string(links, '|') AS links_joined
+FROM stripped
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3224,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_urls": _q_filter_urls,
         "take_per_stratum": _q_take_per_stratum,
         "perplexity_split": _q_perplexity_split,
+        "html_extract": _q_html_extract,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3301,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_urls": _sql_filter_urls(),
         "take_per_stratum": _SQL_TAKE_PER_STRATUM,
         "perplexity_split": _SQL_PERPLEXITY_SPLIT,
+        "html_extract": _SQL_HTML_EXTRACT,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -1,0 +1,57 @@
+"""HTML text/link extraction — pure Catalyst regex projections.
+
+The flagship webtext table carries raw ``html`` alongside extracted
+``text``; these operators re-derive text and the outbound link set
+without a parser: the classic cheap path (script/style subtree drop,
+tag strip, basic entity decode, href harvest). A DOM parser is more
+faithful on pathological markup — swap one in via mapInPandas when
+fidelity matters more than scan speed; these expressions run at scan
+throughput with zero shuffle and zero Python, and every regex is a
+construct Java regex and RE2 interpret identically (no lookarounds,
+non-greedy spans only), so oracles replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?is) = case-insensitive + dot-matches-newline, both RE2-supported.
+# One pattern per tag: a </\1> backreference would be Java-only (RE2
+# has no backrefs), breaking oracle replay.
+_SCRIPT_RX = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_STYLE_RX = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_TAG_RX = r"(?s)<[^>]*>"
+_HREF_RX = r"""(?i)href\s*=\s*"([^"]*)\""""
+
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&"))  # &amp; LAST
+
+
+def strip_tags(col: Column) -> Column:
+    """Visible text of an HTML fragment: script/style subtrees
+    dropped, all tags removed, the five basic entities decoded
+    (&amp; last, so '&amp;lt;' decodes to the literal '&lt;'),
+    whitespace collapsed and trimmed."""
+    out = F.regexp_replace(col, _SCRIPT_RX, " ")
+    out = F.regexp_replace(out, _STYLE_RX, " ")
+    out = F.regexp_replace(out, _TAG_RX, " ")
+    for ent, ch in _ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def extract_links(col: Column) -> Column:
+    """All double-quoted href values, in document order (the crawl
+    frontier's outlink set — feed through filter_urls/normalize_url
+    downstream)."""
+    return F.regexp_extract_all(col, F.lit(_HREF_RX), 1)
+
+
+def html_to_text(df: DataFrame, html_col: str = "html",
+                 text_col: str = "text_extracted",
+                 links_col: str = "links") -> DataFrame:
+    """df + extracted text and outbound links — one zero-shuffle
+    projection over the raw html."""
+    return df.withColumn(text_col, strip_tags(F.col(html_col))) \
+             .withColumn(links_col, extract_links(F.col(html_col)))

@@ -210,7 +210,9 @@ def test_new_operator_plan_shapes(spark):
                # perplexity_split: unigram's derived-vocab join +
                # aggregations plus the per-language window and the
                # lang join — all bounded, no corpus re-explode
-               "perplexity_split": 7}
+               "perplexity_split": 7,
+               # html_extract is a pure projection (regex only)
+               "html_extract": 0}
     import re
 
     for name, max_exchanges in budgets.items():

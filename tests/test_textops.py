@@ -2107,3 +2107,25 @@ def test_perplexity_split_terciles_per_language(spark):
         order = [x for _, _, x in sub]
         assert order == sorted(order, key=("head", "middle",
                                            "tail").index)
+
+
+def test_html_extraction_semantics(spark):
+    """Script/style subtrees vanish, tags strip, entities decode with
+    &amp; last (double-encoded survives single decode), only
+    double-quoted hrefs harvest, in order — all zero-shuffle."""
+    from json_schema_spark.textops.html import html_to_text
+
+    html = ('<html><head><title>T</title><style>p{x:1}</style></head>'
+            '<body><p>A &amp; B &lt;i&gt;</p>'
+            '<script>var s = "<b>hidden</b>";</script>'
+            '<a href="https://a.com/1">one</a>'
+            "<a href='https://sq.com'>sq</a>"
+            '<a href="https://b.com/2">two</a>'
+            '&amp;lt;raw&amp;gt;</body></html>')
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = html_to_text(df)
+    r = out.first()
+    assert r.text_extracted == "T A & B <i> one sq two &lt;raw&gt;"
+    assert r.links == ["https://a.com/1", "https://b.com/2"]
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
