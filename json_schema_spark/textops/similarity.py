@@ -486,6 +486,9 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None = None,
     assigned = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cell"))
+    # norm ONCE per row: the pair join below would otherwise fold
+    # each vector's self-dot again for every pair it appears in
+    assigned = assigned.withColumn("_n", l2_norm(F.col("_v")))
     assigned = assigned.withColumn(
         "centroid_sim",
         F.round(cosine(F.col("_v"),
@@ -495,16 +498,17 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None = None,
     pairable = assigned
     if max_cluster_size is not None:
         sizes = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("_n"))
+            F.count(F.lit(1)).alias("_csize"))
         pairable = (assigned.join(
-            F.broadcast(sizes.filter(F.col("_n") <= max_cluster_size)),
-            "cell").drop("_n"))
+            F.broadcast(sizes.filter(
+                F.col("_csize") <= max_cluster_size)),
+            "cell").drop("_csize"))
     a, b = pairable.alias("a"), pairable.alias("b")
     pairs = (a.join(b, "cell")
              .filter(F.col("a._id") < F.col("b._id"))
              .withColumn("_sim",
-                         F.round(cosine(F.col("a._v"),
-                                        F.col("b._v")), 6))
+                         F.round(dot(F.col("a._v"), F.col("b._v"))
+                                 / (F.col("a._n") * F.col("b._n")), 6))
              .filter(F.col("_sim") >= threshold)
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b")))
