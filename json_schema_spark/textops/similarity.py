@@ -52,12 +52,18 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     query_id_col = query_id_col or id_col
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
+                       F.col(vec_col).alias("_qv"),
+                       l2_norm(F.col(vec_col)).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
+                      F.col(vec_col).alias("_cv"),
+                      l2_norm(F.col(vec_col)).alias("_cn"))
+    # norms materialize per ROW, not per pair: cosine() inline would
+    # re-fold each corpus vector's self-dot once per query
     sim = (F.broadcast(q).crossJoin(c)
            .filter(F.col("query_id") != F.col("neighbor_id"))
-           .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv"))))
+           .withColumn("cosine_sim",
+                       dot(F.col("_qv"), F.col("_cv"))
+                       / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -161,22 +167,28 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       for p in range(n_planes)])
         q = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("_qv"),
+                           l2_norm(F.col(vec_col)).alias("_qn"),
                            F.explode(q_buckets).alias("bucket"))
     else:
         q = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("_qv"),
+                           l2_norm(F.col(vec_col)).alias("_qn"),
                            bucket.alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"),
+                      l2_norm(F.col(vec_col)).alias("_cn"),
                       bucket_expr(F.col(vec_col), planes).alias("bucket"))
     sim = (q.join(c, "bucket")
            .filter(F.col("query_id") != F.col("neighbor_id"))
-           .select("query_id", "neighbor_id", "_qv", "_cv"))
+           .select("query_id", "neighbor_id", "_qv", "_cv",
+                   "_qn", "_cn"))
     if probe:
         # a neighbor reachable through several probed buckets must rank
         # once, not once per bucket
         sim = sim.dropDuplicates(["query_id", "neighbor_id"])
-    sim = sim.withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    sim = sim.withColumn("cosine_sim",
+                         dot(F.col("_qv"), F.col("_cv"))
+                         / (F.col("_qn") * F.col("_cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -227,15 +239,20 @@ def lsh_topk_multi(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("_qv"),
+                        l2_norm(F.col(vec_col)).alias("_qn"),
                         F.inline(table_buckets(F.col(vec_col)))))
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("_cv"),
+                       l2_norm(F.col(vec_col)).alias("_cn"),
                        F.inline(table_buckets(F.col(vec_col)))))
     sim = (q.join(c, ["tbl", "bucket"])
            .filter(F.col("query_id") != F.col("neighbor_id"))
-           .select("query_id", "neighbor_id", "_qv", "_cv")
+           .select("query_id", "neighbor_id", "_qv", "_cv",
+                   "_qn", "_cn")
            .dropDuplicates(["query_id", "neighbor_id"])
-           .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv"))))
+           .withColumn("cosine_sim",
+                       dot(F.col("_qv"), F.col("_cv"))
+                       / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -353,6 +370,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"),
+                      l2_norm(F.col(vec_col)).alias("_cn"),
                       _nearest_centroid(F.col(vec_col),
                                         centroids).alias("cell"))
 
@@ -373,11 +391,14 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
+                       l2_norm(F.col(vec_col)).alias("_qn"),
                        F.explode(probe_cells(F.col(vec_col)))
                        .alias("cell"))
     sim = (q.join(c, "cell")
            .filter(F.col("query_id") != F.col("neighbor_id"))
-           .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv"))))
+           .withColumn("cosine_sim",
+                       dot(F.col("_qv"), F.col("_cv"))
+                       / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -407,12 +428,14 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     planes = hyperplanes(dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).alias("_v"),
+                  l2_norm(F.col(vec_col)).alias("_n"),
                   bucket_expr(F.col(vec_col), planes).alias("bucket"))
     a, b = v.alias("a"), v.alias("b")
     return (a.join(b, "bucket")
             .filter(F.col("a._id") < F.col("b._id"))
             .withColumn("cosine_sim",
-                        F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
+                        F.round(dot(F.col("a._v"), F.col("b._v"))
+                                / (F.col("a._n") * F.col("b._n")), 6))
             .filter(F.col("cosine_sim") >= threshold)
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"), "cosine_sim")
