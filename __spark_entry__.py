@@ -3260,6 +3260,47 @@ FROM stripped
 """
 
 
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly event-rate spikes (round 4): trailing-24-bucket
+    z-score with integer frame sums, so mean/variance/z are exact
+    double arithmetic in both engines — the flag cut replays
+    bit-for-bit."""
+    from json_schema_spark.checks.drift import rate_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_anomalies(ev, z_threshold=2.0, min_baseline=6)
+
+
+_SQL_RATE_ANOMALIES = """
+WITH counts AS (
+  SELECT user_id AS entity, date_trunc('hour', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT entity, b, n,
+         count(n) OVER w AS k,
+         sum(n) OVER w AS s,
+         sum(n * n) OVER w AS ss
+  FROM counts
+  WINDOW w AS (PARTITION BY entity ORDER BY b
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT entity, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       round(CAST(s AS DOUBLE) / k, 6) AS baseline_mean,
+       CASE WHEN (k * ss - s * s) > 0 THEN
+         round((n - CAST(s AS DOUBLE) / k)
+               / sqrt(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1))),
+               6) ELSE -1.0 END AS z
+FROM stats
+WHERE k >= 6
+  AND (((k * ss - s * s) > 0
+        AND (n - CAST(s AS DOUBLE) / k)
+            / sqrt(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1)))
+            >= 2.0)
+       OR ((k * ss - s * s) = 0 AND n > CAST(s AS DOUBLE) / k))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3296,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_per_stratum": _q_take_per_stratum,
         "perplexity_split": _q_perplexity_split,
         "html_extract": _q_html_extract,
+        "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
         "unigram_logprob": _q_unigram_logprob,
@@ -3374,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "take_per_stratum": _SQL_TAKE_PER_STRATUM,
         "perplexity_split": _SQL_PERPLEXITY_SPLIT,
         "html_extract": _SQL_HTML_EXTRACT,
+        "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

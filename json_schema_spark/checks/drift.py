@@ -404,3 +404,68 @@ def drift_report(df: DataFrame,
             "js_drift": bool(js > js_threshold and day not in base_set),
         })
     return report
+
+
+def rate_anomalies(df: DataFrame, ts_col: str = "ts",
+                   entity_col: str = "user_id",
+                   bucket: str = "hour",
+                   baseline_windows: int = 24,
+                   z_threshold: float = 3.0,
+                   min_baseline: int = 6) -> DataFrame:
+    """Per-entity event-rate spike detection (the abuse/bot monitor):
+    bucket counts per entity, then flag buckets whose count sits
+    ``z_threshold`` sample standard deviations above the mean of the
+    entity's previous ``baseline_windows`` OBSERVED buckets (sparse
+    semantics — empty buckets are not materialized; densify upstream
+    if silence must count as zero). Buckets with fewer than
+    ``min_baseline`` trailing observations never flag (cold start).
+
+    Determinism: the trailing frame contributes INTEGER sums (count,
+    sum, sum-of-squares), and mean/variance come from the explicit
+    formula var = (k*sumsq - sum^2) / (k*(k-1)) — every intermediate
+    is exact, so the z-score doubles (and the >= threshold cut) are
+    identical in any engine; no Welford/streaming-variance ulp skew.
+
+    Scale story: one partial+final count aggregation (corpus -> one
+    row per entity x bucket) and one per-entity window over those
+    bucket rows — shuffle carries counts, never events. A single
+    dominant entity degrades to one reducer over its #buckets rows
+    (bounded by the time range, not the event volume).
+
+    Output: entity, bucket (string), n, baseline_mean, z — flagged
+    rows only; z is the sentinel -1.0 for zero-variance-baseline
+    flags (z is undefined there, and a NULL double round-trips
+    differently across engines)."""
+    from pyspark.sql import Window as W
+
+    counts = (df.groupBy(
+        F.col(entity_col).alias("entity"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    w = (W.partitionBy("entity").orderBy("_b")
+         .rowsBetween(-baseline_windows, -1))
+    k = F.count("n").over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    # ANSI mode: guard the cold-start frames (k = 0 or 1) before
+    # dividing — otherwise the first buckets throw DIVIDE_BY_ZERO
+    mean = F.when(k > 0, s.cast("double") / k.cast("double"))
+    var = F.when(k > 1, (k * ss - s * s).cast("double")
+                 / (k * (k - 1)).cast("double"))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    out = (counts
+           .withColumn("_k", k).withColumn("_mean", mean)
+           .withColumn("_var", var)
+           .withColumn("_z", F.when(F.col("_var") > 0, z)))
+    # a zero-variance baseline (perfectly steady rate) makes z
+    # undefined, but a count above the mean there is an unambiguous
+    # spike — flag it with z = NULL rather than staying silent
+    flagged = ((F.col("_var") > 0) & (F.col("_z") >= z_threshold)) | \
+        ((F.col("_var") == 0) & (F.col("n") > F.col("_mean")))
+    return (out.filter((F.col("_k") >= min_baseline) & flagged)
+            .select("entity",
+                    F.date_format("_b", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket"),
+                    "n", F.round("_mean", 6).alias("baseline_mean"),
+                    F.coalesce(F.round("_z", 6), F.lit(-1.0))
+                    .alias("z")))

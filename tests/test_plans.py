@@ -212,7 +212,10 @@ def test_new_operator_plan_shapes(spark):
                # lang join — all bounded, no corpus re-explode
                "perplexity_split": 7,
                # html_extract is a pure projection (regex only)
-               "html_extract": 0}
+               "html_extract": 0,
+               # rate_anomalies: the bucket-count agg + the
+               # per-entity window — shuffles carry counts, not events
+               "rate_anomalies": 2}
     import re
 
     for name, max_exchanges in budgets.items():

@@ -206,3 +206,30 @@ def test_ks_vs_baseline_exact(spark):
         "value", snap, "ts").collect()
     assert len(whole) == 1 and whole[0]["ks"] == 0.0
     assert one_day.count() > 0  # fixture sanity
+
+
+def test_rate_anomalies_flags_spikes_with_cold_start_guard(spark):
+    """A synthetic burst flags; steady entities and cold-start buckets
+    (fewer than min_baseline trailing observations) never flag."""
+    from datetime import datetime, timedelta
+
+    from json_schema_spark.checks.drift import rate_anomalies
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # steady: 1 event/hour for 30 hours
+    for h in range(30):
+        rows.append((1, base + timedelta(hours=h)))
+    # bursty: 1/hour for 20 hours, then 50 in hour 20
+    for h in range(20):
+        rows.append((2, base + timedelta(hours=h)))
+    for m in range(50):
+        rows.append((2, base + timedelta(hours=20, minutes=m % 60)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = rate_anomalies(df, z_threshold=3.0, min_baseline=6).collect()
+    assert {r.entity for r in out} == {2}
+    spike = [r for r in out if r.entity == 2]
+    assert len(spike) == 1 and spike[0].n == 50
+    assert spike[0].z == -1.0  # zero-variance baseline -> sentinel z
+    # steady entity never flags (constant counts, nothing above mean)
+    assert not [r for r in out if r.entity == 1]
