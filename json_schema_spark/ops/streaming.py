@@ -385,6 +385,97 @@ class StreamingDriftMonitor:
         return out
 
 
+class StreamingRateMonitor:
+    """Event-rate spike monitoring on the live ingest path: a
+    foreachBatch processor keeping CUMULATIVE per-(entity, bucket)
+    counts across micro-batches; report() replays the exact integer
+    z-score formula of checks.drift.rate_anomalies (same trailing
+    window, same zero-variance sentinel, Decimal HALF_UP rounding to
+    match Spark's round()), so once the stream has drained the report
+    equals the batch operator over the same rows — parity-tested.
+
+    Scale: counting runs as a per-batch Spark aggregation on
+    executors; the driver folds and holds only the O(entities x
+    buckets) grid. That grid is bounded by monitored-entity count x
+    time range — scope the stream to the entities under watch (or
+    shard monitors by entity hash) when the population is large; the
+    rate math itself is O(grid)."""
+
+    def __init__(self, entity_col: str = "user_id",
+                 ts_col: str = "ts", bucket: str = "hour",
+                 baseline_windows: int = 24, z_threshold: float = 3.0,
+                 min_baseline: int = 6, sink=None):
+        self.entity_col = entity_col
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.baseline_windows = baseline_windows
+        self.z_threshold = z_threshold
+        self.min_baseline = min_baseline
+        self.sink = sink
+        self.counts: dict = {}  # (entity, bucket_dt) -> n
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = (batch_df
+                .select(F.col(self.entity_col).alias("e"),
+                        F.date_trunc(self.bucket,
+                                     F.col(self.ts_col)).alias("b"))
+                .groupBy("e", "b").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        for r in rows:
+            key = (r["e"], r["b"])
+            self.counts[key] = self.counts.get(key, 0) + r["n"]
+        if self.sink is not None:
+            self.sink(self.report(), batch_id)
+
+    @staticmethod
+    def _round6(x: float) -> float:
+        # Spark's round() is HALF_UP on the exact binary double;
+        # Python's round() is banker's — quantize explicitly
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    def report(self) -> list[dict]:
+        """Flagged (entity, bucket, n, baseline_mean, z) rows — the
+        same rows batch rate_anomalies returns for the drained data."""
+        import math
+
+        by_entity: dict = {}
+        for (e, b), n in self.counts.items():
+            by_entity.setdefault(e, []).append((b, n))
+        out = []
+        for e in by_entity:
+            series = sorted(by_entity[e])
+            for i, (b, n) in enumerate(series):
+                frame = series[max(0, i - self.baseline_windows):i]
+                k = len(frame)
+                if k < self.min_baseline:
+                    continue
+                s = sum(x for _, x in frame)
+                ss = sum(x * x for _, x in frame)
+                mean = s / k
+                num = k * ss - s * s
+                if num > 0:
+                    z = (n - mean) / math.sqrt(num / (k * (k - 1)))
+                    if z >= self.z_threshold:
+                        out.append({"entity": e,
+                                    "bucket": b.strftime(
+                                        "%Y-%m-%d %H:%M:%S"),
+                                    "n": n,
+                                    "baseline_mean": self._round6(mean),
+                                    "z": self._round6(z)})
+                elif num == 0 and n > mean:
+                    out.append({"entity": e,
+                                "bucket": b.strftime(
+                                    "%Y-%m-%d %H:%M:%S"),
+                                "n": n,
+                                "baseline_mean": self._round6(mean),
+                                "z": -1.0})
+        out.sort(key=lambda r: (str(r["entity"]), r["bucket"]))
+        return out
+
+
 def stream_sessions(stream_df: DataFrame, user_col: str = "user_id",
                     ts_col: str = "ts", gap: str = "30 minutes",
                     watermark: str = "1 hour") -> DataFrame:

@@ -667,3 +667,31 @@ def test_write_curated_layout_controls(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "lang" in \
         plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_streaming_rate_monitor_matches_batch_operator(spark, tmp_path):
+    """Drain the sf0.01 events through foreachBatch in several
+    micro-batches: the cumulative monitor's report must equal batch
+    rate_anomalies on the same rows, row for row (same integer
+    z-formula, same sentinel, same rounding)."""
+    from json_schema_spark.checks.drift import rate_anomalies
+    from json_schema_spark.ops.streaming import StreamingRateMonitor
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .select("user_id", "ts")
+    batch = {(r.entity, r.bucket, r.n, r.baseline_mean, r.z)
+             for r in rate_anomalies(ev, z_threshold=2.0,
+                                     min_baseline=6).collect()}
+
+    src = str(tmp_path / "ev_src")
+    ev.repartition(5).write.parquet(src)  # several input files
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    monitor = StreamingRateMonitor(z_threshold=2.0, min_baseline=6)
+    q = (stream.writeStream.foreachBatch(monitor)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["entity"], r["bucket"], r["n"], r["baseline_mean"],
+            r["z"]) for r in monitor.report()}
+    assert got == batch
