@@ -3126,7 +3126,7 @@ parsed AS (
          lower(regexp_extract(url,
            '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
          regexp_replace(lower(regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)),
            ':[0-9]+$', '') AS url_host,
          lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)) AS path
@@ -3274,7 +3274,7 @@ def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_RATE_ANOMALIES = """
 WITH counts AS (
   SELECT user_id AS entity, date_trunc('hour', ts) AS b, count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 stats AS (
   SELECT entity, b, n,

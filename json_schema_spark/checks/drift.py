@@ -418,7 +418,8 @@ def rate_anomalies(df: DataFrame, ts_col: str = "ts",
     entity's previous ``baseline_windows`` OBSERVED buckets (sparse
     semantics — empty buckets are not materialized; densify upstream
     if silence must count as zero). Buckets with fewer than
-    ``min_baseline`` trailing observations never flag (cold start).
+    ``min_baseline`` trailing observations never flag (cold start);
+    events without a timestamp are skipped.
 
     Determinism: the trailing frame contributes INTEGER sums (count,
     sum, sum-of-squares), and mean/variance come from the explicit
@@ -438,10 +439,11 @@ def rate_anomalies(df: DataFrame, ts_col: str = "ts",
     differently across engines)."""
     from pyspark.sql import Window as W
 
-    counts = (df.groupBy(
-        F.col(entity_col).alias("entity"),
-        F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
-        .agg(F.count(F.lit(1)).alias("n")))
+    counts = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(
+                  F.col(entity_col).alias("entity"),
+                  F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+              .agg(F.count(F.lit(1)).alias("n")))
     w = (W.partitionBy("entity").orderBy("_b")
          .rowsBetween(-baseline_windows, -1))
     k = F.count("n").over(w)

@@ -416,6 +416,7 @@ class StreamingRateMonitor:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rows = (batch_df
+                .filter(F.col(self.ts_col).isNotNull())
                 .select(F.col(self.entity_col).alias("e"),
                         F.date_trunc(self.bucket,
                                      F.col(self.ts_col)).alias("b"))
@@ -429,12 +430,16 @@ class StreamingRateMonitor:
 
     @staticmethod
     def _round6(x: float) -> float:
-        # Spark's round() is HALF_UP on the exact binary double;
-        # Python's round() is banker's — quantize explicitly
+        # Spark's round() is HALF_UP on the double's SHORTEST
+        # decimal repr (BigDecimal.valueOf -> Double.toString), not on
+        # the exact binary expansion; Python's repr() produces the
+        # same shortest round-trip digits, so quantize that. Plain
+        # round() (banker's) or Decimal(x) (exact binary) both
+        # diverge on boundary values.
         from decimal import ROUND_HALF_UP, Decimal
 
-        return float(Decimal(x).quantize(Decimal("0.000001"),
-                                         rounding=ROUND_HALF_UP))
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
 
     def report(self) -> list[dict]:
         """Flagged (entity, bucket, n, baseline_mean, z) rows — the
@@ -450,7 +455,10 @@ class StreamingRateMonitor:
             for i, (b, n) in enumerate(series):
                 frame = series[max(0, i - self.baseline_windows):i]
                 k = len(frame)
-                if k < self.min_baseline:
+                # k < 2 also never flags in the batch operator (its
+                # variance is NULL there) — keep exact parity even
+                # when min_baseline is 1
+                if k < max(2, self.min_baseline):
                     continue
                 s = sum(x for _, x in frame)
                 ss = sum(x * x for _, x in frame)

@@ -46,6 +46,14 @@ def tokens(col: Column) -> Column:
             .otherwise(F.split(trimmed, r"\s+"))
 
 
+def normalized_digest(col: Column) -> Column:
+    """md5 of casefolded, whitespace-collapsed text — THE content
+    identity every exact-dup consumer keys on (exact_duplicates,
+    snapshot_diff, the pipeline examples). One definition so the
+    digests can never silently diverge."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Overlapping word k-grams as strings; fewer than k words -> empty."""
     words = tokens(col)
@@ -109,9 +117,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     per digest with a window BEFORE collecting, so the buffer itself is
     bounded; dup_count stays exact either way."""
     col = F.col(text_col)
-    if normalize:
-        col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    digest = F.md5(col)
+    digest = normalized_digest(col) if normalize else F.md5(col)
     base = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), digest.alias("digest")))
     if max_examples is None:
@@ -1127,15 +1133,13 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     id (sources/bucketing) so the exchange disappears. Digest
     comparison is null-safe; no skew beyond id-duplication upstream
     (dedup first if ids repeat)."""
-    norm = lambda c: F.md5(F.regexp_replace(
-        F.lower(F.trim(c)), r"\s+", " "))
     # presence flags, not digest nullness: NULL text has a NULL digest
     # but the document is still present on that side
     o = old.select(F.col(id_col).alias("_id"),
-                   norm(F.col(text_col)).alias("old_digest"),
+                   normalized_digest(F.col(text_col)).alias("old_digest"),
                    F.lit(True).alias("_in_old"))
     n = new.select(F.col(id_col).alias("_id"),
-                   norm(F.col(text_col)).alias("new_digest"),
+                   normalized_digest(F.col(text_col)).alias("new_digest"),
                    F.lit(True).alias("_in_new"))
     joined = o.join(n, "_id", "full_outer")
     status = (F.when(F.col("_in_old").isNull(), F.lit("added"))

@@ -512,10 +512,20 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None = None,
     # norm ONCE per row: the pair join below would otherwise fold
     # each vector's self-dot again for every pair it appears in
     assigned = assigned.withColumn("_n", l2_norm(F.col("_v")))
+    # centroid norms are driver-known constants (same left-fold sum
+    # as the engine's aggregate, so the doubles are identical); with
+    # _n materialized, centroid_sim is one dot + one divide per row
+    # instead of cosine()'s three folds
+    import math as _math
+
+    cnorms = F.array(*[
+        F.lit(_math.sqrt(sum(x * x for x in c))) for c in centroids])
     assigned = assigned.withColumn(
         "centroid_sim",
-        F.round(cosine(F.col("_v"),
-                       F.element_at(cents_arr, F.col("cell") + 1)), 6))
+        F.round(dot(F.col("_v"),
+                    F.element_at(cents_arr, F.col("cell") + 1))
+                / (F.col("_n")
+                   * F.element_at(cnorms, F.col("cell") + 1)), 6))
     register_cache(assigned)  # persists; caller releases post-action
 
     pairable = assigned

@@ -93,7 +93,10 @@ BINARY_EXT_RX = (r"\.(jpe?g|png|gif|webp|bmp|ico|svg|mp3|wav|ogg|mp4"
                  r"|avi|mkv|mov|zip|gz|tar|rar|7z|exe|dmg|iso|css"
                  r"|js|woff2?)$")
 _SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
-_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+# the authority may carry userinfo ('user:pass@host') — skip it with a
+# non-capturing group, or 'https://x@blocked.net/' would bypass the
+# domain blocklist (host would extract as 'x@blocked.net')
+_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)"
 _PATH_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 

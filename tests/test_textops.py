@@ -1984,13 +1984,15 @@ def test_filter_urls_policy(spark):
             "http://example.com:8080/ok",         # kept, port stripped
             "https://notblocked.net/page",        # kept (no mid-label)
             "https://example.com/path?q=1.jpg",   # kept (ext in query)
+            "https://x@blocked.net/page",         # userinfo must not
+            "https://u:p@ok.example.com/fine",    # ...bypass the block
             None]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
                                "id long, url string")
     out = filter_urls(df, block_domains=("blocked.net",))
     got = {r.id: r.url_host for r in out.collect()}
     assert got == {4: "example.com", 5: "notblocked.net",
-                   6: "example.com"}
+                   6: "example.com", 8: "ok.example.com"}
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
 
