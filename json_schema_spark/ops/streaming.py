@@ -242,7 +242,9 @@ class ShardedNovelFilter:
     definitely-novel rows to ``sink``, then OR-merge the batch's shard
     bitmaps into a NEW state epoch directory (write-then-promote:
     ``state_dir/epoch=N`` is only adopted after its write completes,
-    so a mid-write crash leaves the previous epoch intact). Restart
+    so a mid-write crash leaves the previous epoch intact; once the
+    new epoch is adopted the superseded one is deleted — state on
+    disk stays ONE filter copy, not one per batch). Restart
     recovery is automatic — the newest complete epoch on disk primes
     the filter, mirroring how Spark's own streaming state store
     versions per batch. Same semantics as StreamingNovelFilter: no
@@ -316,7 +318,16 @@ class ShardedNovelFilter:
             next_epoch = (self.current_epoch or 0) + 1
             merged.write.mode("overwrite").parquet(
                 self._epoch_path(next_epoch))
+            prev = self.current_epoch
             self.current_epoch = next_epoch
+            # each epoch is a FULL filter copy (n_shards x
+            # bits_per_shard/8 bytes) — drop the superseded one or the
+            # state store grows by one copy per micro-batch
+            if prev is not None:
+                import shutil
+
+                shutil.rmtree(self._epoch_path(prev),
+                              ignore_errors=True)
         finally:
             batch_df.unpersist()
 

@@ -393,14 +393,19 @@ def contamination_pairs(df: DataFrame, eval_df: DataFrame,
         winnowing_fingerprint_rows(eval_df, eval_text_col,
                                    eval_id_col, k, w)
         .select(F.col("_id").alias("_eid"), "fp"))
+    # totals come from the UNFILTERED fingerprint set: containment is
+    # defined against the eval doc's own fingerprint count, so the
+    # boilerplate filter below must not inflate it (an eval doc made
+    # mostly of filtered-out boilerplate would otherwise report
+    # containment ~1 from a handful of shared rare fingerprints)
+    totals = efp.groupBy("_eid").agg(
+        F.count(F.lit(1)).alias("eval_total"))
     if max_eval_freq:
         rare = (efp.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_eval_freq)
                 .select("fp"))
         efp = efp.join(rare, "fp")
-    totals = efp.groupBy("_eid").agg(
-        F.count(F.lit(1)).alias("eval_total"))
     pairs = (cfp.join(F.broadcast(efp), "fp")
              .groupBy("_id", "_eid")
              .agg(F.count(F.lit(1)).alias("shared"))

@@ -100,11 +100,20 @@ def parse_image_dimensions(blob: bytes | None) -> tuple[int, int] | None:
             h = int.from_bytes(blob[8:10], "little")
             return (w, h)
         if blob[:2] == b"BM" and len(blob) >= 26:
-            # BITMAPINFOHEADER: signed LE width/height at 18/22 (a
-            # negative height means top-down row order)
-            w = int.from_bytes(blob[18:22], "little", signed=True)
-            h = abs(int.from_bytes(blob[22:26], "little", signed=True))
-            return (w, h)
+            dib = int.from_bytes(blob[14:18], "little")
+            if dib >= 40:
+                # BITMAPINFOHEADER+: signed LE i32 width/height at
+                # 18/22 (negative height = top-down row order)
+                w = int.from_bytes(blob[18:22], "little", signed=True)
+                h = abs(int.from_bytes(blob[22:26], "little",
+                                       signed=True))
+                return (w, h)
+            if dib == 12:
+                # OS/2 BITMAPCOREHEADER: u16 width/height at 18/20
+                w = int.from_bytes(blob[18:20], "little")
+                h = int.from_bytes(blob[20:22], "little")
+                return (w, h)
+            return None
         if blob[:2] == b"\xff\xd8":
             pos = 2
             while pos + 9 < len(blob) and blob[pos] == 0xFF:
@@ -169,32 +178,38 @@ def decode_image(blob: bytes) -> Any:
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Re-encode an image at (width, height). REAL for every format
-    the stdlib decoders read (PNG/GIF/baseline JPEG/BMP): decode to
-    grayscale, deterministic integer block-mean downsample (nearest-
-    neighbor upsample), re-encode as grayscale PNG. Color-preserving
-    resize of exotic layouts requires PIL (same stub policy as
-    decode_image); the Spark-side plumbing for batch resize is
-    extract_media_features-style mapInPandas with this function
-    applied per blob inside the batch loop."""
+    """Re-encode an image at (width, height). With PIL installed the
+    resize is color- and container-preserving; without it the
+    pure-stdlib fallback is REAL for every format the stdlib decoders
+    read (PNG/GIF/baseline JPEG/BMP) — decode to grayscale,
+    deterministic integer block-mean downsample (nearest-neighbor
+    upsample), re-encode as grayscale PNG — and exotic layouts keep
+    the stub policy (NotImplementedError). The Spark-side plumbing
+    for batch resize is extract_media_features-style mapInPandas with
+    this function applied per blob inside the batch loop."""
+    # PIL first when installed — it preserves color channels and the
+    # original container; the stdlib path is the no-dependency
+    # fallback and is grayscale-PNG by construction
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(blob)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format=img.format or "PNG")
+        return buf.getvalue()
+    except ImportError:
+        pass
     decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
                or decode_jpeg_gray(blob) or decode_bmp_gray(blob))
     if decoded is not None:
         _w, _h, rows = decoded
         return encode_png_gray(_downsample_gray(rows, width, height))
-    try:
-        import io
-
-        from PIL import Image  # type: ignore
-    except ImportError as exc:
-        raise NotImplementedError(
-            "resizing this image layout requires PIL; install pillow "
-            "on executors (PNG/GIF/baseline-JPEG/BMP resize works "
-            "without it)") from exc
-    img = Image.open(io.BytesIO(blob)).resize((width, height))
-    buf = io.BytesIO()
-    img.save(buf, format=img.format or "PNG")
-    return buf.getvalue()
+    raise NotImplementedError(
+        "resizing this image layout requires PIL; install pillow "
+        "on executors (grayscale PNG/GIF/baseline-JPEG/BMP resize "
+        "works without it)")
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
@@ -1101,8 +1116,10 @@ def decode_gif_gray(blob: bytes | None) -> \
     parse the logical screen descriptor + global/local color table,
     skip extension blocks, LZW-decompress the first image's index
     stream, de-interlace if flagged, map palette entries through
-    integer BT.601 luma (same formula as the PNG path), and composite
-    a sub-rectangle frame onto a black canvas. First frame only
+    integer BT.601 luma (same formula as the PNG path), honor the
+    graphic-control transparency index (transparent pixels show the
+    black initial canvas, matching decode_gif_frames' frame 0), and
+    composite a sub-rectangle frame onto a black canvas. First frame only
     (animation dedup wants the poster frame — decode_gif_frames walks
     the rest); None for truncated or exotic blobs (those keep the
     PIL-gated stub policy in image_dhash)."""
@@ -1111,7 +1128,13 @@ def decode_gif_gray(blob: bytes | None) -> \
     try:
         w = int.from_bytes(blob[6:8], "little")
         h = int.from_bytes(blob[8:10], "little")
-        for ix, iy, iw, ih, frame, _irows, _t, _d in _gif_raw_frames(blob):
+        for ix, iy, iw, ih, frame, irows, t, _d in _gif_raw_frames(blob):
+            if t is not None:
+                # transparent pixels show the (black) initial canvas —
+                # IDENTICAL to decode_gif_frames' frame-0 compositing,
+                # so the poster dHash equals the first sampled frame
+                frame = [[0 if irows[y][x] == t else frame[y][x]
+                          for x in range(iw)] for y in range(ih)]
             if (ix, iy, iw, ih) == (0, 0, w, h):
                 return (w, h, frame)
             canvas = [[0] * w for _ in range(h)]
@@ -1288,12 +1311,21 @@ def image_dhash(blob: bytes | None, hash_size: int = 8) -> int | None:
     interlaced PNG, 16-bit) require PIL and keep the documented stub
     policy (NotImplementedError when absent). None for undecodable
     blobs."""
+    if not 1 <= hash_size <= 8:
+        # hash_size^2 bits must fit the signed-64 output convention
+        raise ValueError("hash_size must be in 1..8 (64-bit output)")
     if blob is None:
         return None
     decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
                or decode_jpeg_gray(blob) or decode_bmp_gray(blob))
     if decoded is None:
-        if sniff_media_type(blob) in ("image/jpeg", "image/gif"):
+        # ANY sniffed image the stdlib paths couldn't decode
+        # (progressive JPEG, interlaced/16-bit PNG, ...) routes to the
+        # PIL-gated path — raising NotImplementedError without PIL
+        # (the documented stub policy; batch callers downgrade it to
+        # a NULL hash)
+        mt = sniff_media_type(blob)
+        if mt is not None and mt.startswith("image/"):
             w, h, _mode = decode_image(blob)  # PIL-gated stub policy
             import io
 
@@ -1338,9 +1370,17 @@ def image_perceptual_hashes(df: DataFrame, blob_col: str,
             out = {"id": pdf[id_name]}
             for c in carry:
                 out[c] = pdf[c]
+            def safe(b):
+                # one exotic blob (e.g. a progressive JPEG with no
+                # PIL on the executor) must not kill the corpus job —
+                # it drops out as the documented NULL hash
+                try:
+                    return image_dhash(b, hash_size)
+                except NotImplementedError:
+                    return None
+
             out[out_col] = pd.array(
-                [image_dhash(b, hash_size) for b in pdf[blob_name]],
-                dtype="Int64")
+                [safe(b) for b in pdf[blob_name]], dtype="Int64")
             yield pd.DataFrame(out)
 
     schema = T.StructType(
@@ -1473,6 +1513,9 @@ def audio_fingerprint(blob: bytes | None, n_windows: int = 65) -> int | None:
     energy[i+1] > energy[i]. Signed-64 like image_dhash (bit 63 via
     two's complement). None for undecodable blobs or streams shorter
     than ``n_windows`` frames."""
+    if not 2 <= n_windows <= 65:
+        # n_windows - 1 difference bits must fit the signed-64 output
+        raise ValueError("n_windows must be in 2..65 (64-bit output)")
     samples = _wav_first_channel(blob)
     if samples is None:
         return None

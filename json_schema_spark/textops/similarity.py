@@ -271,7 +271,8 @@ def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
     stable under partitioning/retries, like deterministic_sample),
     then greedy farthest-point selection on the pool (the
     deterministic variant of kmeans++ D^2 seeding: each next seed
-    maximizes its distance to the chosen set, ties to the lowest id).
+    maximizes its distance to the chosen set, ties to the earliest
+    pool position — i.e. lowest md5(seed:id) hash, then id).
 
     This replaces first-N-BY-ID seeding, which inherits whatever bias
     the id order carries (crawl order, host grouping) — clustered
@@ -292,16 +293,31 @@ def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
     if not vecs:
         raise ValueError("cannot seed centroids from an empty corpus")
     chosen = [0]  # lowest-hash vector opens the seed set
+    # incremental farthest-point: cache each pool vector's min
+    # distance to the chosen set and refresh it against only the
+    # NEWEST seed — O(pool x seeds x dim) total instead of
+    # re-deriving every distance from scratch each round
+    # (O(pool x seeds^2 x dim)); min() over identical float values,
+    # so the selections (and the strict-> tie-break) are unchanged
+    mind = [sum((a - b) * (a - b) for a, b in zip(v, vecs[0]))
+            for v in vecs]
+    taken = {0}
     while len(chosen) < min(n_centroids, len(vecs)):
         best_i, best_d = -1, -1.0
-        for i, v in enumerate(vecs):
-            if i in chosen:
+        for i, d in enumerate(mind):
+            if i in taken:
                 continue
-            d = min(sum((a - b) * (a - b)
-                        for a, b in zip(v, vecs[j])) for j in chosen)
             if d > best_d:
                 best_i, best_d = i, d
         chosen.append(best_i)
+        taken.add(best_i)
+        nv = vecs[best_i]
+        for i, v in enumerate(vecs):
+            if i in taken:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(v, nv))
+            if d < mind[i]:
+                mind[i] = d
     return [vecs[i] for i in chosen]
 
 

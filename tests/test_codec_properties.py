@@ -123,3 +123,33 @@ def test_audio_fingerprint_channel_invariant(samples):
     mono = audio_fingerprint(encode_wav_pcm(samples, channels=1))
     stereo = audio_fingerprint(encode_wav_pcm(samples, channels=2))
     assert mono is not None and mono == stereo
+
+
+def test_gif_poster_honors_first_frame_transparency():
+    """A transparency index on the FIRST frame must show the black
+    initial canvas in the gray poster decode — identical to frame 0 of
+    the animated compositing path, so the poster dHash always equals
+    the first sampled frame's."""
+    from json_schema_spark.textops.multimodal import (
+        _gif_image_block, decode_gif_frames, decode_gif_gray)
+
+    # hand-assemble: 2x2 frame of palette index 200, GCE marking 200
+    # transparent on frame 0 (encode_gif_gray_frames deliberately only
+    # marks later frames, so build the bytes directly)
+    frame = [[200, 200], [200, 200]]
+    out = bytearray(b"GIF89a")
+    out += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 200, 0])  # transparent=200
+    out += _gif_image_block(frame, 2, 2, interlaced=False)
+    out += b"\x3b"
+    blob = bytes(out)
+
+    poster = decode_gif_gray(blob)
+    assert poster is not None and poster[2] == [[0, 0], [0, 0]]
+    frames = decode_gif_frames(blob)
+    assert frames is not None
+    assert poster[2] == frames[0][2], \
+        "poster must equal composited frame 0"
