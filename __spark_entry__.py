@@ -3301,6 +3301,241 @@ WHERE k >= 6
 """
 
 
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard content overlap (round 4): one 64-hash MinHash
+    signature per language over distinct word trigrams, compared
+    pairwise — the shard-merge overlap report. The oracle rebuilds
+    the same signatures (md5(i:shingle) mins) and counts matches."""
+    from json_schema_spark.textops.dedup import corpus_overlap
+
+    return corpus_overlap(_docs(spark, sf_dir), group_col="lang",
+                          k=3, num_hashes=64)
+
+
+_SQL_CORPUS_OVERLAP = r"""
+WITH sh AS (
+  SELECT DISTINCT g, s FROM (
+    SELECT lang AS g,
+           unnest(CASE WHEN len(words) >= 3
+                  THEN list_transform(range(1, len(words) - 1),
+                                      i -> array_to_string(words[i:i+2],
+                                                           ' '))
+                  ELSE [] END) AS s
+    FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS words
+          FROM documents WHERE text IS NOT NULL AND trim(text) != '')
+  )
+),
+sig AS (
+  SELECT g, t.i AS i,
+         min(md5(CAST(t.i AS VARCHAR) || ':' || s)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+  GROUP BY g, t.i
+)
+SELECT a.g AS group_a, b.g AS group_b, 64 AS n_hashes,
+       round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+             / 64.0, 6) AS jaccard_est
+FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g
+GROUP BY a.g, b.g
+"""
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (round 4): the 100 documents whose tokens
+    the English-subset unigram model prefers most over the whole-corpus
+    model (Xie et al. 2023, length-normalized form). The oracle
+    replays both models over the union vocabulary and the rounded-
+    score ranking."""
+    from json_schema_spark.textops.textanalysis import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, n=100)
+
+
+_SQL_DSIR_SELECT = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+         AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+ttoks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+  WHERE lang = 'en' AND text IS NOT NULL AND trim(text) != ''
+),
+raw AS (SELECT t, count(*) AS n_raw FROM toks GROUP BY t),
+tgt AS (SELECT t, count(*) AS n_tgt FROM ttoks GROUP BY t),
+model AS (
+  SELECT COALESCE(raw.t, tgt.t) AS t,
+         COALESCE(n_raw, 0) AS n_raw,
+         COALESCE(n_tgt, 0) AS n_tgt
+  FROM raw FULL OUTER JOIN tgt ON raw.t = tgt.t
+),
+tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt, count(*) AS v
+        FROM model),
+scored AS (
+  SELECT toks.doc_id,
+         ln(CAST(COALESCE(m.n_tgt, 0) + 1 AS DOUBLE))
+         - ln(CAST(COALESCE(m.n_raw, 0) + 1 AS DOUBLE)) AS d
+  FROM toks LEFT JOIN model m ON toks.t = m.t
+),
+w AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(d) + (SELECT ln(CAST(nr + v AS DOUBLE))
+                         - ln(CAST(nt + v AS DOUBLE)) FROM tot),
+               6) AS avg_log_ratio
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_log_ratio, rank FROM (
+  SELECT doc_id, n_tokens, avg_log_ratio,
+         row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id)
+           AS rank
+  FROM w
+) WHERE rank <= 100
+"""
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (round 4): rounded-score
+    ranking with term tie-break so the k-boundary replays exactly."""
+    from json_schema_spark.textops.textanalysis import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+_SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+         AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.t, tf.tf, dft.df_t,
+         round(tf.tf * ln(CAST(nd.n_docs + 1 AS DOUBLE)
+                          / CAST(dft.df_t + 1 AS DOUBLE)), 6) AS score
+  FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN nd
+)
+SELECT doc_id, t AS term, tf, df_t, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, t) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (round 4): keep the 5 highest-quality docs per
+    synthesized domain (C4/RefinedWeb-style host cap). salt_shards=4
+    exercises the two-phase skew-safe path, which must be output-
+    identical to the plain window the oracle replays."""
+    from json_schema_spark.textops.sampling import cap_per_group
+    from json_schema_spark.textops.textanalysis import quality_score
+
+    docs = (_docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text",
+                    F.concat(F.lit("example"),
+                             (F.col("doc_id") % 50).cast("string"),
+                             F.lit(".com")).alias("domain")))
+    scored = docs.withColumn("quality", quality_score(F.col("text")))
+    out = cap_per_group(scored, "domain", 5,
+                        [F.col("quality").desc(), F.col("doc_id")],
+                        salt_shards=4)
+    return out.select("doc_id", "domain", "quality", "rank_in_group")
+
+
+def _sql_cap_per_domain() -> str:
+    return f"""
+WITH ta AS ({_sql_text_analysis()}),
+d AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain,
+         quality
+  FROM ta
+)
+SELECT doc_id, domain, quality, rank_in_group FROM (
+  SELECT doc_id, domain, quality,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY quality DESC, doc_id)
+           AS rank_in_group
+  FROM d
+) WHERE rank_in_group <= 5
+"""
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level outlink graph (round 4): deterministic markup per
+    doc exercises host lowercasing, the userinfo-@ skip, port
+    exclusion, relative-link and non-http scheme drops; edges
+    aggregate per (src_host, dst_host). The oracle rebuilds the same
+    markup and replays both regexes."""
+    from json_schema_spark.textops.html import link_graph
+
+    i = F.col("doc_id")
+
+    def opt(cond, s):  # optional link fragment
+        return F.when(cond, s).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<a href="https://Example'), (i % 50).cast("string"),
+        F.lit('.com/p">x</a>'),
+        opt(i % 2 == 0,
+            F.concat(F.lit('<a href="https://ref.example.org:8443/p?d='),
+                     i.cast("string"), F.lit('">r</a>'))),
+        opt(i % 3 == 0, F.lit('<a href="/local/page">l</a>')),
+        opt(i % 5 == 0,
+            F.lit('<a href="https://user:pw@tracker.example.net/px">'
+                  't</a>')),
+        opt(i % 7 == 0, F.lit('<a href="ftp://files.example.com/f">'
+                              'f</a>')))
+    src = F.concat(F.lit("example"), (i % 7).cast("string"),
+                   F.lit(".com"))
+    df = (_docs(spark, sf_dir)
+          .select(src.alias("src_host"), html.alias("html")))
+    return link_graph(df)
+
+
+_SQL_LINK_GRAPH = r"""
+WITH pages AS (
+  SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+           AS src_host,
+         '<a href="https://Example' || CAST(doc_id % 50 AS VARCHAR)
+         || '.com/p">x</a>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<a href="https://ref.example.org:8443/p?d='
+                      || CAST(doc_id AS VARCHAR) || '">r</a>'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="/local/page">l</a>' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '<a href="https://user:pw@tracker.example.net/px">t</a>'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '<a href="ftp://files.example.com/f">f</a>'
+                 ELSE '' END AS html
+  FROM documents
+),
+links AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html,
+                  $rx$(?i)href\s*=\s*"([^"]*)"$rx$, 1)) AS u
+  FROM pages
+),
+hosts AS (
+  SELECT src_host,
+         lower(regexp_extract(u,
+           '(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM hosts WHERE dst_host != ''
+GROUP BY src_host, dst_host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -3337,6 +3572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_per_stratum": _q_take_per_stratum,
         "perplexity_split": _q_perplexity_split,
         "html_extract": _q_html_extract,
+        "corpus_overlap": _q_corpus_overlap,
+        "dsir_select": _q_dsir_select,
+        "tfidf_topk": _q_tfidf_topk,
+        "cap_per_domain": _q_cap_per_domain,
+        "link_graph": _q_link_graph,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3416,6 +3656,11 @@ def oracle_sql() -> dict[str, str]:
         "take_per_stratum": _SQL_TAKE_PER_STRATUM,
         "perplexity_split": _SQL_PERPLEXITY_SPLIT,
         "html_extract": _SQL_HTML_EXTRACT,
+        "corpus_overlap": _SQL_CORPUS_OVERLAP,
+        "dsir_select": _SQL_DSIR_SELECT,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
+        "cap_per_domain": _sql_cap_per_domain(),
+        "link_graph": _SQL_LINK_GRAPH,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -434,6 +434,54 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
     return df.join(bad, id_col, "left_anti")
 
 
+def corpus_overlap(df: DataFrame, group_col: str = "lang",
+                   text_col: str = "text", k: int = 3,
+                   num_hashes: int = 64) -> DataFrame:
+    """Estimated shingle-set Jaccard between document GROUPS (languages,
+    sources, crawl snapshots, shards): one MinHash signature PER GROUP,
+    compared pairwise. Answers "how much text does shard A share with
+    shard B" without any document-level join — the cross-shard
+    content-overlap report a corpus merge starts with (the group-level
+    analog of Broder'97 resemblance, the same estimator
+    dedup_minhash_lsh uses per document).
+
+    Plan: explode word k-shingles, distinct (group, shingle) — the
+    partial agg dedups map-side, so repeated boilerplate never leaves
+    the scan stage — then ``num_hashes`` independent min-aggregations
+    collapse each group to one signature row (same one-pass
+    partial+final shape as simhash64's bit votes). The pairwise
+    compare runs on a table of n_groups rows: broadcast-sized by
+    construction, O(G^2) on a handful of groups, zero risk at any
+    corpus size. Hash family i is md5(i || ':' || shingle) — identical
+    to minhash_signature, lexicographic min over fixed-width hex ==
+    numeric min.
+
+    Returns (group_a, group_b, n_hashes, jaccard_est) for group_a <
+    group_b; jaccard_est = matching-signature-entry fraction, exact in
+    both engines (integer count / num_hashes)."""
+    sh = (df.filter(F.col(text_col).isNotNull())
+          .select(F.col(group_col).alias("_g"),
+                  F.explode(word_shingles(F.col(text_col), k))
+                  .alias("_s"))
+          .distinct())
+    mins = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))))
+            .alias(f"_h{i}") for i in range(num_hashes)]
+    # signature table is n_groups rows but its lineage is the full
+    # corpus shingle scan — persist so the self-join below doesn't
+    # recompute both branches from the raw text
+    sigs = _register_cache(sh.groupBy("_g").agg(*mins))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    matches = sum(
+        F.when(F.col(f"a._h{i}") == F.col(f"b._h{i}"), 1).otherwise(0)
+        for i in range(num_hashes))
+    return (a.join(b, F.col("a._g") < F.col("b._g"))
+            .select(F.col("a._g").alias("group_a"),
+                    F.col("b._g").alias("group_b"),
+                    F.lit(num_hashes).alias("n_hashes"),
+                    F.round(matches.cast("double") / num_hashes, 6)
+                    .alias("jaccard_est")))
+
+
 def _bit_literal(j: int) -> Column:
     """2^j as a LongType literal. Bit 63 is the sign bit: 1 << 63
     overflows a signed long literal (NumberFormatException), but its

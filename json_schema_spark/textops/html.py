@@ -55,3 +55,39 @@ def html_to_text(df: DataFrame, html_col: str = "html",
     projection over the raw html."""
     return df.withColumn(text_col, strip_tags(F.col(html_col))) \
              .withColumn(links_col, extract_links(F.col(html_col)))
+
+
+# Host of an ABSOLUTE http(s) URL. The authority userinfo is skipped
+# explicitly ((?:[^/?#@]*@)?) — without it "https://u@evil.com/" would
+# report host "u" and a blocklist keyed on host would miss evil.com
+# (same bypass filter_urls guards against). Port excluded via the
+# final [^/?#:] class. RE2-safe: no lookarounds, no backrefs.
+_HOST_RX = r"(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def link_hosts(col: Column) -> Column:
+    """Lowercased hosts of the absolute http(s) outlinks of an HTML
+    fragment, in document order. Relative links and exotic schemes
+    drop out (empty extraction filtered)."""
+    hosts = F.transform(
+        extract_links(col),
+        lambda u: F.lower(F.regexp_extract(u, _HOST_RX, 1)))
+    return F.filter(hosts, lambda h: h != "")
+
+
+def link_graph(df: DataFrame, html_col: str = "html",
+               src_col: str = "src_host") -> DataFrame:
+    """Host-level outlink edges (src_host, dst_host, n_links) — the
+    web-graph aggregate crawl schedulers and PageRank-style quality
+    priors start from (Common Crawl publishes exactly this as its
+    host-level webgraph). One explode + one hash aggregate: partial
+    aggregation collapses each page's repeated outlinks map-side, so
+    the shuffle carries host-pair cardinality, not link cardinality.
+    Hot hosts (everyone links to wikipedia.org) are absorbed by the
+    same partial agg; the final agg keys on the PAIR, which is far
+    less skewed than dst alone."""
+    return (df.select(F.col(src_col),
+                      F.explode(link_hosts(F.col(html_col)))
+                      .alias("dst_host"))
+            .groupBy(src_col, "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links")))

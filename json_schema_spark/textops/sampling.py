@@ -226,3 +226,44 @@ def take_per_stratum(df: DataFrame, n: int, strata_col: str,
         W.partitionBy(strata_col).orderBy(h, F.col(id_col)))
     return (df.withColumn("_rn", rn)
             .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  order_by: list[Column],
+                  salt_shards: int | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``n`` rows per group, BEST-first under the
+    caller's ``order_by`` (e.g. quality score descending) — the
+    domain-capping cut every crawl-derived training mix applies so a
+    handful of link-farm hosts can't dominate the corpus (C4 and
+    RefinedWeb both cap per-host contributions). Unlike
+    take_per_stratum's hash-random pick, the survivors here are the
+    group's TOP rows; make the ordering deterministic (append a
+    unique id column) or ranking inside ties is engine-arbitrary.
+
+    Skew story: one domain with billions of rows turns a plain
+    per-group window into a single-reducer sort. ``salt_shards=S``
+    runs a two-phase top-n: phase 1 ranks within (group,
+    md5(id) mod S) shards and keeps n per shard — S parallel
+    reducers per hot group, each emitting at most n rows — phase 2
+    re-ranks the <= S*n survivors per group. Identical output to the
+    unsalted window (every global top-n row wins its shard), one
+    extra (small) shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window as W
+
+    out = df
+    if salt_shards:
+        shard = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 15), 16, 10)
+            .cast("bigint") % salt_shards)
+        rn1 = F.row_number().over(
+            W.partitionBy(F.col(group_col), shard).orderBy(*order_by))
+        out = (out.withColumn("_rn", rn1)
+               .filter(F.col("_rn") <= n).drop("_rn"))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(*order_by))
+    return (out.withColumn("rank_in_group", rn)
+            .filter(F.col("rank_in_group") <= n))

@@ -8,6 +8,8 @@ projection that runs at scan speed on any corpus size.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -437,6 +439,143 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob")))
+
+
+def dsir_weights(df: DataFrame, target_df: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 target_text_col: str | None = None) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): score every raw-corpus
+    document by how much more likely a TARGET distribution (a small
+    high-quality corpus: wiki, books, curated eval-adjacent text)
+    makes its tokens than the raw corpus itself does. Per token t:
+    ln p_tgt(t) - ln p_raw(t) under add-one-smoothed unigram models
+    over the UNION vocabulary (the paper hashes n-grams into fixed
+    buckets; the unigram-over-union-vocab form is its SQL-expressible
+    core, same simplification unigram_logprob makes for CCNet).
+
+    Returns (id, n_tokens, avg_log_ratio) where avg_log_ratio is the
+    per-token MEAN of the log ratio, rounded to 6 dp — the
+    length-normalized variant (multiply by n_tokens for the paper's
+    summed weight; the mean keeps the cross-engine float story
+    identical to unigram_logprob's audited avg). Positive = more
+    target-like than the corpus average.
+
+    Scale story: the raw model derives from the corpus token explode
+    (cached once, two consumers); the target corpus is a bounded
+    curated set, but its model is full-outer-merged with the raw
+    model into ONE combined (t, n_raw, n_tgt) table so scoring is a
+    single vocabulary join — unhinted, like unigram_logprob's derived
+    vocab (billions of distinct tokens at web scale; AQE broadcasts
+    only when it measures small). N/V totals ride a one-row broadcast
+    cross-join so every token sees them."""
+    from json_schema_spark.cache import register_cache
+
+    tcol = target_text_col or text_col
+    toks = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("t")))
+    raw = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (target_df.filter(F.col(tcol).isNotNull())
+           .select(F.explode(tokens(F.lower(F.col(tcol)))).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("n_tgt")))
+    model = register_cache(
+        raw.join(tgt, "t", "full_outer")
+        .select("t",
+                F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_raw"),
+                F.coalesce(F.col("n_tgt"), F.lit(0)).alias("n_tgt")))
+    totals = model.agg(F.sum("n_raw").alias("N_raw"),
+                       F.sum("n_tgt").alias("N_tgt"),
+                       F.count(F.lit(1)).alias("V"))
+    # per-token log ratio splits into a count part ln(n_tgt+1) -
+    # ln(n_raw+1) and a per-corpus CONSTANT ln(N_raw+V) - ln(N_tgt+V);
+    # applying the constant after the per-doc aggregation keeps the
+    # totals out of the token-level plan entirely (joining model AND
+    # its own aggregate into the same token stream trips Spark's
+    # self-join attribute dedup — AMBIGUOUS_REFERENCE) and saves two
+    # ln calls per token. The oracle replays this exact association:
+    # avg(diff) + (ln(N_raw+V) - ln(N_tgt+V)).
+    scored = (toks.join(model, "t", "left")
+              .withColumn("_d", F.log(
+                  (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                  .cast("double"))
+                  - F.log(
+                  (F.coalesce(F.col("n_raw"), F.lit(0)) + 1)
+                  .cast("double"))))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.avg("_d").alias("_avg_d")))
+    return (per_doc.crossJoin(F.broadcast(totals))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(F.col("_avg_d") + (
+                        F.log((F.col("N_raw") + F.col("V"))
+                              .cast("double"))
+                        - F.log((F.col("N_tgt") + F.col("V"))
+                                .cast("double"))), 6)
+                    .alias("avg_log_ratio")))
+
+
+def dsir_select(df: DataFrame, target_df: DataFrame, n: int,
+                id_col: str = "doc_id", **kwargs: Any) -> DataFrame:
+    """The DSIR selection cut: the ``n`` corpus documents whose tokens
+    look most target-like (highest avg_log_ratio, doc id breaking
+    exact ties — ranking runs on the ROUNDED score, so the boundary is
+    engine-reproducible). Returns (id, n_tokens, avg_log_ratio, rank).
+
+    Scale note: a global top-n over per-doc scores — Spark plans
+    rank-over-empty-partitioning as a single-partition window, fine
+    for the bounded n a training mix wants; for huge n switch to an
+    approx threshold (approxQuantile on avg_log_ratio) + filter."""
+    from pyspark.sql import Window as W
+
+    w = dsir_weights(df, target_df, id_col=id_col, **kwargs)
+    win = W.partitionBy().orderBy(F.col("avg_log_ratio").desc(),
+                                  F.col(id_col))
+    return (w.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= n))
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    topic-proxy extraction a corpus explorer wants next to quality
+    scores. tf = in-doc term count (lowercased whitespace tokens),
+    idf = ln((n_docs + 1) / (df_t + 1)) (add-one smoothed, always
+    positive), score = tf * idf rounded to 6 dp; rank by (rounded
+    score desc, term asc) so the k-boundary is engine-reproducible
+    (same tie-break discipline as ngram_topk).
+
+    Plan: ONE token explode feeds a (doc, term) count; document
+    frequency and the doc total both derive from that cached table
+    (df_t = term's row count there, n_docs via a one-row broadcast
+    cross-join), so the corpus is scanned once. The df_t join is
+    vocabulary-sized and left UNHINTED. The per-doc top-k is a window
+    over id — partitioned by the aggregation's own key, so AQE
+    coalesces, no single-partition choke. Returns
+    (id, term, tf, df_t, score, rank)."""
+    from json_schema_spark.cache import register_cache
+    from pyspark.sql import Window as W
+
+    tf = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")))
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    nd = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dft, "t")
+              .crossJoin(F.broadcast(nd))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(
+                      (F.col("n_docs") + 1).cast("double")
+                      / (F.col("df_t") + 1).cast("double")), 6)))
+    win = W.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                        F.col("t"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(id_col, F.col("t").alias("term"), "tf", "df_t",
+                    "score", "rank"))
 
 
 def chunk_documents(df: DataFrame, chunk_size: int = 64,

@@ -34,7 +34,8 @@ def test_query_registry_is_pinned():
         "pack_sequences", "chunk_documents", "ngram_topk", "snapshot_diff",
         "mix_corpus", "dedup_lines_in_doc", "semantic_dedup",
         "filter_urls", "take_per_stratum", "perplexity_split",
-        "html_extract", "rate_anomalies",
+        "html_extract", "rate_anomalies", "corpus_overlap",
+        "dsir_select", "tfidf_topk", "cap_per_domain", "link_graph",
         "repetition_features",
         "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",

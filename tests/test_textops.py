@@ -2131,3 +2131,110 @@ def test_html_extraction_semantics(spark):
     assert r.links == ["https://a.com/1", "https://b.com/2"]
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
+
+
+def test_link_graph_host_semantics(spark):
+    """Hosts lowercase; userinfo skipped (blocklist-bypass guard);
+    ports excluded; relative links and non-http schemes drop; repeated
+    outlinks aggregate. One explode + one hash aggregate."""
+    from json_schema_spark.textops.html import link_graph
+
+    html = ('<a href="https://WWW.Example.COM/p">a</a>'
+            '<a href="https://u:p@evil.example.net:8443/x">b</a>'
+            '<a href="/relative/only">c</a>'
+            '<a href="ftp://files.example.com/f">d</a>'
+            '<a href="http://www.example.com/q?z=1">e</a>')
+    df = spark.createDataFrame([("src.com", html)],
+                               "src_host string, html string")
+    edges = {(r.src_host, r.dst_host): r.n_links
+             for r in link_graph(df).collect()}
+    assert edges == {("src.com", "www.example.com"): 2,
+                     ("src.com", "evil.example.net"): 1}
+
+
+def test_cap_per_group_salted_matches_plain(docs):
+    """The two-phase skew-safe path must be output-identical to the
+    plain window: every global top-n row wins its shard first."""
+    from json_schema_spark.textops.sampling import cap_per_group
+    from json_schema_spark.textops.textanalysis import quality_score
+
+    scored = (docs.filter(F.col("text").isNotNull())
+              .withColumn("grp", (F.col("doc_id") % 7).cast("int"))
+              .withColumn("q", quality_score(F.col("text"))))
+    order = [F.col("q").desc(), F.col("doc_id")]
+    plain = {(r.doc_id, r.rank_in_group)
+             for r in cap_per_group(scored, "grp", 5, order).collect()}
+    salted = {(r.doc_id, r.rank_in_group)
+              for r in cap_per_group(scored, "grp", 5, order,
+                                     salt_shards=3).collect()}
+    assert plain == salted and len(plain) == 35
+
+    with pytest.raises(ValueError):
+        cap_per_group(scored, "grp", 0, order)
+
+
+def test_corpus_overlap_bounds_and_identity(spark):
+    """A group compared against an identical shingle set estimates
+    jaccard 1.0; disjoint sets estimate 0.0; estimates stay in
+    [0, 1]."""
+    from json_schema_spark.textops.dedup import corpus_overlap
+
+    rows = [("a", "one two three four five six"),
+            ("b", "one two three four five six"),
+            ("c", "seven eight nine ten eleven twelve")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    est = {(r.group_a, r.group_b): r.jaccard_est
+           for r in corpus_overlap(df, num_hashes=16).collect()}
+    assert est[("a", "b")] == 1.0
+    assert est[("a", "c")] == 0.0 and est[("b", "c")] == 0.0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-corpus tokens must outscore docs of
+    raw-only tokens, and every corpus token is scored (n_tokens)."""
+    from json_schema_spark.textops.textanalysis import dsir_select, \
+        dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zork quux blorp"),
+         (3, "alpha beta zork")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha beta gamma")], "tid long, text string")
+    w = {r.doc_id: (r.n_tokens, r.avg_log_ratio)
+         for r in dsir_weights(corpus, target).collect()}
+    assert w[1][0] == 3 and w[2][0] == 3
+    assert w[1][1] > w[3][1] > w[2][1]
+    top = dsir_select(corpus, target, n=2).collect()
+    assert [r.doc_id for r in top] == [1, 3]
+    assert [r.rank for r in top] == [1, 2]
+
+
+def test_tfidf_topk_ranking_and_boundary(spark):
+    """Ubiquitous terms (df = n_docs) rank below rare ones; the
+    k-boundary tie-breaks on term asc; scores replay as
+    tf * ln((n+1)/(df+1))."""
+    import math
+
+    from json_schema_spark.textops.textanalysis import tfidf_topk
+
+    corpus = spark.createDataFrame(
+        [(1, "common rare1 rare1 common"), (2, "common rare2"),
+         (3, "common zebra apple")],
+        "doc_id long, text string")
+    out = tfidf_topk(corpus, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert d1[0].term == "rare1" and d1[0].tf == 2 and d1[0].df_t == 1
+    assert d1[0].score == round(2 * math.log(4 / 2), 6)
+    # doc 3: zebra/apple tie on (tf=1, df=1) -> term asc breaks it
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert [r.term for r in d3] == ["apple", "zebra"]
+    # 'common' appears in every doc: idf = ln(4/4) = 0 -> it can only
+    # surface where a doc has fewer than k other terms (doc 2), and
+    # never outranks a rarer term
+    for r in out:
+        if r.term == "common":
+            assert r.rank == 2 and r.score == 0.0
