@@ -3312,9 +3312,19 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                           k=3, num_hashes=64)
 
 
-_SQL_CORPUS_OVERLAP = r"""
+def _sql_corpus_overlap(num_hashes: int = 64) -> str:
+    from json_schema_spark.textops.dedup import (MINHASH_PRIME,
+                                                 minhash_affine_params)
+
+    consts = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes)))
+    return rf"""
 WITH sh AS (
-  SELECT DISTINCT g, s FROM (
+  SELECT g,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+           % {MINHASH_PRIME} AS x
+  FROM (
     SELECT lang AS g,
            unnest(CASE WHEN len(words) >= 3
                   THEN list_transform(range(1, len(words) - 1),
@@ -3325,15 +3335,16 @@ WITH sh AS (
           FROM documents WHERE text IS NOT NULL AND trim(text) != '')
   )
 ),
+consts AS (SELECT * FROM (VALUES {consts}) AS t(i, a, b)),
 sig AS (
-  SELECT g, t.i AS i,
-         min(md5(CAST(t.i AS VARCHAR) || ':' || s)) AS m
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
-  GROUP BY g, t.i
+  SELECT g, c.i AS i,
+         min((c.a * x + c.b) % {MINHASH_PRIME}) AS m
+  FROM sh CROSS JOIN consts c
+  GROUP BY g, c.i
 )
-SELECT a.g AS group_a, b.g AS group_b, 64 AS n_hashes,
+SELECT a.g AS group_a, b.g AS group_b, {num_hashes} AS n_hashes,
        round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
-             / 64.0, 6) AS jaccard_est
+             / {num_hashes}.0, 6) AS jaccard_est
 FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g
 GROUP BY a.g, b.g
 """
@@ -3656,7 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "take_per_stratum": _SQL_TAKE_PER_STRATUM,
         "perplexity_split": _SQL_PERPLEXITY_SPLIT,
         "html_extract": _SQL_HTML_EXTRACT,
-        "corpus_overlap": _SQL_CORPUS_OVERLAP,
+        "corpus_overlap": _sql_corpus_overlap(),
         "dsir_select": _SQL_DSIR_SELECT,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "cap_per_domain": _sql_cap_per_domain(),

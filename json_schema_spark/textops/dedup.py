@@ -141,9 +141,19 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def shingle_projection(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    return (df.select(F.col(id_col).alias("_id"),
-                      word_shingles(F.col(text_col), k).alias("_shingles"))
-            .filter(F.size("_shingles") > 0))
+    """(id, shingle array) with the words array materialized FIRST:
+    "_w" is a bound attribute referenced by size() and the lambda, so
+    CollapseProject keeps it and each slice is O(k). Building
+    word_shingles(text) in one expression re-runs the split per
+    shingle element (no CSE inside lambda bodies — O(words^2)/doc)."""
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)))
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    tokens(F.col(text_col)).alias("_w"))
+            .filter(F.size("_w") >= k)
+            .select("_id", sh.alias("_shingles")))
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text",
@@ -434,6 +444,23 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
     return df.join(bad, id_col, "left_anti")
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), keeps a*x+b < 2^62
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine universal hash
+    family h_i(x) = (a_i * x + b_i) mod MINHASH_PRIME. Shared by
+    corpus_overlap and its SQL oracle builder so both engines replay
+    the identical permutations. a is forced nonzero (a degenerate
+    h_i(x) = b would make hash i useless)."""
+    out = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 1) % MINHASH_PRIME or 1
+        b = (i * 40503 + 17) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def corpus_overlap(df: DataFrame, group_col: str = "lang",
                    text_col: str = "text", k: int = 3,
                    num_hashes: int = 64) -> DataFrame:
@@ -445,27 +472,43 @@ def corpus_overlap(df: DataFrame, group_col: str = "lang",
     analog of Broder'97 resemblance, the same estimator
     dedup_minhash_lsh uses per document).
 
-    Plan: explode word k-shingles, distinct (group, shingle) — the
-    partial agg dedups map-side, so repeated boilerplate never leaves
-    the scan stage — then ``num_hashes`` independent min-aggregations
-    collapse each group to one signature row (same one-pass
-    partial+final shape as simhash64's bit votes). The pairwise
-    compare runs on a table of n_groups rows: broadcast-sized by
-    construction, O(G^2) on a handful of groups, zero risk at any
-    corpus size. Hash family i is md5(i || ':' || shingle) — identical
-    to minhash_signature, lexicographic min over fixed-width hex ==
-    numeric min.
+    Plan: explode word k-shingles, hash each ONCE (md5 -> 60-bit int,
+    the repo's engine-portable hash), then ``num_hashes`` independent
+    min-aggregations over cheap affine permutations
+    (a_i*x + b_i) mod 2^31-1 — the classic universal-hash MinHash
+    (Broder'97), ~100x cheaper per row than num_hashes md5 calls. No
+    pre-distinct: min over a multiset equals min over its set, and
+    partial aggregation collapses repeats map-side, so the one shuffle
+    carries G x num_hashes partials. The pairwise compare runs on a
+    table of n_groups rows: broadcast-sized by construction, O(G^2)
+    on a handful of groups, zero risk at any corpus size.
 
     Returns (group_a, group_b, n_hashes, jaccard_est) for group_a <
     group_b; jaccard_est = matching-signature-entry fraction, exact in
-    both engines (integer count / num_hashes)."""
+    both engines (integer count / num_hashes). The 31-bit hash range
+    adds ~n_shingles/2^31 collision bias — negligible against the
+    1/sqrt(num_hashes) estimator noise."""
+    x = (F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+         .cast("bigint") % MINHASH_PRIME)
+    # materialize the words array BEFORE the shingle transform: with
+    # "_w" a bound attribute (referenced by size() AND the lambda,
+    # so CollapseProject keeps it), each slice is O(k) — exploding
+    # word_shingles() directly re-runs the split per shingle element
+    # (no CSE inside lambda bodies: O(words^2) per doc)
     sh = (df.filter(F.col(text_col).isNotNull())
           .select(F.col(group_col).alias("_g"),
-                  F.explode(word_shingles(F.col(text_col), k))
+                  tokens(F.col(text_col)).alias("_w"))
+          .filter(F.size("_w") >= k)
+          .select("_g",
+                  F.explode(F.transform(
+                      F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+                      lambda i: F.concat_ws(
+                          " ", F.slice(F.col("_w"), i, k))))
                   .alias("_s"))
-          .distinct())
-    mins = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))))
-            .alias(f"_h{i}") for i in range(num_hashes)]
+          .select("_g", x.alias("_x")))
+    mins = [F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MINHASH_PRIME)
+            .alias(f"_h{i}")
+            for i, (a, b) in enumerate(minhash_affine_params(num_hashes))]
     # signature table is n_groups rows but its lineage is the full
     # corpus shingle scan — persist so the self-join below doesn't
     # recompute both branches from the raw text
