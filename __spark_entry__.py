@@ -3477,6 +3477,61 @@ SELECT doc_id, domain, quality, rank_in_group FROM (
 """
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet global paragraph dedup (round 4): two boilerplate
+    paragraphs are appended to overlapping doc subsets; exactly one
+    instance of each (the smallest doc:pos key) survives, and docs
+    reassemble in original line order. The oracle replays digests,
+    the min-key pick, and the ordered reassembly."""
+    from json_schema_spark.textops.textanalysis import \
+        dedup_paragraphs_global
+
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(i % 2 == 0, F.lit("\nSubscribe to our newsletter!"))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("\nCopyright 2026 Example Corp"))
+        .otherwise(F.lit("")))
+    docs = (_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+            .select("doc_id", text2.alias("text")))
+    return dedup_paragraphs_global(docs)
+
+
+_SQL_DEDUP_PARAGRAPHS = r"""
+WITH docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'Subscribe to our newsletter!'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'Copyright 2026 Example Corp'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, ls, i FROM
+    (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+    unnest(range(1, len(ls) + 1)) AS u(i)
+),
+paras AS (
+  SELECT doc_id, i, trim(ls[i]) AS p,
+         md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS dg,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+           || lpad(CAST(i - 1 AS VARCHAR), 8, '0') AS key
+  FROM lines WHERE trim(ls[i]) != ''
+),
+firsts AS (SELECT dg, min(key) AS first FROM paras GROUP BY dg)
+SELECT p.doc_id, count(*) AS n_paragraphs,
+       count(*) FILTER (WHERE p.key = f.first) AS n_kept,
+       coalesce(string_agg(p.p, chr(10) ORDER BY p.i)
+                  FILTER (WHERE p.key = f.first), '') AS text_clean
+FROM paras p JOIN firsts f ON p.dg = f.dg
+GROUP BY p.doc_id
+"""
+
+
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink graph (round 4): deterministic markup per
     doc exercises host lowercasing, the userinfo-@ skip, port
@@ -3588,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "cap_per_domain": _q_cap_per_domain,
         "link_graph": _q_link_graph,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3672,6 +3728,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "cap_per_domain": _sql_cap_per_domain(),
         "link_graph": _SQL_LINK_GRAPH,
+        "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

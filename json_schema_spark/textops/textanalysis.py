@@ -306,6 +306,61 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
             .drop("_bl"))
 
 
+def dedup_paragraphs_global(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            out_col: str = "text_clean") -> DataFrame:
+    """Cross-document paragraph dedup, FIRST occurrence wins — the
+    actual CCNet dedup step (Wenzek et al. 2020 hash every paragraph
+    and drop repeats corpus-wide before LM filtering): unlike
+    remove_boilerplate_lines (which strips frequent lines from EVERY
+    doc), exactly one instance of each repeated paragraph survives,
+    at the lexicographically smallest (doc, position).
+
+    Plan: posexplode lines -> normalized paragraph digest -> one
+    partial+final aggregate picks min(doc:pos key) per digest (agg,
+    not a window: a boilerplate paragraph with 10^8 instances would
+    single-reducer a digest-partitioned window, while the partial agg
+    collapses it map-side) -> join the flag back -> one groupBy(doc)
+    reassembles survivors in original order (collect_list skips the
+    NULLed losers, array_sort orders by position). Two shuffles over
+    paragraph rows, both on well-distributed keys.
+
+    Returns (id, n_paragraphs, n_kept, out_col) — paragraphs are
+    NON-EMPTY trimmed lines (docs with no such line drop out);
+    n_paragraphs counts them, n_kept the survivors."""
+    from json_schema_spark.cache import register_cache
+    from json_schema_spark.textops.dedup import normalized_digest
+
+    paras = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.posexplode(F.split(F.col(text_col), "\n"))
+                .alias("_pos", "_raw"))
+        .select("_id", "_pos", F.trim(F.col("_raw")).alias("_p"))
+        .filter(F.col("_p") != "")
+        .select("_id", "_pos", "_p",
+                normalized_digest(F.col("_p")).alias("_dg"),
+                F.concat(F.lpad(F.col("_id").cast("string"), 12, "0"),
+                         F.lit(":"),
+                         F.lpad(F.col("_pos").cast("string"), 8, "0"))
+                .alias("_key")))
+    firsts = paras.groupBy("_dg").agg(F.min("_key").alias("_first"))
+    flagged = (paras.join(firsts, "_dg")
+               .withColumn("_keep", F.col("_key") == F.col("_first")))
+    kept_struct = F.when(F.col("_keep"),
+                         F.struct(F.col("_pos"), F.col("_p")))
+    return (flagged.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_paragraphs"),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["_p"]), "\n").alias(out_col))
+            .select(F.col("_id").alias(id_col), "n_paragraphs",
+                    "n_kept", out_col))
+
+
 # PII patterns, restricted to constructs Java regex and RE2 interpret
 # identically (no lookarounds, no backrefs) so the DuckDB oracle can
 # replay them literally. Deliberately conservative: high-precision

@@ -2238,3 +2238,24 @@ def test_tfidf_topk_ranking_and_boundary(spark):
     for r in out:
         if r.term == "common":
             assert r.rank == 2 and r.score == 0.0
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Exactly one instance of a repeated paragraph survives, at the
+    smallest (doc, pos); survivors reassemble in original order;
+    whitespace-variant repeats hash together (normalized digest)."""
+    from json_schema_spark.textops.textanalysis import \
+        dedup_paragraphs_global
+
+    rows = [(1, "unique one\nSHARED para\nunique two"),
+            (2, "shared  PARA\nonly in two"),     # normalized dup
+            (3, "SHARED para"),                    # fully duplicate
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs_global(df).collect()}
+    assert out[1].text_clean == "unique one\nSHARED para\nunique two"
+    assert (out[1].n_paragraphs, out[1].n_kept) == (3, 3)
+    assert out[2].text_clean == "only in two"
+    assert (out[2].n_paragraphs, out[2].n_kept) == (2, 1)
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+    assert 4 not in out  # NULL text drops out
