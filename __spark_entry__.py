@@ -3532,6 +3532,68 @@ GROUP BY p.doc_id
 """
 
 
+def _moji_suffixes() -> list[str]:
+    """Deterministic mojibake-bearing suffixes, built FROM
+    MOJIBAKE_MAP so the Spark query and the SQL oracle replay
+    byte-identical artifact sequences."""
+    from json_schema_spark.textops.textanalysis import MOJIBAKE_MAP
+
+    key = {good: bad for bad, good in MOJIBAKE_MAP}
+    return [" caf" + key["é"],                       # cafÃ©
+            " don" + key["'"] + 't say ' + key['"'] + "hi",
+            " costs" + key[" "] + "5 " + key["…"],
+            ""]                                       # clean
+
+
+def _q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (round 4): each doc gets one of four suffixes
+    (three artifact-bearing, one clean) derived from MOJIBAKE_MAP;
+    the operator counts artifacts on the original text and applies
+    the literal replace chain. The oracle replays the same suffixes,
+    count regex, and replace chain."""
+    from json_schema_spark.textops.textanalysis import encoding_artifacts
+
+    i = F.col("doc_id")
+    sufs = _moji_suffixes()
+    suffix = (F.when(i % 4 == 0, F.lit(sufs[0]))
+              .when(i % 4 == 1, F.lit(sufs[1]))
+              .when(i % 4 == 2, F.lit(sufs[2]))
+              .otherwise(F.lit(sufs[3])))
+    docs = (_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.concat(F.col("text"), suffix).alias("text")))
+    out = encoding_artifacts(docs)
+    return out.select("doc_id", "n_artifacts",
+                      F.md5("text_fixed").alias("fixed_digest"))
+
+
+def _sql_encoding_artifacts() -> str:
+    from json_schema_spark.textops.textanalysis import MOJIBAKE_MAP
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    sufs = _moji_suffixes()
+    fixed = "text"
+    for bad, good in MOJIBAKE_MAP:
+        fixed = f"replace({fixed}, '{q(bad)}', '{q(good)}')"
+    rx = "|".join(bad for bad, _ in MOJIBAKE_MAP)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4 WHEN 0 THEN '{q(sufs[0])}'
+                 WHEN 1 THEN '{q(sufs[1])}'
+                 WHEN 2 THEN '{q(sufs[2])}'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, $mrx${rx}$mrx$)) AS n_artifacts,
+       md5({fixed}) AS fixed_digest
+FROM docs
+"""
+
+
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink graph (round 4): deterministic markup per
     doc exercises host lowercasing, the userinfo-@ skip, port
@@ -3644,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": _q_cap_per_domain,
         "link_graph": _q_link_graph,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "encoding_artifacts": _q_encoding_artifacts,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3729,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_domain": _sql_cap_per_domain(),
         "link_graph": _SQL_LINK_GRAPH,
         "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
+        "encoding_artifacts": _sql_encoding_artifacts(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -361,6 +361,63 @@ def dedup_paragraphs_global(df: DataFrame, text_col: str = "text",
                     "n_kept", out_col))
 
 
+# UTF-8-decoded-as-Latin-1 artifact sequences ("mojibake") and their
+# intended characters — the high-frequency classes an ftfy-style web
+# cleanup fixes (curly quotes/dashes via the 'â€' family, Latin-1
+# accents via the 'Ã' family, stray NBSP markers via 'Â '). Ordered
+# list: replacements apply in THIS order in both engines (plain
+# literal replace — no regex), so the mapping is its own oracle spec.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "'"),    # â€™ -> right single quote
+    ("â€œ", '"'),    # â€œ -> left double quote
+    ("â€“", "–"),  # â€“ -> en dash
+    ("â€”", "—"),  # â€” -> em dash
+    ("â€¦", "…"),  # â€¦ -> ellipsis
+    ("Ã©", "é"),     # Ã© -> é
+    ("Ã¨", "è"),     # Ã¨ -> è
+    ("Ã¡", "á"),     # Ã¡ -> á
+    ("Ã³", "ó"),     # Ã³ -> ó
+    ("Ãº", "ú"),     # Ãº -> ú
+    ("Ã±", "ñ"),     # Ã± -> ñ
+    ("Ã¤", "ä"),     # Ã¤ -> ä
+    ("Ã¶", "ö"),     # Ã¶ -> ö
+    ("Ã¼", "ü"),     # Ã¼ -> ü
+    ("Ã§", "ç"),     # Ã§ -> ç
+    ("Â ", " "),          # Â + NBSP -> space
+    ("Â ", " "),               # Â + space -> space
+]
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Chained literal replacement of MOJIBAKE_MAP, in order — pure
+    expression, zero shuffle. Not a general ftfy: only the enumerated
+    high-frequency artifact classes."""
+    out = col
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def encoding_artifacts(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       out_col: str = "text_fixed") -> DataFrame:
+    """(id, n_artifacts, out_col): mojibake repair plus an artifact
+    count on the ORIGINAL text (a quality signal on its own — docs
+    with many artifacts usually have deeper encoding damage and are
+    filter candidates, the cleanup C4/ftfy pipelines apply to crawl
+    text). Counting uses one alternation regex over the map's keys
+    (no key is a prefix of another, so leftmost-first matching is
+    unambiguous in Java regex and RE2 alike); fixing uses the literal
+    replace chain. Single projection, runs at scan speed."""
+    rx = "|".join(bad for bad, _ in MOJIBAKE_MAP)
+    t = F.col(text_col)
+    return (df.filter(t.isNotNull())
+            .select(F.col(id_col),
+                    F.coalesce(F.regexp_count(t, F.lit(rx)), F.lit(0))
+                    .alias("n_artifacts"),
+                    fix_mojibake(t).alias(out_col)))
+
+
 # PII patterns, restricted to constructs Java regex and RE2 interpret
 # identically (no lookarounds, no backrefs) so the DuckDB oracle can
 # replay them literally. Deliberately conservative: high-precision

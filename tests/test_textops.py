@@ -2259,3 +2259,24 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert (out[2].n_paragraphs, out[2].n_kept) == (2, 1)
     assert out[3].text_clean == "" and out[3].n_kept == 0
     assert 4 not in out  # NULL text drops out
+
+
+def test_encoding_artifacts_fix_and_count(spark):
+    """Mojibake keys are the cp1252 rendering of the intended chars'
+    utf-8 bytes (correct by construction); fixing restores them and
+    the count reflects the original text."""
+    from json_schema_spark.textops.textanalysis import (MOJIBAKE_MAP,
+                                                        encoding_artifacts)
+
+    for bad, good in MOJIBAKE_MAP:
+        if good not in ("'", '"', " "):  # ASCII/space-folded forms
+            assert bad == good.encode("utf-8").decode("cp1252")
+    key = {g: b for b, g in MOJIBAKE_MAP}
+    text = "caf" + key["é"] + " don" + key["'"] + "t stop" + key["…"]
+    df = spark.createDataFrame([(1, text), (2, "clean text")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in encoding_artifacts(df).collect()}
+    assert out[1].text_fixed == "café don't stop…"
+    assert out[1].n_artifacts == 3
+    assert out[2].text_fixed == "clean text"
+    assert out[2].n_artifacts == 0
