@@ -4,18 +4,23 @@ the composition a 100-TB web-corpus job would run, at toy scale.
 Stages (each is one engine operator; see COVERAGE.md for the oracle
 row that gates it):
 1. schema/constraint validation  -> keep structurally valid docs
+   + mojibake repair (fix_mojibake — the ftfy-style encoding pass)
 2. exact dedup (normalized md5)  -> drop byte-duplicates
+   + CCNet global paragraph dedup (first occurrence wins)
 3. MinHash-LSH near-dup pairs    -> dedup_groups connected components
    -> keep one canonical doc per group (min doc_id)
 4. quality gate (C4-style heuristics over analyze())
+   + per-source cap (cap_per_group — no source dominates the mix)
 5. token budgeting (BPE-ish pre-tokenizer counts)
 6. deterministic train/val/test split (md5-keyed — stable under
    repartitioning and engine-reproducible)
 7. benchmark decontamination (winnowing containment vs an eval set)
+   + DSIR report (most target-distribution-like surviving docs)
 8. boilerplate screen (corpus-wide top n-grams) + RAG-style chunking
    of the surviving docs into overlapping token windows
 9. source-weighted mixing to a token budget + compressed JSONL export
    (the training-data hand-off)
+10. corpus reports: cross-language MinHash overlap (corpus_overlap)
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
@@ -33,9 +38,10 @@ from json_schema_spark.textops import dedup  # noqa: E402
 from json_schema_spark.sources.io import (  # noqa: E402
     read_jsonl, write_jsonl)
 from json_schema_spark.textops.sampling import (  # noqa: E402
-    hash_split, mix_corpus)
+    cap_per_group, hash_split, mix_corpus)
 from json_schema_spark.textops.textanalysis import (  # noqa: E402
-    chunk_documents, ngram_topk, quality_filter, token_stats)
+    chunk_documents, dedup_paragraphs_global, dsir_select, fix_mojibake,
+    ngram_topk, quality_filter, token_stats)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -43,18 +49,28 @@ spark = get_spark(app_name="llm_pipeline", cores=4)
 docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 n0 = docs.count()
 
-# 1. structural validation: non-null text, sane length, known language
-valid = docs.filter(F.col("text").isNotNull()
-                    & (F.length("text") >= 20)
-                    & F.col("lang").isin("en", "de", "fr", "es", "zh"))
+# 1. structural validation: non-null text, sane length, known language;
+#    then the encoding pass — mojibake repaired in place (pure
+#    projection, no extra scan)
+valid = (docs.filter(F.col("text").isNotNull()
+                     & (F.length("text") >= 20)
+                     & F.col("lang").isin("en", "de", "fr", "es", "zh"))
+         .withColumn("text", fix_mojibake(F.col("text"))))
 n1 = valid.count()
 
-# 2. exact dedup: drop all but the smallest doc_id per normalized digest
+# 2. exact dedup: drop all but the smallest doc_id per normalized
+#    digest; then CCNet global paragraph dedup — one instance of each
+#    repeated paragraph survives corpus-wide, docs reassemble in order
 digest = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
 w_min = F.min("doc_id").over(Window.partitionBy("_digest"))
 exact = (valid.withColumn("_digest", digest)
          .withColumn("_keep", F.col("doc_id") == w_min)
          .filter("_keep").drop("_digest", "_keep"))
+paras = dedup_paragraphs_global(exact)
+exact = (exact.drop("text")
+         .join(paras.filter(F.col("n_kept") > 0)
+               .select("doc_id", F.col("text_clean").alias("text")),
+               "doc_id"))
 n2 = exact.count()
 
 # 3. near-dup: LSH pairs -> connected components -> one canonical doc
@@ -62,9 +78,13 @@ n2 = exact.count()
 near = dedup.near_dedup_corpus(exact, threshold=0.7)
 n3 = near.count()
 
-# 4. quality gate
+# 4. quality gate, then cap every source's contribution at 40 docs
+#    (highest-quality first) so no single source dominates the mix
 quality = quality_filter(near, min_tokens=20, min_quality=0.3)
-kept_ids = quality.select("doc_id")
+capped = cap_per_group(
+    quality.join(near.select("doc_id", "source"), "doc_id"),
+    "source", 40, [F.col("quality").desc(), F.col("doc_id")])
+kept_ids = capped.select("doc_id")
 n4 = kept_ids.count()
 
 # 5. token budget per doc (whitespace + BPE-ish pre-tokenizer)
@@ -87,6 +107,11 @@ evals = (docs.filter((F.col("doc_id") % 50 == 0)
                  F.substring("text", 1, 120).alias("text")))
 clean = dedup.decontaminate(near, evals, threshold=0.8, min_shared=20)
 n7 = clean.count()
+
+# 7b. DSIR report: which surviving docs look most like a target
+#     distribution (here: the corpus's own English slice)
+target = docs.filter((F.col("lang") == "en") & F.col("text").isNotNull())
+dsir_top = dsir_select(clean, target, n=5).collect()
 
 # 8. boilerplate screen + chunking: the top corpus trigrams flag
 #    template text; surviving docs are cut into overlapping 64-token
@@ -116,6 +141,11 @@ n9 = read_jsonl(spark, export_dir,
 #    media_dedup oracle query — see _q_media_dedup in
 #    __spark_entry__.py for the runnable composition.)
 
+# 11. corpus report: cross-language content overlap (group-level
+#     MinHash signatures — the shard-merge overlap check)
+overlap = (dedup.corpus_overlap(docs, group_col="lang")
+           .orderBy(F.col("jaccard_est").desc()).first())
+
 dedup.release_caches()  # pair-finder intermediates
 
 print(f"input docs:          {n0}")
@@ -126,7 +156,10 @@ print(f"after quality gate:  {n4}")
 print(f"token budget:        ws={budget['ws']}  bpe={budget['bpe']}")
 print(f"splits:              {dist}")
 print(f"after decontam:      {n7} (eval sources dropped)")
+print(f"dsir top-5 (en-like): {[r.doc_id for r in dsir_top]}")
 print(f"top trigrams:        {[(r.gram, r.n_occ) for r in top_grams]}")
 print(f"chunks (64/16):      {n8}")
 print(f"mixed+exported:      {n9} docs in 4 jsonl shards")
+print(f"max lang overlap:    {overlap.group_a}<->{overlap.group_b} "
+      f"jaccard~{overlap.jaccard_est}")
 spark.stop()
