@@ -23,6 +23,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _blob_table(spark: SparkSession, sf_dir: str, make) -> DataFrame:
+    """(doc_id, blob) with the deterministic benchmark blob
+    synthesized ON EXECUTORS via mapInPandas. The former driver-side
+    list comprehension + createDataFrame spent seconds single-threaded
+    pure-Python-encoding 5000 blobs at sf0.1 and py4j-shipping them;
+    distributed synthesis parallelizes the encode across cores and
+    moves the bytes as Arrow batches. ``make(doc_id) -> bytes`` is
+    cloudpickled to the workers; output values are identical, only
+    row order changes (all consumers are order-insensitive joins).
+    The repartition spreads the small id list across the cluster so
+    a single-file parquet scan doesn't serialize the encode."""
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [make(int(i)) for i in pdf["doc_id"]]})
+
+    par = spark.sparkContext.defaultParallelism
+    return (_docs(spark, sf_dir).select("doc_id")
+            .repartition(par)
+            .mapInPandas(gen, "doc_id long, blob binary"))
+
+
 def _documents_cset():
     from json_schema_spark import ConstraintSet
 
@@ -1850,17 +1876,14 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         encode_png_gray, image_near_duplicates)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def pattern(i: int) -> list[list[int]]:
         k, v = i % 60, (i // 60) % 3
         return [[(k * 7 + x * 13 + y * 31
                   + (37 * v if (x < 2 and y < 2) else 0)) % 251
                  for x in range(9)] for y in range(8)]
 
-    blobs = [(int(i), encode_png_gray(pattern(int(i)))) for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir,
+                     lambda i: encode_png_gray(pattern(i)))
     return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
 
 
@@ -2517,19 +2540,15 @@ def _q_image_dedup_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         encode_gif_gray, image_near_duplicates)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def pattern(i: int) -> list[list[int]]:
         k, v = i % 60, (i // 60) % 3
         return [[(k * 7 + x * 13 + y * 31
                   + (37 * v if (x < 2 and y < 2) else 0)) % 251
                  for x in range(9)] for y in range(8)]
 
-    blobs = [(int(i), encode_gif_gray(pattern(int(i)),
-                                      interlaced=(int(i) % 3 == 0)))
-             for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir,
+                     lambda i: encode_gif_gray(pattern(i),
+                                               interlaced=(i % 3 == 0)))
     return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
 
 
@@ -2547,19 +2566,16 @@ def _q_image_dedup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         encode_jpeg_gray, image_near_duplicates)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def pattern(i: int) -> list[list[int]]:
         k, v = i % 60, (i // 60) % 3
         return [[(k * 7 + x * 13 + y * 31
                   + (37 * v if (x < 2 and y < 2) else 0)) % 251
                  for x in range(9)] for y in range(8)]
 
-    blobs = [(int(i), encode_jpeg_gray(
-        pattern(int(i)), restart_interval=(1 if int(i) % 4 == 0 else 0)))
-        for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir,
+                     lambda i: encode_jpeg_gray(
+                         pattern(i),
+                         restart_interval=(1 if i % 4 == 0 else 0)))
     return image_near_duplicates(df, "blob", "doc_id", max_hamming=3)
 
 
@@ -2578,9 +2594,6 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         encode_gif_gray_frames, video_near_duplicates)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def frame(i: int, f: int) -> list[list[int]]:
         # k cycles 300 with a k*x cross term: cross-k fingerprints are
         # far (no constant-gradient phase collisions), the v bump
@@ -2592,9 +2605,9 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + f * 41 + (37 * v if (x < 2 and y < 1) else 0)) % 251
                  for x in range(9)] for y in range(8)]
 
-    blobs = [(int(i), encode_gif_gray_frames(
-        [frame(int(i), f) for f in range(4)])) for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir,
+                     lambda i: encode_gif_gray_frames(
+                         [frame(i, f) for f in range(4)]))
     return video_near_duplicates(df, "blob", "doc_id", every_n=2,
                                  max_hamming=3)
 
@@ -2616,17 +2629,13 @@ def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         audio_near_duplicates, encode_wav_pcm)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def sig(i: int) -> list[int]:
         k, v = i % 60, (i // 60) % 3
         return [(k * k * 7 + k * (t // 10) * 31
                  + (t // 10) * (t // 10) * 11) % 97
                 + (40 * v if t < 20 else 0) for t in range(650)]
 
-    blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir, lambda i: encode_wav_pcm(sig(i)))
     return audio_near_duplicates(df, "blob", "doc_id", max_hamming=3)
 
 
@@ -2665,17 +2674,13 @@ def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_spark.textops.multimodal import (
         encode_wav_pcm, near_dedup_media)
 
-    ids = sorted(r[0] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").collect())
-
     def sig(i: int) -> list[int]:
         k, v = i % 60, (i // 60) % 3
         return [(k * k * 7 + k * (t // 10) * 31
                  + (t // 10) * (t // 10) * 11) % 97
                 + (40 * v if t < 20 else 0) for t in range(650)]
 
-    blobs = [(int(i), encode_wav_pcm(sig(int(i)))) for i in ids]
-    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    df = _blob_table(spark, sf_dir, lambda i: encode_wav_pcm(sig(i)))
     return (near_dedup_media(df, "blob", "doc_id", kind="audio")
             .select("doc_id"))
 
