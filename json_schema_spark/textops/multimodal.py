@@ -1338,6 +1338,14 @@ def image_dhash(blob: bytes | None, hash_size: int = 8) -> int | None:
         else:
             return None
     _w, _h, rows = decoded
+    return dhash_rows(rows, hash_size)
+
+
+def dhash_rows(rows: list[list[int]], hash_size: int = 8) -> int:
+    """dHash of an already-decoded grayscale grid — the codec-free
+    core of image_dhash (same downsample, same bit layout, same
+    signed-64 convention), for callers that hold pixel rows and must
+    not pay a container round-trip (video_frame_hashes)."""
     grid = _downsample_gray(rows, hash_size + 1, hash_size)
     val = 0
     for y in range(hash_size):
@@ -1412,6 +1420,48 @@ def image_near_duplicates(df: DataFrame, blob_col: str,
                          bits=64)
 
 
+def video_frame_hashes(df: DataFrame, blob_col: str,
+                       id_col: str = "doc_id", every_n: int = 30,
+                       hash_size: int = 8) -> DataFrame:
+    """(id, frame_idx, dhash) in ONE mapInPandas: decode the animated
+    stream, dHash every n-th composited frame from its pixel rows
+    directly. Composing sample_frames_table + image_perceptual_hashes
+    round-trips each sampled frame through a PNG encode (zlib) and
+    decode between the two stages — lossless, so the hashes are
+    identical, but pure waste when the frames are consumed by hashing
+    alone. frame_idx is the source-stream index, same alignment
+    contract as sample_frames_table."""
+    id_name, blob_name = id_col, blob_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[Any] = []
+            idxs: list[int] = []
+            hashes: list[int] = []
+            for rid, blob in zip(pdf[id_name], pdf[blob_name]):
+                frames = decode_gif_frames(blob)
+                if frames is None:
+                    continue
+                step = max(every_n, 1)
+                for k, (_w, _h, rows) in enumerate(frames[::step]):
+                    ids.append(rid)
+                    idxs.append(k * step)
+                    hashes.append(dhash_rows(rows, hash_size))
+            yield pd.DataFrame({
+                "id": ids,
+                "frame_idx": pd.array(idxs, dtype="Int64"),
+                "dhash": pd.array(hashes, dtype="Int64")})
+
+    schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+    return (df.select(F.col(id_col), F.col(blob_col))
+            .mapInPandas(extract, schema)
+            .withColumnRenamed("id", id_col))
+
+
 def video_near_duplicates(df: DataFrame, blob_col: str,
                           id_col: str = "doc_id",
                           every_n: int = 30,
@@ -1436,13 +1486,11 @@ def video_near_duplicates(df: DataFrame, blob_col: str,
     from json_schema_spark.textops.dedup import (_register_cache,
                                                  hamming_pairs)
 
-    frames = sample_frames_table(df, blob_col, id_col, every_n)
     # persist the per-frame hashes: both the pairing and the frame-count
     # gate read them, and recomputing means re-decoding every frame.
     # (id, frame_idx, int64) is ~24 bytes/frame — cacheable at any scale.
     hashes = _register_cache(
-        image_perceptual_hashes(frames, "frame_png", id_col,
-                                carry_cols=["frame_idx"]))
+        video_frame_hashes(df, blob_col, id_col, every_n))
     pairs = hamming_pairs(hashes, fp_col="dhash", id_col=id_col,
                           max_hamming=max_hamming, n_chunks=n_chunks,
                           bits=64, group_cols=["frame_idx"])

@@ -153,3 +153,28 @@ def test_gif_poster_honors_first_frame_transparency():
     assert frames is not None
     assert poster[2] == frames[0][2], \
         "poster must equal composited frame 0"
+
+
+def test_video_frame_hashes_match_png_roundtrip_path(spark):
+    """The fused decode->dhash path must equal the PNG-roundtrip
+    composition (sample_frames_table + image_perceptual_hashes) —
+    the lossless-codec guarantee that let the fusion happen."""
+    from json_schema_spark.textops.multimodal import (
+        encode_gif_gray_frames, image_perceptual_hashes,
+        sample_frames_table, video_frame_hashes)
+
+    def frame(i, f):
+        return [[(i * 11 + x * 13 + y * 31 + f * 41) % 251
+                 for x in range(9)] for y in range(8)]
+
+    rows = [(i, encode_gif_gray_frames([frame(i, f) for f in range(4)]))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    fused = {(r.doc_id, r.frame_idx): r.dhash
+             for r in video_frame_hashes(df, "blob", every_n=2).collect()}
+    frames = sample_frames_table(df, "blob", every_n=2)
+    composed = {(r.doc_id, r.frame_idx): r.dhash
+                for r in image_perceptual_hashes(
+                    frames, "frame_png", carry_cols=["frame_idx"])
+                .collect()}
+    assert fused == composed and len(fused) == 24
