@@ -356,3 +356,82 @@ def test_media_dedup_plans_arrow_only_no_cartesian(spark):
             release_caches()
     finally:
         release_caches()
+
+
+def test_continuation_operator_plan_shapes(docs, spark):
+    """Round-4 continuation operators: all pure-Catalyst (zero Python
+    anywhere — these are joins/aggregates/projections, not decode
+    pipelines), no cartesian/nested-loop joins, and the single-pass
+    claims hold (one split per doc for the shingle/token explodes)."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import corpus_overlap
+    from json_schema_spark.textops.html import link_graph
+    from json_schema_spark.textops.sampling import cap_per_group
+    from json_schema_spark.textops.textanalysis import (
+        dedup_paragraphs_global, dsir_select, encoding_artifacts,
+        quality_score, tfidf_topk)
+
+    from pyspark.sql import functions as F
+
+    en = docs.filter(F.col("lang") == "en")
+    pages = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit('<a href="https://h'),
+                 (F.col("doc_id") % 9).cast("string"),
+                 F.lit('.com/p">x</a>')).alias("html"))
+    scored = (docs.filter(F.col("text").isNotNull())
+              .withColumn("q", quality_score(F.col("text"))))
+    builders = [
+        ("overlap", lambda: corpus_overlap(docs)),
+        ("dsir", lambda: dsir_select(docs, en, n=10)),
+        ("tfidf", lambda: tfidf_topk(docs, k=3)),
+        ("cap", lambda: cap_per_group(
+            scored, "lang", 5, [F.col("q").desc(), F.col("doc_id")],
+            salt_shards=3)),
+        ("links", lambda: link_graph(pages)),
+        ("paras", lambda: dedup_paragraphs_global(docs)),
+        ("moji", lambda: encoding_artifacts(docs)),
+    ]
+    try:
+        for tag, build in builders:
+            plan = _plan(build())
+            markers = ["BatchEvalPython", "ArrowEvalPython",
+                       "PythonUDF", "MapInPandas", "CartesianProduct"]
+            # Broadcast nested loop is sanctioned in exactly two
+            # shapes here: corpus_overlap's inequality self-compare
+            # over the CACHED n_groups-row signature table, and the
+            # one-row totals crossJoin(broadcast(...)) in dsir/tfidf
+            # (same idiom as unigram_logprob). Everything else must
+            # stay equi-join only.
+            if tag not in ("overlap", "dsir", "tfidf"):
+                markers.append("BroadcastNestedLoopJoin")
+            for marker in markers:
+                assert marker not in plan, (tag, marker)
+            if tag == "overlap":
+                assert "InMemoryTableScan" in plan, \
+                    "signature table must be cached for the self-join"
+            release_caches()
+    finally:
+        release_caches()
+
+    # the no-CSE-in-lambdas trap: the words array must be a BOUND
+    # ATTRIBUTE inside the shingle lambda (slice(_w#n, ...)), never
+    # the split expression itself — that form re-splits the text per
+    # shingle element (O(words^2)/doc). split() elsewhere (the
+    # pushed-down size filter, the materializing Project) is per-row
+    # and fine; plan STRINGS also repeat the cached subtree per
+    # self-join branch, so a raw count is not meaningful.
+    import re
+
+    overlap_opt = _optimized(corpus_overlap(docs))
+    for m in re.finditer(r"lambdafunction\(", overlap_opt):
+        depth, j = 0, m.end() - 1
+        while j < len(overlap_opt):
+            depth += {"(": 1, ")": -1}.get(overlap_opt[j], 0)
+            if depth == 0:
+                break
+            j += 1
+        assert "split(" not in overlap_opt[m.start():j], \
+            "split() re-evaluated inside a shingle lambda"
+    release_caches()
