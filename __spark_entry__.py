@@ -3599,6 +3599,79 @@ FROM docs
 """
 
 
+def _q_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (round 4): the corpus's LSH bucket
+    index is probed by a new batch — 30 perturbed variants of indexed
+    docs (must hit their sources' buckets) plus 20 genuinely novel
+    docs. Returns the distinct (new id, index id) candidates; the
+    oracle rebuilds both bucket tables and replays the join."""
+    from json_schema_spark.textops.dedup import (build_minhash_index,
+                                                 probe_minhash_index)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    index = build_minhash_index(docs)
+    near = (docs.filter((F.col("doc_id") < 30)
+                        & F.col("text").isNotNull())
+            .select((F.col("doc_id") + 500000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extrawordzz"))
+                    .alias("text")))
+    fresh = (docs.filter((F.col("doc_id") >= 30)
+                         & (F.col("doc_id") < 50))
+             .select((F.col("doc_id") + 600000).alias("doc_id"),
+                     F.concat(F.lit("totally novel page "),
+                              F.col("doc_id").cast("string"),
+                              F.lit(" quux zastrugi blorp"))
+                     .alias("text")))
+    return probe_minhash_index(near.unionByName(fresh), index)
+
+
+def _sql_index_probe() -> str:
+    def buckets(src: str, tag: str) -> str:
+        return rf"""
+{tag}_sh AS (
+  SELECT _id, shingles FROM (
+    SELECT _id,
+           CASE WHEN len(words) >= 3
+                THEN list_transform(range(1, len(words) - 1),
+                                    i -> array_to_string(words[i:i+2],
+                                                         ' '))
+                ELSE [] END AS shingles
+    FROM (SELECT _id, string_split_regex(trim(text), '\s+') AS words
+          FROM {src} WHERE text IS NOT NULL AND trim(text) != '')
+  ) WHERE len(shingles) > 0
+),
+{tag}_sig AS (
+  SELECT _id,
+         list_transform(range(0, 16),
+           i -> list_aggregate(
+                  list_transform(shingles,
+                                 s -> md5(i::VARCHAR || ':' || s)),
+                  'min')) AS sig
+  FROM {tag}_sh
+),
+{tag}_b AS (
+  SELECT _id, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+  FROM {tag}_sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+)"""
+
+    return rf"""
+WITH idx_src AS (SELECT doc_id AS _id, text FROM documents),
+new_src AS (
+  SELECT doc_id + 500000 AS _id, text || ' extrawordzz' AS text
+  FROM documents WHERE doc_id < 30 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 600000,
+         'totally novel page ' || CAST(doc_id AS VARCHAR)
+           || ' quux zastrugi blorp'
+  FROM documents WHERE doc_id >= 30 AND doc_id < 50
+),{buckets('idx_src', 'idx')},{buckets('new_src', 'new')}
+SELECT DISTINCT n._id AS doc_id, i._id AS index_id
+FROM new_b n JOIN idx_b i
+  ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+"""
+
+
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink graph (round 4): deterministic markup per
     doc exercises host lowercasing, the userinfo-@ skip, port
@@ -3712,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q_link_graph,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "encoding_artifacts": _q_encoding_artifacts,
+        "index_probe": _q_index_probe,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3798,6 +3872,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _SQL_LINK_GRAPH,
         "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
         "encoding_artifacts": _sql_encoding_artifacts(),
+        "index_probe": _sql_index_probe(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -250,6 +250,71 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def build_minhash_index(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        num_hashes: int = DEFAULT_NUM_HASHES,
+                        bands: int = DEFAULT_BANDS) -> DataFrame:
+    """The persistable LSH index of a corpus: (_id, band_idx,
+    band_hash) — exactly the bucket table minhash_candidate_pairs
+    self-joins, exposed so it can be WRITTEN once (parquet/Iceberg,
+    ideally bucketed by band_hash) and probed by every future batch.
+    This is the accumulating half of incremental near-dedup: crawl N's
+    index persists; crawl N+1 probes it without re-shingling history.
+    Rows are (id, int, 32-hex) x bands — a small constant factor of
+    the corpus row count, independent of document length."""
+    sig = minhash_signature_table(df, text_col, id_col, k, num_hashes)
+    return sig.select(
+        "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
+                                            num_hashes))
+        .alias("band_idx", "band_hash"))
+
+
+def probe_minhash_index(new_df: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3,
+                        num_hashes: int = DEFAULT_NUM_HASHES,
+                        bands: int = DEFAULT_BANDS,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup CANDIDATES of a new batch against a persisted index
+    (build_minhash_index output, typically read back from parquet):
+    distinct (id, index_id) sharing any LSH band bucket. The batch's
+    buckets are derived fresh (its corpus is new); history is only
+    ever JOINED — the incremental contract. With the index bucketed/
+    sorted by (band_idx, band_hash) the probe is a co-located join;
+    ``max_bucket_size`` drops degenerate index buckets (same m^2
+    guard as minhash_candidate_pairs). Verify survivors with exact
+    jaccard where both texts are at hand; parameters (k, num_hashes,
+    bands) MUST match the index build or band hashes never collide."""
+    nb = build_minhash_index(new_df, text_col, id_col, k,
+                             num_hashes, bands)
+    idx = index
+    if max_bucket_size is not None:
+        small = (idx.groupBy("band_idx", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("_m"))
+                 .filter(F.col("_m") <= max_bucket_size)
+                 .drop("_m"))
+        idx = idx.join(small, ["band_idx", "band_hash"])
+    return (nb.join(idx.withColumnRenamed("_id", "_iid"),
+                    ["band_idx", "band_hash"])
+            .select(F.col("_id").alias(id_col),
+                    F.col("_iid").alias("index_id"))
+            .distinct())
+
+
+def novel_vs_index(new_df: DataFrame, index: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   **kwargs: Any) -> DataFrame:
+    """New-batch rows with NO near-dup candidate in the index — the
+    near-dup analog of the Bloom novel filter's exact-dup cut (that
+    one answers "seen this byte-identical key"; this answers "seen
+    something LIKE this"). Anti-join on the probe's candidate ids;
+    kwargs pass to probe_minhash_index."""
+    cand = (probe_minhash_index(new_df, index, text_col, id_col,
+                                **kwargs)
+            .select(id_col).distinct())
+    return new_df.join(cand, id_col, "left_anti")
+
+
 def near_duplicates(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3,
                     num_hashes: int = DEFAULT_NUM_HASHES,

@@ -2280,3 +2280,38 @@ def test_encoding_artifacts_fix_and_count(spark):
     assert out[1].n_artifacts == 3
     assert out[2].text_fixed == "clean text"
     assert out[2].n_artifacts == 0
+
+
+def test_minhash_index_probe_roundtrip(docs, spark, tmp_path):
+    """The LSH index survives a parquet write/read (the incremental
+    contract: crawl N persists, crawl N+1 probes); perturbed variants
+    of indexed docs hit their sources, novel docs survive
+    novel_vs_index."""
+    from json_schema_spark.textops.dedup import (build_minhash_index,
+                                                 novel_vs_index,
+                                                 probe_minhash_index)
+
+    base = docs.select("doc_id", "text")
+    path = str(tmp_path / "lsh_index")
+    build_minhash_index(base).write.parquet(path)
+    index = spark.read.parquet(path)
+
+    near = (base.filter((F.col("doc_id") < 10)
+                        & F.col("text").isNotNull())
+            .select((F.col("doc_id") + 900000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zz"))
+                    .alias("text")))
+    fresh = spark.createDataFrame(
+        [(990001, "wholly unrelated zastrugi quux blorp fnord")],
+        "doc_id long, text string")
+    new = near.unionByName(fresh)
+
+    hits = {(r.doc_id, r.index_id)
+            for r in probe_minhash_index(new, index).collect()}
+    near_ids = [r.doc_id for r in near.select("doc_id").collect()]
+    # every perturbed doc must hit at least its own source
+    assert all((i, i - 900000) in hits for i in near_ids)
+    novel = {r.doc_id for r in
+             novel_vs_index(new, index).select("doc_id").collect()}
+    assert 990001 in novel
+    assert not any(i in novel for i in near_ids)
