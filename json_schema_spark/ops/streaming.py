@@ -332,6 +332,80 @@ class ShardedNovelFilter:
             batch_df.unpersist()
 
 
+class StreamingNearNovelFilter:
+    """Cross-batch NEAR-dup novelty on the live ingest path: the
+    MinHash-LSH analog of the Bloom novel filters — "have we seen
+    something LIKE this" instead of "this exact key". State is the
+    persistable LSH bucket index (textops.dedup.build_minhash_index
+    rows) under ``index_dir``, APPEND-ONLY parquet: bucket rows are
+    immutable facts, so there is no epoch merge — each batch appends
+    the buckets of its NOVEL rows only (keep-first: near-dups of an
+    indexed doc never enter the index, so state grows with the
+    distinct corpus, not the stream). Restart recovery is automatic —
+    the index on disk IS the state.
+
+    Per batch: probe against the index so far (candidates only — LSH
+    recall applies: a near-dup that shares no band bucket re-emits),
+    hand rows with no candidate to ``sink``, append their buckets.
+    Caveats, shared with the Bloom filters: within-batch near-dups
+    all pass (the probe sees only prior batches — near_dedup_corpus
+    the batch first if that matters); a crash between sink and append
+    re-runs the batch (the usual foreachBatch at-least-once contract;
+    re-appended buckets are harmless duplicates). Rows whose text
+    yields no shingle (< k words) never index and re-emit every
+    batch — route them through an exact novel filter first."""
+
+    def __init__(self, index_dir: str, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 num_hashes: int = 16, bands: int = 4,
+                 max_bucket_size: int | None = None, sink=None):
+        import os
+
+        self.index_dir = index_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+        self.sink = sink
+        self.novel_count = 0
+        os.makedirs(index_dir, exist_ok=True)
+
+    def _has_index(self) -> bool:
+        import os
+
+        return any(n.startswith("part-") and n.endswith(".parquet")
+                   for n in os.listdir(self.index_dir))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from json_schema_spark.textops.dedup import (build_minhash_index,
+                                                     novel_vs_index)
+
+        spark = batch_df.sparkSession
+        if self._has_index():
+            index = spark.read.parquet(self.index_dir)
+            novel = novel_vs_index(
+                batch_df, index, self.text_col, self.id_col,
+                k=self.k, num_hashes=self.num_hashes, bands=self.bands,
+                max_bucket_size=self.max_bucket_size)
+        else:
+            novel = batch_df
+        # two consumers (sink + the bucket append) — persist so the
+        # probe anti-join doesn't run twice
+        novel = novel.persist()
+        try:
+            if self.sink is not None:
+                self.sink(novel, batch_id)
+            else:
+                self.novel_count += novel.count()
+            (build_minhash_index(novel, self.text_col, self.id_col,
+                                 self.k, self.num_hashes, self.bands)
+             .write.mode("append").parquet(self.index_dir))
+        finally:
+            novel.unpersist()
+
+
 class StreamingDriftMonitor:
     """Distribution-drift monitoring on the live ingest path: a
     foreachBatch processor that keeps CUMULATIVE per-(day, category)

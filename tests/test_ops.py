@@ -695,3 +695,43 @@ def test_streaming_rate_monitor_matches_batch_operator(spark, tmp_path):
     got = {(r["entity"], r["bucket"], r["n"], r["baseline_mean"],
             r["z"]) for r in monitor.report()}
     assert got == batch
+
+
+def test_streaming_near_novel_filter_batches_and_restart(spark, tmp_path):
+    """The LSH-index novelty filter across direct foreachBatch calls:
+    batch 1 all-novel and indexed; batch 2's near-dups of batch-1 docs
+    are filtered while its fresh doc passes; a NEW filter instance on
+    the same index_dir (restart) keeps filtering — the on-disk index
+    IS the state."""
+    from json_schema_spark.ops.streaming import StreamingNearNovelFilter
+
+    emitted: dict[int, set] = {}
+
+    def sink(df, bid):
+        emitted[bid] = {r.doc_id for r in df.select("doc_id").collect()}
+
+    idx = str(tmp_path / "lsh_index")
+    f = StreamingNearNovelFilter(idx, sink=sink)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "entirely different words about spark engines here")],
+        "doc_id long, text string")
+    f(b1, 0)
+    assert emitted[0] == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today"),
+         (4, "completely fresh zastrugi quux narrative content block")],
+        "doc_id long, text string")
+    f(b2, 1)
+    assert emitted[1] == {4}
+
+    # restart: a brand-new instance primes from the directory
+    f2 = StreamingNearNovelFilter(idx, sink=sink)
+    b3 = spark.createDataFrame(
+        [(5, "completely fresh zastrugi quux narrative content soon"),
+         (6, "yet another unrelated corpus document appears now")],
+        "doc_id long, text string")
+    f2(b3, 2)
+    assert emitted[2] == {6}
