@@ -3599,6 +3599,50 @@ FROM docs
 """
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus search (round 4): top-15 docs for a three-term
+    query over the documents table. The oracle replays tf/df/length
+    statistics and the Okapi formula with identical operator
+    associativity (the 1.2/0.75 literals parse to the same doubles in
+    both engines)."""
+    from json_schema_spark.textops.textanalysis import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir),
+                     ["scan", "filter", "join"], k=15)
+
+
+_SQL_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+         AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+),
+lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM lens),
+qtf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('scan', 'filter', 'join') GROUP BY doc_id, t
+),
+dft AS (SELECT t, count(*) AS df_t FROM qtf GROUP BY t),
+scored AS (
+  SELECT qtf.doc_id,
+         ln(1.0 + (tot.N - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * qtf.tf
+           / (qtf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * lens.dl / tot.avgdl)) AS s
+  FROM qtf JOIN dft ON qtf.t = dft.t
+  JOIN lens ON qtf.doc_id = lens.doc_id
+  CROSS JOIN tot
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round(sum(s), 6) AS score,
+         row_number() OVER (ORDER BY round(sum(s), 6) DESC, doc_id)
+           AS rank
+  FROM scored GROUP BY doc_id
+) WHERE rank <= 15
+"""
+
+
 def _q_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup (round 4): the corpus's LSH bucket
     index is probed by a new batch — 30 perturbed variants of indexed
@@ -3786,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "encoding_artifacts": _q_encoding_artifacts,
         "index_probe": _q_index_probe,
+        "bm25_topk": _q_bm25_topk,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3873,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
         "encoding_artifacts": _sql_encoding_artifacts(),
         "index_probe": _sql_index_probe(),
+        "bm25_topk": _SQL_BM25_TOPK,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

