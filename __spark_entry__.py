@@ -3106,7 +3106,8 @@ def _q_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_filter_urls() -> str:
-    from json_schema_spark.textops.urls import BINARY_EXT_RX
+    from json_schema_spark.textops.urls import (_HOST_RX as HOST_RX,
+                                                BINARY_EXT_RX)
 
     return rf"""
 WITH raw AS (
@@ -3131,7 +3132,7 @@ parsed AS (
          lower(regexp_extract(url,
            '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
          regexp_replace(lower(regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)),
+           $hrx${HOST_RX}$hrx$, 1)),
            ':[0-9]+$', '') AS url_host,
          lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)) AS path
@@ -3523,8 +3524,7 @@ lines AS (
 paras AS (
   SELECT doc_id, i, trim(ls[i]) AS p,
          md5(regexp_replace(lower(trim(ls[i])), '\s+', ' ', 'g')) AS dg,
-         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
-           || lpad(CAST(i - 1 AS VARCHAR), 8, '0') AS key
+         struct_pack(a := doc_id, b := i - 1) AS key
   FROM lines WHERE trim(ls[i]) != ''
 ),
 firsts AS (SELECT dg, min(key) AS first FROM paras GROUP BY dg)
@@ -3748,7 +3748,10 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph(df)
 
 
-_SQL_LINK_GRAPH = r"""
+def _sql_link_graph() -> str:
+    from json_schema_spark.textops.html import _HOST_RX as HOST_RX
+
+    return rf"""
 WITH pages AS (
   SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
            AS src_host,
@@ -3776,8 +3779,7 @@ links AS (
 ),
 hosts AS (
   SELECT src_host,
-         lower(regexp_extract(u,
-           '(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host
+         lower(regexp_extract(u, $hrx${HOST_RX}$hrx$, 1)) AS dst_host
   FROM links
 )
 SELECT src_host, dst_host, count(*) AS n_links
@@ -3914,7 +3916,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _SQL_DSIR_SELECT,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "cap_per_domain": _sql_cap_per_domain(),
-        "link_graph": _SQL_LINK_GRAPH,
+        "link_graph": _sql_link_graph(),
         "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
         "encoding_artifacts": _sql_encoding_artifacts(),
         "index_probe": _sql_index_probe(),

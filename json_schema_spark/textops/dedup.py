@@ -555,11 +555,14 @@ def corpus_overlap(df: DataFrame, group_col: str = "lang",
     1/sqrt(num_hashes) estimator noise."""
     x = (F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
          .cast("bigint") % MINHASH_PRIME)
-    # materialize the words array BEFORE the shingle transform: with
-    # "_w" a bound attribute (referenced by size() AND the lambda,
-    # so CollapseProject keeps it), each slice is O(k) — exploding
-    # word_shingles() directly re-runs the split per shingle element
-    # (no CSE inside lambda bodies: O(words^2) per doc)
+    # deliberately NOT shingle_projection + explode: when the explode
+    # reads a projected _shingles ATTRIBUTE, InferFiltersFromGenerate
+    # pushes a size(_shingles) > 0 filter below the project and
+    # inlines the whole transform — split re-evaluated per shingle
+    # element inside the filter copy (the O(words^2) trap, plan-gated
+    # in tests/test_plans.py). Keeping the transform directly inside
+    # the explode dodges the rule; the words array still materializes
+    # one projection earlier so the lambda slices a bound attribute.
     sh = (df.filter(F.col(text_col).isNotNull())
           .select(F.col(group_col).alias("_g"),
                   tokens(F.col(text_col)).alias("_w"))

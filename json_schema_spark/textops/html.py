@@ -58,11 +58,11 @@ def html_to_text(df: DataFrame, html_col: str = "html",
 
 
 # Host of an ABSOLUTE http(s) URL. The authority userinfo is skipped
-# explicitly ((?:[^/?#@]*@)?) — without it "https://u@evil.com/" would
-# report host "u" and a blocklist keyed on host would miss evil.com
-# (same bypass filter_urls guards against). Port excluded via the
-# final [^/?#:] class. RE2-safe: no lookarounds, no backrefs.
-_HOST_RX = r"(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)"
+# with a GREEDY (?:[^/?#]*@)? — greedy matters: it consumes up to the
+# LAST @ in the authority (WHATWG semantics), so "https://a@b@evil.com/"
+# reports evil.com, not "b@evil.com"; the host class excludes @ and the
+# port colon. RE2-safe: no lookarounds, no backrefs.
+_HOST_RX = r"(?i)^https?://(?:[^/?#]*@)?([^/?#:@]+)"
 
 
 def link_hosts(col: Column) -> Column:

@@ -101,9 +101,10 @@ def parse_image_dimensions(blob: bytes | None) -> tuple[int, int] | None:
             return (w, h)
         if blob[:2] == b"BM" and len(blob) >= 26:
             dib = int.from_bytes(blob[14:18], "little")
-            if dib >= 40:
-                # BITMAPINFOHEADER+: signed LE i32 width/height at
-                # 18/22 (negative height = top-down row order)
+            if dib >= 16:
+                # BITMAPINFOHEADER family AND the 16-64-byte OS/2
+                # 2.x headers all store signed LE i32 width/height
+                # at 18/22 (negative height = top-down row order)
                 w = int.from_bytes(blob[18:22], "little", signed=True)
                 h = abs(int.from_bytes(blob[22:26], "little",
                                        signed=True))
@@ -189,17 +190,22 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
     this function applied per blob inside the batch loop."""
     # PIL first when installed — it preserves color channels and the
     # original container; the stdlib path is the no-dependency
-    # fallback and is grayscale-PNG by construction
+    # fallback and is grayscale-PNG by construction. ANY PIL failure
+    # (not just ImportError — think a pillow build without libjpeg)
+    # falls through to the stdlib decoders, which handled these blobs
+    # before PIL entered the picture.
     try:
         import io
 
         from PIL import Image  # type: ignore
 
-        img = Image.open(io.BytesIO(blob)).resize((width, height))
+        img = Image.open(io.BytesIO(blob))
+        fmt = img.format or "PNG"  # .format is None AFTER resize()
+        img = img.resize((width, height))
         buf = io.BytesIO()
-        img.save(buf, format=img.format or "PNG")
+        img.save(buf, format=fmt)
         return buf.getvalue()
-    except ImportError:
+    except Exception:
         pass
     decoded = (decode_png_gray(blob) or decode_gif_gray(blob)
                or decode_jpeg_gray(blob) or decode_bmp_gray(blob))
@@ -207,9 +213,9 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
         _w, _h, rows = decoded
         return encode_png_gray(_downsample_gray(rows, width, height))
     raise NotImplementedError(
-        "resizing this image layout requires PIL; install pillow "
-        "on executors (grayscale PNG/GIF/baseline-JPEG/BMP resize "
-        "works without it)")
+        "resizing this image layout requires a working PIL; install "
+        "pillow on executors (grayscale PNG/GIF/baseline-JPEG/BMP "
+        "resize works without it)")
 
 
 def sample_video_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
@@ -1346,6 +1352,10 @@ def dhash_rows(rows: list[list[int]], hash_size: int = 8) -> int:
     core of image_dhash (same downsample, same bit layout, same
     signed-64 convention), for callers that hold pixel rows and must
     not pay a container round-trip (video_frame_hashes)."""
+    if not 1 <= hash_size <= 8:
+        # enforced here too (not only in image_dhash): an oversized
+        # hash overflows the Int64 batch array deep inside executors
+        raise ValueError("hash_size must be in 1..8 (64-bit output)")
     grid = _downsample_gray(rows, hash_size + 1, hash_size)
     val = 0
     for y in range(hash_size):
@@ -1431,6 +1441,9 @@ def video_frame_hashes(df: DataFrame, blob_col: str,
     identical, but pure waste when the frames are consumed by hashing
     alone. frame_idx is the source-stream index, same alignment
     contract as sample_frames_table."""
+    if not 1 <= hash_size <= 8:
+        # fail on the driver, not as an opaque executor task error
+        raise ValueError("hash_size must be in 1..8 (64-bit output)")
     id_name, blob_name = id_col, blob_col
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

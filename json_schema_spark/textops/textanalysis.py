@@ -382,6 +382,11 @@ def dedup_paragraphs_global(df: DataFrame, text_col: str = "text",
     from json_schema_spark.cache import register_cache
     from json_schema_spark.textops.dedup import normalized_digest
 
+    # the first-occurrence key is a STRUCT (id, pos): struct min is
+    # field-by-field lexicographic in Spark and DuckDB alike, exact
+    # for any id type — a zero-padded string key would silently
+    # TRUNCATE ids longer than the pad width (lpad shortens!) and
+    # mis-order negative ids
     paras = register_cache(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"),
@@ -391,10 +396,7 @@ def dedup_paragraphs_global(df: DataFrame, text_col: str = "text",
         .filter(F.col("_p") != "")
         .select("_id", "_pos", "_p",
                 normalized_digest(F.col("_p")).alias("_dg"),
-                F.concat(F.lpad(F.col("_id").cast("string"), 12, "0"),
-                         F.lit(":"),
-                         F.lpad(F.col("_pos").cast("string"), 8, "0"))
-                .alias("_key")))
+                F.struct(F.col("_id"), F.col("_pos")).alias("_key")))
     firsts = paras.groupBy("_dg").agg(F.min("_key").alias("_first"))
     flagged = (paras.join(firsts, "_dg")
                .withColumn("_keep", F.col("_key") == F.col("_first")))

@@ -96,7 +96,11 @@ _SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 # the authority may carry userinfo ('user:pass@host') — skip it with a
 # non-capturing group, or 'https://x@blocked.net/' would bypass the
 # domain blocklist (host would extract as 'x@blocked.net')
-_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)"
+# greedy [^/?#]*@ consumes up to the LAST @ in the authority (WHATWG
+# semantics) and the host class excludes @ itself — with the old
+# ([^/?#]*) capture, 'https://a@b@evil.com/' reported host
+# 'b@evil.com' and a suffix blocklist missed evil.com
+_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)"
 _PATH_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 

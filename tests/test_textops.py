@@ -2143,13 +2143,16 @@ def test_link_graph_host_semantics(spark):
             '<a href="https://u:p@evil.example.net:8443/x">b</a>'
             '<a href="/relative/only">c</a>'
             '<a href="ftp://files.example.com/f">d</a>'
-            '<a href="http://www.example.com/q?z=1">e</a>')
+            '<a href="http://www.example.com/q?z=1">e</a>'
+            '<a href="https://a@b@evil.example.net/y">f</a>')
     df = spark.createDataFrame([("src.com", html)],
                                "src_host string, html string")
     edges = {(r.src_host, r.dst_host): r.n_links
              for r in link_graph(df).collect()}
+    # the double-@ authority resolves to the host after the LAST @
+    # (WHATWG), never "b@evil.example.net"
     assert edges == {("src.com", "www.example.com"): 2,
-                     ("src.com", "evil.example.net"): 1}
+                     ("src.com", "evil.example.net"): 2}
 
 
 def test_cap_per_group_salted_matches_plain(docs):
@@ -2338,7 +2341,10 @@ def test_bm25_ranking_semantics(spark):
     ids = [r.doc_id for r in rows]
     assert 5 not in ids
     assert ids[0] == 1                      # both terms, tf(spark)=2
-    assert ids.index(3) < ids.index(4) or True  # sanity: 3 present
+    # length normalization: docs 3 and 4 match one term each at tf=1
+    # with EQUAL df (spark in {1,2,3}, engine in {1,2,4} -> idf ties),
+    # so ranking between them is purely dl: 2 beats 4
+    assert ids.index(3) < ids.index(4)
     # replay doc 3's score: one term, tf=1, dl=2
     N, avgdl = 5, (3 + 5 + 2 + 4 + 4) / 5
     idf = math.log(1 + (N - 3 + 0.5) / (3 + 0.5))  # df(spark)=3
