@@ -3724,9 +3724,56 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     markup and replays both regexes."""
     from json_schema_spark.textops.html import link_graph
 
+    return link_graph(_link_pages(spark, sf_dir))
+
+def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point host PageRank (round 4): 3 damped iterations over
+    the link_graph corpus's host edges — pure INT64 arithmetic (scaled
+    mass, DIV floor division), so ranks are bit-identical on any
+    engine/partitioning. The oracle unrolls the same three iterations
+    with '//' division."""
+    from json_schema_spark.textops.graph import pagerank
+    from json_schema_spark.textops.html import link_graph
+
+    edges = link_graph(_link_pages(spark, sf_dir))
+    out = pagerank(edges, iterations=3)
+    return out.select("node", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_pagerank_hosts() -> str:
+    its = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        its.append(f""",
+c{i} AS (
+  SELECT e.d AS n, ((r.r * 85) // 100) // g.deg AS c
+  FROM edges e JOIN {prev} r ON e.s = r.n JOIN deg g ON e.s = g.s
+),
+r{i} AS (
+  SELECT nodes.n, 150000000 + COALESCE(i.s, 0) AS r
+  FROM nodes LEFT JOIN (SELECT n, sum(c) AS s FROM c{i} GROUP BY n) i
+    ON nodes.n = i.n
+)""")
+        prev = f"r{i}"
+    return (_sql_link_pages() + f""",
+hosts2 AS (
+  SELECT src_host, dst_host FROM hosts WHERE dst_host != ''
+),
+edges AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM hosts2),
+nodes AS (SELECT s AS n FROM edges UNION SELECT d FROM edges),
+deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+            + "".join(its) + f"""
+SELECT n AS node, CAST(r AS BIGINT) AS rank FROM {prev}
+""")
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (src_host, html) page corpus shared by the
+    link_graph and pagerank queries."""
     i = F.col("doc_id")
 
-    def opt(cond, s):  # optional link fragment
+    def opt(cond, s):
         return F.when(cond, s).otherwise(F.lit(""))
 
     html = F.concat(
@@ -3743,12 +3790,11 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                               'f</a>')))
     src = F.concat(F.lit("example"), (i % 7).cast("string"),
                    F.lit(".com"))
-    df = (_docs(spark, sf_dir)
-          .select(src.alias("src_host"), html.alias("html")))
-    return link_graph(df)
+    return (_docs(spark, sf_dir)
+            .select(src.alias("src_host"), html.alias("html")))
 
 
-def _sql_link_graph() -> str:
+def _sql_link_pages() -> str:
     from json_schema_spark.textops.html import _HOST_RX as HOST_RX
 
     return rf"""
@@ -3781,7 +3827,11 @@ hosts AS (
   SELECT src_host,
          lower(regexp_extract(u, $hrx${HOST_RX}$hrx$, 1)) AS dst_host
   FROM links
-)
+)"""
+
+
+def _sql_link_graph() -> str:
+    return _sql_link_pages() + """
 SELECT src_host, dst_host, count(*) AS n_links
 FROM hosts WHERE dst_host != ''
 GROUP BY src_host, dst_host
@@ -3833,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_artifacts": _q_encoding_artifacts,
         "index_probe": _q_index_probe,
         "bm25_topk": _q_bm25_topk,
+        "pagerank_hosts": _q_pagerank_hosts,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -3921,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_artifacts": _sql_encoding_artifacts(),
         "index_probe": _sql_index_probe(),
         "bm25_topk": _SQL_BM25_TOPK,
+        "pagerank_hosts": _sql_pagerank_hosts(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -1,0 +1,98 @@
+"""Host-graph analytics over link_graph edges — fixed-point PageRank.
+
+The crawl-scheduling / quality-prior companion to
+``textops.html.link_graph``: Common Crawl publishes host-level
+PageRank-ish ranks with its webgraph, and curation pipelines use them
+as a cheap document-quality prior (a page on a well-linked host is
+likelier to be worth keeping).
+
+Determinism design: PageRank is classically float math, but distributed
+float SUMS are order-dependent — two engines (or two runs with
+different partitioning) disagree in the last ulps, which breaks the
+repo's value-identical oracle discipline. This implementation does the
+entire computation in scaled INT64 fixed-point (default 10^9 units of
+mass per node): every transfer is ``(rank * d_num) // d_den // out_deg``
+with floor division, and integer sums are exact and order-independent,
+so the ranks are bit-identical on any engine, any partitioning, any
+retry. The floor truncation loses at most out_deg units of mass per
+node per round — relative error ~1e-9 at the default scale, far below
+anything a quality prior can use.
+
+Overflow headroom: total mass is n_nodes * scale and a single node's
+rank is bounded by it; rank * d_num must stay under 2^63, so
+n_nodes * scale * d_num < 9.2e18 — at the default scale=10^9 and
+d_num=85 that caps at ~10^8 nodes (hosts, not pages — comfortably
+above any real host graph); pass scale=10^6 for more headroom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # fixed-point units of rank mass per node
+
+
+def pagerank(edges: DataFrame, src_col: str = "src_host",
+             dst_col: str = "dst_host", iterations: int = 3,
+             damping_num: int = 85, damping_den: int = 100,
+             scale: int = PR_SCALE) -> DataFrame:
+    """Fixed-point PageRank over a (src, dst) edge list (parallel
+    edges collapse to one — link COUNT is not link endorsement
+    multiplicity in the classic formulation). Returns
+    (node, rank) with rank in integer ``scale`` units; sum over nodes
+    stays <= n_nodes * scale (floor truncation only ever removes
+    mass). Damping is the rational damping_num/damping_den (default
+    85/100) applied by integer multiply-then-floor-divide.
+
+    Semantics: dangling nodes (no outlinks) simply leak their damped
+    mass — the classic simplification (redistributing it needs a
+    global scalar each round; the leaked fraction is identical on
+    every engine, so determinism is unaffected).
+
+    Plan: nodes/out-degrees derive once and persist (every round
+    joins them); each iteration is one join edges->ranks plus one
+    partial+final sum aggregate — shuffle keyed on dst, the same
+    key-distribution story as link_graph itself. O(iterations) stages,
+    lineage grows linearly; for many rounds localCheckpoint like
+    dedup_groups (3-5 rounds is the curation-prior sweet spot)."""
+    from json_schema_spark.cache import register_cache
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_d"))
+         .distinct())
+    e = register_cache(e)
+    nodes = register_cache(
+        e.select(F.col("_s").alias("_n"))
+        .unionByName(e.select(F.col("_d").alias("_n")))
+        .distinct())
+    deg = register_cache(
+        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")))
+    # (scale * (den - num)) // den is a CONSTANT — fold it in Python
+    # so both engines see the same literal
+    base_lit = F.lit((scale * (damping_den - damping_num))
+                     // damping_den).cast("bigint")
+    ranks = nodes.select("_n", F.lit(scale).cast("bigint").alias("_r"))
+    for _i in range(iterations):
+        # integer DIV end to end: long '/' would detour through a
+        # DOUBLE (inexact past 2^53, and DuckDB's double->int cast
+        # ROUNDS where Spark's truncates); DIV / '//' are true
+        # integer division in Spark SQL and DuckDB respectively
+        contrib = (e.join(ranks, e["_s"] == ranks["_n"])
+                   .join(deg, "_s")
+                   .select(F.col("_d").alias("_n"),
+                           F.expr(f"(_r * {damping_num}) "
+                                  f"DIV {damping_den}").alias("_m"),
+                           F.col("_deg"))
+                   .select("_n",
+                           F.expr("_m DIV _deg").alias("_c")))
+        inflow = contrib.groupBy("_n").agg(F.sum("_c").alias("_in"))
+        ranks = (nodes.join(inflow, "_n", "left")
+                 .select("_n",
+                         (base_lit + F.coalesce(F.col("_in"),
+                                                F.lit(0)))
+                         .alias("_r")))
+    return ranks.select(F.col("_n").alias("node"),
+                        F.col("_r").alias("rank"))

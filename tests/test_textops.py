@@ -2354,3 +2354,30 @@ def test_bm25_ranking_semantics(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(corpus, [])
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Known tiny graph: a hub with two in-links outranks its
+    spokes; total mass never exceeds n_nodes * scale (floor only
+    removes mass); dangling nodes keep the base rank; results are
+    identical across different shuffle partitionings (integer sums
+    are order-independent)."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("a", "b")],
+        "src_host string, dst_host string")
+    try:
+        out = {r.node: r.rank for r in pagerank(edges).collect()}
+        release_caches()
+        assert set(out) == {"a", "b", "c"}
+        assert out["a"] > out["b"] > out["c"]
+        assert out["c"] == (PR_SCALE * 15) // 100  # dangling-in only
+        assert sum(out.values()) <= 3 * PR_SCALE
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        out2 = {r.node: r.rank for r in pagerank(edges).collect()}
+        assert out2 == out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        release_caches()
