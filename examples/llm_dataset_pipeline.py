@@ -21,6 +21,7 @@ row that gates it):
 9. source-weighted mixing to a token budget + compressed JSONL export
    (the training-data hand-off)
 10. corpus reports: cross-language MinHash overlap (corpus_overlap)
+    + host quality prior (link_graph -> fixed-point pagerank)
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
@@ -146,6 +147,21 @@ n9 = read_jsonl(spark, export_dir,
 overlap = (dedup.corpus_overlap(docs, group_col="lang")
            .orderBy(F.col("jaccard_est").desc()).first())
 
+# 12. host quality prior: link_graph edges (synthesized markup here)
+#     -> fixed-point PageRank; at scale this rank joins back onto
+#     documents by host as a curation prior
+from json_schema_spark.textops.graph import pagerank  # noqa: E402
+from json_schema_spark.textops.html import link_graph  # noqa: E402
+
+pages = docs.filter(F.col("text").isNotNull()).select(
+    F.concat(F.lit("host"), (F.col("doc_id") % 9).cast("string"),
+             F.lit(".com")).alias("src_host"),
+    F.concat(F.lit('<a href="https://host'),
+             ((F.col("doc_id") + 1) % 9).cast("string"),
+             F.lit('.com/p">n</a>')).alias("html"))
+top_host = (pagerank(link_graph(pages), iterations=3)
+            .orderBy(F.col("rank").desc(), "node").first())
+
 dedup.release_caches()  # pair-finder intermediates
 
 print(f"input docs:          {n0}")
@@ -162,4 +178,5 @@ print(f"chunks (64/16):      {n8}")
 print(f"mixed+exported:      {n9} docs in 4 jsonl shards")
 print(f"max lang overlap:    {overlap.group_a}<->{overlap.group_b} "
       f"jaccard~{overlap.jaccard_est}")
+print(f"top host by pagerank: {top_host.node} rank={top_host.rank}")
 spark.stop()

