@@ -59,8 +59,8 @@ def html_to_text(df: DataFrame, html_col: str = "html",
 
 # Host of an ABSOLUTE http(s) URL. The authority userinfo is skipped
 # with a GREEDY (?:[^/?#]*@)? — greedy matters: it consumes up to the
-# LAST @ in the authority (WHATWG semantics), so "https://a@b@evil.com/"
-# reports evil.com, not "b@evil.com"; the host class excludes @ and the
+# LAST @ in the authority (WHATWG semantics), so "https://a@b@evil.example.com/"
+# reports evil.example.com, not "b@evil.example.com"; the host class excludes @ and the
 # port colon. RE2-safe: no lookarounds, no backrefs.
 _HOST_RX = r"(?i)^https?://(?:[^/?#]*@)?([^/?#:@]+)"
 

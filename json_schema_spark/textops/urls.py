@@ -98,8 +98,8 @@ _SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 # domain blocklist (host would extract as 'x@blocked.net')
 # greedy [^/?#]*@ consumes up to the LAST @ in the authority (WHATWG
 # semantics) and the host class excludes @ itself — with the old
-# ([^/?#]*) capture, 'https://a@b@evil.com/' reported host
-# 'b@evil.com' and a suffix blocklist missed evil.com
+# ([^/?#]*) capture, 'https://a@b@evil.example.com/' reported host
+# 'b@evil.example.com' and a suffix blocklist missed evil.example.com
 _HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)"
 _PATH_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 
