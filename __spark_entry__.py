@@ -259,14 +259,19 @@ sh AS (
           FROM corpus WHERE text IS NOT NULL AND trim(text) != '')
   ) WHERE len(shingles) > 0
 ),
-sigs AS (
+shx AS (
   SELECT _id,
-         list_transform(range(0, 16),
-           i -> list_aggregate(
-                  list_transform(shingles,
-                                 s -> md5(i::VARCHAR || ':' || s)),
-                  'min')) AS sig
+         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT)
+           % 2147483647 AS x
   FROM sh
+),
+consts AS (SELECT * FROM (VALUES __MINHASH_CONSTS__) AS t(i, a, b)),
+sigs AS (
+  SELECT _id, list(m ORDER BY i) AS sig FROM (
+    SELECT _id, c.i AS i,
+           min((c.a * x + c.b) % 2147483647) AS m
+    FROM shx CROSS JOIN consts c GROUP BY _id, c.i
+  ) GROUP BY _id
 ),
 buckets AS (
   SELECT _id, t.b AS band_idx,
@@ -292,6 +297,18 @@ JOIN sh sa ON sa._id = cand.id_a
 JOIN sh sb ON sb._id = cand.id_b
 WHERE jaccard >= 0.5
 """
+
+def _minhash_consts_sql(num_hashes: int = 16) -> str:
+    from json_schema_spark.textops.dedup import minhash_affine_params
+
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes)))
+
+
+_SQL_DEDUP_MINHASH = _SQL_DEDUP_MINHASH.replace(
+    "__MINHASH_CONSTS__", _minhash_consts_sql())
+
 
 
 def _q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3684,14 +3701,18 @@ def _sql_index_probe() -> str:
           FROM {src} WHERE text IS NOT NULL AND trim(text) != '')
   ) WHERE len(shingles) > 0
 ),
-{tag}_sig AS (
+{tag}_shx AS (
   SELECT _id,
-         list_transform(range(0, 16),
-           i -> list_aggregate(
-                  list_transform(shingles,
-                                 s -> md5(i::VARCHAR || ':' || s)),
-                  'min')) AS sig
+         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT)
+           % 2147483647 AS x
   FROM {tag}_sh
+),
+{tag}_sig AS (
+  SELECT _id, list(m ORDER BY i) AS sig FROM (
+    SELECT _id, c.i AS i,
+           min((c.a * x + c.b) % 2147483647) AS m
+    FROM {tag}_shx CROSS JOIN consts c GROUP BY _id, c.i
+  ) GROUP BY _id
 ),
 {tag}_b AS (
   SELECT _id, t.b AS band_idx,
@@ -3709,7 +3730,9 @@ new_src AS (
          'totally novel page ' || CAST(doc_id AS VARCHAR)
            || ' quux zastrugi blorp'
   FROM documents WHERE doc_id >= 30 AND doc_id < 50
-),{buckets('idx_src', 'idx')},{buckets('new_src', 'new')}
+),
+consts AS (SELECT * FROM (VALUES {_minhash_consts_sql()}) AS t(i, a, b))
+,{buckets('idx_src', 'idx')},{buckets('new_src', 'new')}
 SELECT DISTINCT n._id AS doc_id, i._id AS index_id
 FROM new_b n JOIN idx_b i
   ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash

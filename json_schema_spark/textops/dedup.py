@@ -88,8 +88,11 @@ def lsh_band_hashes(signature: Column, bands: int = DEFAULT_BANDS,
 
     def band(b: Column) -> Column:
         start = (b * rows_per_band + 1).cast("int")
+        # cast entries to string: signatures are bigint (affine
+        # family); plain digits, identical to DuckDB array_to_string
         return F.md5(F.concat_ws(
-            "|", F.slice(signature, start, rows_per_band)))
+            "|", F.transform(F.slice(signature, start, rows_per_band),
+                             lambda v: v.cast("string"))))
 
     return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band)
 
@@ -185,20 +188,30 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             num_hashes: int = DEFAULT_NUM_HASHES
                             ) -> DataFrame:
-    """(id, sig array) computed shingle-at-a-time: explode shingles once,
-    then one groupBy with ``num_hashes`` min() aggregations.
+    """(id, sig array<bigint>) computed shingle-at-a-time: explode
+    shingles once, hash each shingle ONCE (md5 -> 60-bit int), then
+    one groupBy with ``num_hashes`` min() aggregations over affine
+    permutations (a_i*x + b_i) mod 2^31-1 — the classic universal-
+    hash MinHash, ~num_hashes x cheaper per row than independent
+    md5(i:shingle) calls (the signature pass is THE whole-corpus scan
+    at web scale, so per-shingle hash cost is the bill). Same family
+    and constants as corpus_overlap (minhash_affine_params), so the
+    SQL oracles replay it from one spec.
 
     The pure-expression form (minhash_signature over a shingle array)
-    re-evaluates the whole shingle expression per hash function —
-    Catalyst does no CSE inside lambda bodies, making it O(num_hashes x
-    len) per row. Exploding materializes each shingle string exactly
-    once; the min-aggs are partial+final (map-side combine), so the
-    shuffle carries at most one signature row per doc per task."""
+    additionally re-evaluates the whole shingle expression per hash
+    function — Catalyst does no CSE inside lambda bodies. Exploding
+    materializes each shingle exactly once; the min-aggs are
+    partial+final (map-side combine), so the shuffle carries at most
+    one signature row per doc per task."""
     rows = shingle_rows(df, text_col, id_col, k)
+    x = (F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+         .cast("bigint") % MINHASH_PRIME)
+    rows = rows.select("_id", x.alias("_x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))))
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MINHASH_PRIME)
         .alias(f"h{i}")
-        for i in range(num_hashes)]
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))]
     per_doc = rows.groupBy("_id").agg(*aggs)
     return per_doc.select(
         "_id", F.array(*[F.col(f"h{i}")

@@ -713,16 +713,20 @@ def test_streaming_near_novel_filter_batches_and_restart(spark, tmp_path):
     idx = str(tmp_path / "lsh_index")
     f = StreamingNearNovelFilter(idx, sink=sink)
 
+    # long texts + one-word perturbations: jaccard stays high enough
+    # that the (deterministic) band family collides — outcomes are
+    # fixed given the texts, no flakiness
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    base_c = " ".join(f"gamma{i}" for i in range(30))
     b1 = spark.createDataFrame(
-        [(1, "the quick brown fox jumps over the lazy dog"),
-         (2, "entirely different words about spark engines here")],
-        "doc_id long, text string")
+        [(1, base_a), (2, base_b)], "doc_id long, text string")
     f(b1, 0)
     assert emitted[0] == {1, 2}
 
     b2 = spark.createDataFrame(
-        [(3, "the quick brown fox jumps over the lazy dog today"),
-         (4, "completely fresh zastrugi quux narrative content block")],
+        [(3, base_a + " tail"),      # near-dup of indexed doc 1
+         (4, base_c)],               # fresh
         "doc_id long, text string")
     f(b2, 1)
     assert emitted[1] == {4}
@@ -730,8 +734,8 @@ def test_streaming_near_novel_filter_batches_and_restart(spark, tmp_path):
     # restart: a brand-new instance primes from the directory
     f2 = StreamingNearNovelFilter(idx, sink=sink)
     b3 = spark.createDataFrame(
-        [(5, "completely fresh zastrugi quux narrative content soon"),
-         (6, "yet another unrelated corpus document appears now")],
+        [(5, base_c + " coda"),      # near-dup of batch-2's novel doc
+         (6, " ".join(f"delta{i}" for i in range(30)))],
         "doc_id long, text string")
     f2(b3, 2)
     assert emitted[2] == {6}
