@@ -995,27 +995,37 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
 
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
     """Python reference for the bit positions — MUST stay equal to the
-    Spark-side _bloom_position_cols (pinned by test): position i is the
-    first 15 md5 hex chars of "i:key" as an integer, mod n_bits. 15 hex
-    = 60 bits keeps the value inside a signed long for Spark's
-    conv()/cast under ANSI mode."""
+    Spark-side _bloom_position_cols (pinned by test). ONE md5 per key,
+    positions derived by Kirsch-Mitzenmacher double hashing:
+    h1 = first 15 hex chars mod n_bits, h2 = next 15 hex chars mod
+    n_bits forced ODD (coprime with the power-of-2 bitmap, so strides
+    cover it), position i = (h1 + i*h2) mod n_bits. KM preserves the
+    Bloom false-positive rate (Kirsch & Mitzenmacher 2006) at a third
+    of the previous md5-per-position hash cost; 15 hex = 60 bits
+    keeps every intermediate inside a signed long for Spark's
+    conv()/cast under ANSI mode (i*h2 < n_hashes * n_bits)."""
     import hashlib as _hl
 
+    h = _hl.md5(str(key).encode()).hexdigest()
+    h1 = int(h[:15], 16) % n_bits
+    h2 = (int(h[15:30], 16) % n_bits) | 1
     for i in range(n_hashes):
-        h = _hl.md5(f"{i}:{key}".encode()).hexdigest()
-        yield int(h[:15], 16) % n_bits
+        yield (h1 + i * h2) % n_bits
 
 
 def _bloom_position_cols(key: Column, n_hashes: int,
                          n_bits: int) -> list[Column]:
     """Bit positions as Catalyst expressions: the md5 work runs
     JVM-side with whole-stage codegen, so neither building nor probing
-    the filter hashes keys in Python. NULL key -> NULL position."""
-    return [
-        (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
-            16, 10).cast("bigint") % n_bits).alias(f"_p{i}")
-        for i in range(n_hashes)]
+    the filter hashes keys in Python. NULL key -> NULL position. The
+    md5 appears in both h1 and h2 — whole-stage codegen's
+    subexpression elimination evaluates it once per row."""
+    h = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_bits
+    h2 = (F.conv(F.substring(h, 16, 15), 16, 10)
+          .cast("bigint") % n_bits).bitwiseOR(F.lit(1))
+    return [((h1 + i * h2) % n_bits).alias(f"_p{i}")
+            for i in range(n_hashes)]
 
 
 def build_bloom(df: DataFrame, key_col: str = "digest",
