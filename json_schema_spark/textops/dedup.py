@@ -394,7 +394,17 @@ def winnowing_fingerprint_rows(df: DataFrame, text_col: str = "text",
     per window element (Catalyst does no CSE inside lambda bodies —
     O(len^2) hashing per row). Here grams posexplode into rows and the
     per-window minimum is a rows-window aggregate partitioned by doc —
-    a per-document local sort, no cross-doc shuffle skew."""
+    a per-document local sort, no cross-doc shuffle skew.
+
+    Measured trade-off (kept deliberately): a shuffle-free variant —
+    materialize grams as a bound array attribute, take array_min over
+    O(w) slices, explode — produces the identical fingerprint set
+    with zero exchanges before the final distinct, but benches ~50%
+    SLOWER at sf0.1: interpreted HOF lambdas plus per-row gram-array
+    materialization cost more than the window's streaming min pays in
+    shuffle. On a network-bound cluster where the gram-stream
+    exchange dominates, flip to that form; on CPU-bound local
+    executors the window wins."""
     from pyspark.sql import Window as W
 
     n = F.length(F.col(text_col))
