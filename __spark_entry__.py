@@ -3336,12 +3336,9 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_overlap(num_hashes: int = 64) -> str:
-    from json_schema_spark.textops.dedup import (MINHASH_PRIME,
-                                                 minhash_affine_params)
+    from json_schema_spark.textops.dedup import MINHASH_PRIME
 
-    consts = ", ".join(
-        f"({i}, {a}, {b})"
-        for i, (a, b) in enumerate(minhash_affine_params(num_hashes)))
+    consts = _minhash_consts_sql(num_hashes)
     return rf"""
 WITH sh AS (
   SELECT g,

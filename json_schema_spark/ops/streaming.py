@@ -268,6 +268,25 @@ class ShardedNovelFilter:
         self.novel_count = 0
         self._epoch_re = re.compile(r"^epoch=(\d+)$")
         os.makedirs(state_dir, exist_ok=True)
+        # refuse state from a different bit-position scheme: bitmaps
+        # are length-compatible across schemes, so without this stamp
+        # a restart would probe stale bits silently (re-emitting seen
+        # keys AND dropping novel ones)
+        from json_schema_spark.textops.dedup import BLOOM_SCHEME
+
+        marker = os.path.join(state_dir, "_scheme.txt")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                found = fh.read().strip()
+            if found != BLOOM_SCHEME:
+                raise ValueError(
+                    f"state_dir was written under bloom scheme "
+                    f"{found!r} but the engine now uses "
+                    f"{BLOOM_SCHEME!r} — stale bitmaps probe "
+                    "uselessly; start from a fresh state_dir")
+        else:
+            with open(marker, "w") as fh:
+                fh.write(BLOOM_SCHEME)
         self.current_epoch = self._latest_epoch()
 
     def _latest_epoch(self) -> int | None:

@@ -65,11 +65,15 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingles: Column,
                       num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """Array of ``num_hashes`` minhash values (md5-hex strings).
-
-    Hash family i is md5(i || ':' || shingle); the signature entry is the
-    lexicographic min across shingles (monotonic with the numeric value of
-    the fixed-width hex digest).
+    """Array of ``num_hashes`` minhash values (md5-hex strings) —
+    the LEGACY static-expression family (md5(i || ':' || shingle),
+    lexicographic min over fixed-width hex == numeric min), kept for
+    array-column pipelines. NOT bucket-compatible with
+    minhash_signature_table, which uses the cheaper affine family
+    (MINHASH_FAMILY): band hashes from the two never collide, so
+    don't mix their outputs across one candidate join or index. Also
+    O(num_hashes x len) per row (no CSE inside lambda bodies) — the
+    table form is the scale path on both counts.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -88,8 +92,12 @@ def lsh_band_hashes(signature: Column, bands: int = DEFAULT_BANDS,
 
     def band(b: Column) -> Column:
         start = (b * rows_per_band + 1).cast("int")
-        # cast entries to string: signatures are bigint (affine
-        # family); plain digits, identical to DuckDB array_to_string
+        # cast entries to string: table-form signatures are bigint
+        # (affine family) — plain digits, identical to DuckDB
+        # array_to_string; for the legacy md5-hex string family the
+        # cast is the identity, so both array types band correctly
+        # (but never MIX families across one join — see
+        # minhash_signature)
         return F.md5(F.concat_ws(
             "|", F.transform(F.slice(signature, start, rows_per_band),
                              lambda v: v.cast("string"))))
@@ -263,23 +271,35 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+# Version marker for PERSISTED minhash state: band hashes from
+# different hash families share a schema but never collide, so a
+# stale index silently reports everything as novel. Bump on any
+# change to the signature family or band serialization.
+MINHASH_FAMILY = "affine-p31-v2"
+
+
 def build_minhash_index(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         num_hashes: int = DEFAULT_NUM_HASHES,
                         bands: int = DEFAULT_BANDS) -> DataFrame:
     """The persistable LSH index of a corpus: (_id, band_idx,
-    band_hash) — exactly the bucket table minhash_candidate_pairs
-    self-joins, exposed so it can be WRITTEN once (parquet/Iceberg,
-    ideally bucketed by band_hash) and probed by every future batch.
-    This is the accumulating half of incremental near-dedup: crawl N's
-    index persists; crawl N+1 probes it without re-shingling history.
-    Rows are (id, int, 32-hex) x bands — a small constant factor of
-    the corpus row count, independent of document length."""
+    band_hash, family) — exactly the bucket table
+    minhash_candidate_pairs self-joins, exposed so it can be WRITTEN
+    once (parquet/Iceberg, ideally bucketed by band_hash) and probed
+    by every future batch. This is the accumulating half of
+    incremental near-dedup: crawl N's index persists; crawl N+1
+    probes it without re-shingling history. Rows are (id, int,
+    32-hex, const) x bands — a small constant factor of the corpus
+    row count, independent of document length. The constant
+    ``family`` column stamps the hash-family version so a probe
+    against an index built under an older family fails loudly
+    instead of returning zero candidates forever."""
     sig = minhash_signature_table(df, text_col, id_col, k, num_hashes)
     return sig.select(
         "_id", F.posexplode(lsh_band_hashes(F.col("_sig"), bands,
                                             num_hashes))
-        .alias("band_idx", "band_hash"))
+        .alias("band_idx", "band_hash"),
+        F.lit(MINHASH_FAMILY).alias("family"))
 
 
 def probe_minhash_index(new_df: DataFrame, index: DataFrame,
@@ -298,9 +318,21 @@ def probe_minhash_index(new_df: DataFrame, index: DataFrame,
     guard as minhash_candidate_pairs). Verify survivors with exact
     jaccard where both texts are at hand; parameters (k, num_hashes,
     bands) MUST match the index build or band hashes never collide."""
+    if "family" not in index.columns:
+        raise ValueError(
+            "index has no 'family' column — it was built under a "
+            "pre-versioned minhash family whose band hashes never "
+            "collide with current probes; rebuild it with "
+            "build_minhash_index")
+    stamp = index.select("family").first()
+    if stamp is not None and stamp["family"] != MINHASH_FAMILY:
+        raise ValueError(
+            f"index family {stamp['family']!r} != engine family "
+            f"{MINHASH_FAMILY!r} — probes would silently find zero "
+            "candidates; rebuild the index")
     nb = build_minhash_index(new_df, text_col, id_col, k,
-                             num_hashes, bands)
-    idx = index
+                             num_hashes, bands).drop("family")
+    idx = index.drop("family")
     if max_bucket_size is not None:
         small = (idx.groupBy("band_idx", "band_hash")
                  .agg(F.count(F.lit(1)).alias("_m"))
@@ -1003,6 +1035,23 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
+# Version marker for PERSISTED bloom state (ShardedNovelFilter epochs,
+# caller-saved priming bitmaps): bits set under a different position
+# scheme probe uselessly — same byte length, silent corruption. Bump
+# on any change to _bloom_positions.
+BLOOM_SCHEME = "md5-km-v2"
+
+
+def _bloom_validate_bits(n_bits: int) -> None:
+    """n_bits must be a power of two: the KM stride h2 is forced odd,
+    which is coprime with 2^k (full-period strides) but NOT with an
+    arbitrary even n_bits — a shared odd factor would cycle h2
+    through a fraction of the bitmap and quietly raise the
+    false-positive rate (dropped novel keys)."""
+    if n_bits <= 0 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+
+
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
     """Python reference for the bit positions — MUST stay equal to the
     Spark-side _bloom_position_cols (pinned by test). ONE md5 per key,
@@ -1016,6 +1065,7 @@ def _bloom_positions(key: str, n_hashes: int, n_bits: int):
     conv()/cast under ANSI mode (i*h2 < n_hashes * n_bits)."""
     import hashlib as _hl
 
+    _bloom_validate_bits(n_bits)
     h = _hl.md5(str(key).encode()).hexdigest()
     h1 = int(h[:15], 16) % n_bits
     h2 = (int(h[15:30], 16) % n_bits) | 1
@@ -1030,6 +1080,7 @@ def _bloom_position_cols(key: Column, n_hashes: int,
     the filter hashes keys in Python. NULL key -> NULL position. The
     md5 appears in both h1 and h2 — whole-stage codegen's
     subexpression elimination evaluates it once per row."""
+    _bloom_validate_bits(n_bits)
     h = F.md5(key.cast("string"))
     h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_bits
     h2 = (F.conv(F.substring(h, 16, 15), 16, 10)

@@ -2375,11 +2375,14 @@ def test_pagerank_fixed_point_semantics(spark):
         assert out["a"] > out["b"] > out["c"]
         assert out["c"] == (PR_SCALE * 15) // 100  # dangling-in only
         assert sum(out.values()) <= 3 * PR_SCALE
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        out2 = {r.node: r.rank for r in pagerank(edges).collect()}
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            out2 = {r.node: r.rank for r in pagerank(edges).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
         assert out2 == out
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
         release_caches()
 
 
@@ -2419,3 +2422,42 @@ def test_corpus_overlap_estimator_tracks_true_jaccard(spark):
     # true shingle jaccard: 58-gram overlap window arithmetic — just
     # bound it generously: strictly inside (0, 1)
     assert 0.1 < est < 0.9
+
+
+def test_minhash_index_family_guard(docs, spark, tmp_path):
+    """Probing an index from a different (or pre-versioned) hash
+    family must fail loudly — band hashes across families never
+    collide, so the silent alternative is 'everything is novel'."""
+    from json_schema_spark.textops.dedup import (build_minhash_index,
+                                                 probe_minhash_index)
+
+    base = docs.select("doc_id", "text")
+    idx = build_minhash_index(base)
+    legacy = idx.drop("family")
+    with pytest.raises(ValueError, match="family"):
+        probe_minhash_index(base, legacy)
+    stale = idx.withColumn("family", F.lit("md5-per-hash-v1"))
+    with pytest.raises(ValueError, match="rebuild"):
+        probe_minhash_index(base, stale)
+
+
+def test_bloom_rejects_non_power_of_two_bits(spark):
+    """The KM stride is only full-period on power-of-two bitmaps."""
+    from json_schema_spark.textops.dedup import build_bloom
+
+    df = spark.createDataFrame([("k1",)], "digest string")
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom(df, n_bits=3 << 20)
+
+
+def test_sharded_filter_rejects_stale_scheme(tmp_path):
+    """A state_dir stamped with a different bloom scheme must refuse
+    to start (stale bitmaps are length-compatible but probe wrong
+    bits)."""
+    from json_schema_spark.ops.streaming import ShardedNovelFilter
+
+    d = tmp_path / "state"
+    d.mkdir()
+    (d / "_scheme.txt").write_text("md5-per-position-v1")
+    with pytest.raises(ValueError, match="scheme"):
+        ShardedNovelFilter(str(d))
