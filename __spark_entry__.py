@@ -3613,6 +3613,36 @@ FROM docs
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count weighted sampling (round 4): 100 docs with
+    probability proportional to n_chars (Efraimidis-Spirakis keys
+    from the md5 uniform). The oracle replays ln(u)/w and the
+    rounded-key ranking."""
+    from json_schema_spark.textops.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = weighted_sample(docs, "n_chars", 100)
+    return out.select("doc_id", "lang", "n_chars", "rank")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((CAST(('0x' || substr(md5('jss-wsample:'
+                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars, rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= 100
+"""
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 corpus search (round 4): top-15 docs for a three-term
     query over the documents table. The oracle replays tf/df/length
@@ -3903,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_artifacts": _q_encoding_artifacts,
         "index_probe": _q_index_probe,
         "bm25_topk": _q_bm25_topk,
+        "weighted_sample": _q_weighted_sample,
         "pagerank_hosts": _q_pagerank_hosts,
         "rate_anomalies": _q_rate_anomalies,
         "repetition_features": _q_repetition,
@@ -3992,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_artifacts": _sql_encoding_artifacts(),
         "index_probe": _sql_index_probe(),
         "bm25_topk": _SQL_BM25_TOPK,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "pagerank_hosts": _sql_pagerank_hosts(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,

@@ -228,6 +228,45 @@ def take_per_stratum(df: DataFrame, n: int, strata_col: str,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id",
+                    seed: str = "jss-wsample") -> DataFrame:
+    """Exactly ``n`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — the Efraimidis-Spirakis (2006)
+    reservoir rule, deterministic: each row's key is u^(1/w) with u
+    the repo's md5-uniform (no RNG, stable under partitioning,
+    engine-replayable), and the n largest keys win. Rank runs on
+    ln(u)/w (monotone in u^(1/w), better float behavior than the pow)
+    ROUNDED to 6 dp with id tie-break, the engine-exact-boundary
+    discipline every ranked oracle here uses. Rows with NULL or
+    non-positive weight are excluded (they have zero mass; ln is
+    undefined there). Complements temperature_sample (rate-based,
+    approximate counts) with exact-count weighted selection — e.g.
+    'give me 10k docs, longer ones proportionally likelier'.
+
+    Scale note: a global top-n — single-partition window, fine for
+    bounded n; for huge n use an approxQuantile threshold on the key
+    (same escape hatch as dsir_select)."""
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # u in (0, 1]: (first-8-hex + 1) / 2^32 — the +1 keeps ln(u)
+    # finite at the all-zero hash
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") + 1.0) / F.lit(_DENOM))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 6)
+    win = W.partitionBy().orderBy(F.col("_key").desc(), F.col(id_col))
+    return (df.filter(w.isNotNull() & (w > 0))
+            .withColumn("_key", key)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= n)
+            .drop("_key"))
+
+
 def cap_per_group(df: DataFrame, group_col: str, n: int,
                   order_by: list[Column],
                   salt_shards: int | None = None,

@@ -37,7 +37,7 @@ def test_query_registry_is_pinned():
         "html_extract", "rate_anomalies", "corpus_overlap",
         "dsir_select", "tfidf_topk", "cap_per_domain", "link_graph",
         "dedup_paragraphs", "encoding_artifacts", "index_probe",
-        "bm25_topk", "pagerank_hosts",
+        "bm25_topk", "pagerank_hosts", "weighted_sample",
         "repetition_features",
         "quality_filter",
         "unigram_logprob", "multimodal_features", "multimodal_dims",

@@ -2461,3 +2461,28 @@ def test_sharded_filter_rejects_stale_scheme(tmp_path):
     (d / "_scheme.txt").write_text("md5-per-position-v1")
     with pytest.raises(ValueError, match="scheme"):
         ShardedNovelFilter(str(d))
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows win proportionally more often (aggregate over many
+    disjoint seeds), exact n rows come back, zero/NULL weights are
+    excluded, and the draw is partitioning-independent."""
+    from json_schema_spark.textops.sampling import weighted_sample
+
+    rows = ([(i, 100.0) for i in range(50)]          # heavy
+            + [(i + 1000, 1.0) for i in range(50)]   # light
+            + [(2000, 0.0), (2001, None)])           # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_wins = 0
+    for s in range(10):
+        got = weighted_sample(df, "w", 20, seed=f"s{s}").collect()
+        assert len(got) == 20
+        assert all(r.doc_id < 2000 for r in got)
+        heavy_wins += sum(1 for r in got if r.doc_id < 1000)
+    # 100:1 weights -> heavy docs should take the overwhelming share
+    assert heavy_wins >= 180, heavy_wins  # of 200 total picks
+
+    a = {r.doc_id for r in weighted_sample(df, "w", 20).collect()}
+    b = {r.doc_id for r in
+         weighted_sample(df.repartition(13), "w", 20).collect()}
+    assert a == b
