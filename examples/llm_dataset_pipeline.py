@@ -39,7 +39,7 @@ from json_schema_spark.textops import dedup  # noqa: E402
 from json_schema_spark.sources.io import (  # noqa: E402
     read_jsonl, write_jsonl)
 from json_schema_spark.textops.sampling import (  # noqa: E402
-    cap_per_group, hash_split, mix_corpus)
+    cap_per_group, hash_split, mix_corpus, weighted_sample)
 from json_schema_spark.textops.textanalysis import (  # noqa: E402
     chunk_documents, dedup_paragraphs_global, dsir_select, fix_mojibake,
     ngram_topk, quality_filter, token_stats)
@@ -114,6 +114,12 @@ n7 = clean.count()
 target = docs.filter((F.col("lang") == "en") & F.col("text").isNotNull())
 dsir_top = dsir_select(clean, target, n=5).collect()
 
+# 7c. length-weighted subsample: exactly 50 docs, longer ones
+#     proportionally likelier (Efraimidis-Spirakis, deterministic)
+n_weighted = weighted_sample(
+    clean.withColumn("n_chars2", F.length("text")),
+    "n_chars2", 50).count()
+
 # 8. boilerplate screen + chunking: the top corpus trigrams flag
 #    template text; surviving docs are cut into overlapping 64-token
 #    windows for retrieval / long-context packing
@@ -173,6 +179,7 @@ print(f"token budget:        ws={budget['ws']}  bpe={budget['bpe']}")
 print(f"splits:              {dist}")
 print(f"after decontam:      {n7} (eval sources dropped)")
 print(f"dsir top-5 (en-like): {[r.doc_id for r in dsir_top]}")
+print(f"length-weighted 50:   {n_weighted} docs drawn")
 print(f"top trigrams:        {[(r.gram, r.n_occ) for r in top_grams]}")
 print(f"chunks (64/16):      {n8}")
 print(f"mixed+exported:      {n9} docs in 4 jsonl shards")
