@@ -45,15 +45,22 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
     mass). Damping is the rational damping_num/damping_den (default
     85/100) applied by integer multiply-then-floor-divide.
 
-    Semantics: dangling nodes (no outlinks) simply leak their damped
-    mass — the classic simplification (redistributing it needs a
-    global scalar each round; the leaked fraction is identical on
-    every engine, so determinism is unaffected).
+    Semantics: dangling nodes (no outlinks) do NOT leak their mass
+    (VERDICT r4 #4 — on real webgraphs 20-30% of hosts are dangling,
+    so a leak systematically deflates every rank): each iteration
+    their damped mass is summed into one INT64 scalar and
+    redistributed uniformly, ``dangling_sum DIV n_nodes`` per node —
+    still pure integer arithmetic, so ranks stay bit-identical on any
+    engine/partitioning. Floor truncation now loses at most
+    ``out_deg`` units per linking node plus ``n_nodes`` units total
+    for the dangling pot per round.
 
-    Plan: nodes/out-degrees derive once and persist (every round
-    joins them); each iteration is one join edges->ranks plus one
-    partial+final sum aggregate — shuffle keyed on dst, the same
-    key-distribution story as link_graph itself. O(iterations) stages,
+    Plan: nodes/out-degrees/dangling-set derive once and persist
+    (every round joins them); each iteration is one join edges->ranks,
+    one partial+final sum aggregate (shuffle keyed on dst, the same
+    key-distribution story as link_graph itself), and one 1-row
+    dangling-mass aggregate broadcast back via crossJoin (the
+    sanctioned one-row-totals BNLJ pattern). O(iterations) stages,
     lineage grows linearly; for many rounds localCheckpoint like
     dedup_groups (3-5 rounds is the curation-prior sweet spot)."""
     from json_schema_spark.cache import register_cache
@@ -70,6 +77,13 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
         .distinct())
     deg = register_cache(
         e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")))
+    # dangling = nodes with no outgoing edge; loop-invariant set
+    dangling = register_cache(
+        nodes.join(deg, nodes["_n"] == deg["_s"], "left_anti"))
+    # n_nodes is loop-invariant — one bounded driver scalar off the
+    # persisted nodes table (same precedent as dedup_groups'
+    # persist+count), folded into both engines as a literal
+    n_cnt = nodes.count()
     # (scale * (den - num)) // den is a CONSTANT — fold it in Python
     # so both engines see the same literal
     base_lit = F.lit((scale * (damping_den - damping_num))
@@ -89,10 +103,17 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
                    .select("_n",
                            F.expr("_m DIV _deg").alias("_c")))
         inflow = contrib.groupBy("_n").agg(F.sum("_c").alias("_in"))
+        # damped mass stranded on dangling nodes this round — one
+        # integer scalar, exact under any summation order
+        dang = (ranks.join(dangling.select("_n"), "_n")
+                .agg(F.sum(F.expr(f"(_r * {damping_num}) "
+                                  f"DIV {damping_den}")).alias("_dm")))
         ranks = (nodes.join(inflow, "_n", "left")
+                 .crossJoin(dang)
                  .select("_n",
-                         (base_lit + F.coalesce(F.col("_in"),
-                                                F.lit(0)))
+                         (base_lit
+                          + F.coalesce(F.col("_in"), F.lit(0))
+                          + F.expr(f"coalesce(_dm, 0) DIV {n_cnt}"))
                          .alias("_r")))
     return ranks.select(F.col("_n").alias("node"),
                         F.col("_r").alias("rank"))

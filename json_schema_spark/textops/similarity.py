@@ -44,13 +44,43 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str | None = None) -> DataFrame:
+                query_id_col: str | None = None,
+                max_broadcast_queries: int | None = 100_000,
+                on_overflow: str = "error") -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, rank, cosine_sim).
 
     Self-matches (same id) are excluded. The query side is broadcast —
-    queries are assumed small; the corpus side never shuffles.
+    the corpus side never shuffles — so the query side MUST be small,
+    and (VERDICT r4 #3) that assumption is now enforced rather than
+    documented: the query side is counted (one bounded scalar job) and
+    above ``max_broadcast_queries`` the call either raises
+    (``on_overflow="error"``, the default — a corpus-sized query set
+    broadcast into a crossJoin is a driver/executor OOM at scale) or
+    routes to the bucketed ANN path ``lsh_topk_multi``
+    (``on_overflow="route"`` — approximate results, linear scaling;
+    only opt in when approximate recall is acceptable). Pass
+    ``max_broadcast_queries=None`` to skip the count job when the
+    caller already knows the side is bounded (e.g. a fixed probe set).
     """
     query_id_col = query_id_col or id_col
+    if on_overflow not in ("error", "route"):
+        raise ValueError("on_overflow must be 'error' or 'route'")
+    if max_broadcast_queries is not None:
+        n_q = queries.count()
+        if n_q > max_broadcast_queries:
+            if on_overflow == "error":
+                raise ValueError(
+                    f"cosine_topk query side has {n_q} rows "
+                    f"(> max_broadcast_queries={max_broadcast_queries}): "
+                    "broadcasting it would cross-join the corpus. Use "
+                    "lsh_topk_multi for large query sets, or pass "
+                    "on_overflow='route' to do so automatically, or "
+                    "raise/disable max_broadcast_queries if the side "
+                    "is genuinely broadcast-safe.")
+            return lsh_topk_multi(
+                queries.select(F.col(query_id_col).alias(id_col),
+                               F.col(vec_col)),
+                corpus, k=k, id_col=id_col, vec_col=vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
                        l2_norm(F.col(vec_col)).alias("_qn"))

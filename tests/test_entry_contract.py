@@ -56,6 +56,41 @@ def test_query_registry_is_pinned():
     assert len(entry.queries()) == len(expected)
 
 
+def test_round5_driver_window_rotation():
+    """VERDICT r4 #1: the correctness driver verifies only the FIRST 50
+    queries() entries, so dict insertion order is the coverage schedule.
+    Round 5's window must contain every query the r4 window missed —
+    the 10 never driver-checked plus the 25 last checked in r3 — and
+    the queries whose implementation changed this round.  Rotation
+    rule going forward: any query absent from the previous round's
+    CORRECTNESS_r{N}.json, and any query touched in the current round,
+    moves into the first 50 slots (every query gets a driver-verified
+    row at least once per two rounds)."""
+    window = list(entry.queries())[:50]
+    never_checked = {
+        "image_dedup", "image_dedup_gif", "image_dedup_jpeg",
+        "video_dedup", "audio_dedup", "media_dedup",
+        "decontamination", "temperature_sample",
+        "baseline_drift", "ks_baseline",
+    }
+    stale_since_r3 = {
+        "multimodal_dims", "multimodal_audio", "validate_json_dynamic",
+        "validate_json_hybrid", "validate_json_variant",
+        "containment_winnowing", "sessionize", "asof_join",
+        "asof_join_keyless", "time_rollup", "hash_split", "range_join",
+        "cast_props", "psi_drift", "ks_drift", "js_drift", "ivf_topk",
+        "kw_combinators", "kw_array", "kw_object", "kw_numeric",
+        "kw_formats", "kw_content", "cast_scalars", "url_dedup",
+    }
+    changed_in_r5 = {
+        "pagerank_hosts", "semantic_dedup", "ann_cosine_topk",
+        "near_dedup_corpus",
+    }
+    must_cover = never_checked | stale_since_r3 | changed_in_r5
+    missing = must_cover - set(window)
+    assert not missing, f"round-5 driver window misses: {sorted(missing)}"
+
+
 def test_oracle_sql_is_static_text():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name

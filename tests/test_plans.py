@@ -76,11 +76,19 @@ def test_referential_dim_join_broadcasts(spark, docs):
 
 
 def test_ann_query_side_broadcasts(spark):
+    """cosine_topk broadcast path: query side broadcast, corpus side
+    scan feeds the join with NO shuffle before it — the only row
+    Exchange in the whole plan is the ranking window's repartition by
+    query_id (VERDICT r4 #3 gate)."""
     from json_schema_spark.textops.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=2)
-    assert "Broadcast" in _plan(out)
+    plan = _plan(out)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    row_exchanges = plan.count("Exchange hashpartitioning")
+    assert row_exchanges <= 1, plan
 
 
 def test_partial_aggregation_in_stats(docs):
