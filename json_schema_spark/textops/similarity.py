@@ -357,27 +357,73 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
                   seed: str = "jss-ivf") -> list[list[float]]:
     """IVF coarse centroids: deterministic kmeans++-style seeds
     (ivf_seed_centroids — hash-ordered sample pool + farthest-point)
-    refined with a few Lloyd iterations, each a single groupBy over
-    the corpus (mean of assigned vectors). Driver holds only the
-    centroid list — O(n_centroids x dim)."""
+    refined with a few Lloyd iterations. Driver holds only the
+    centroid list — O(n_centroids x dim).
+
+    Lloyd update plan (VERDICT r4 #2): the old form aggregated one
+    ``F.sum(element_at(vec, i))`` COLUMN per dimension — fine at
+    oracle dims, but at real embedding dims (768-1024) that is ~1k
+    aggregate expressions: whole-stage codegen bails out past ~100
+    exprs and the generated plan bloats linearly with dim. Now each
+    partition folds its assigned vectors into per-cell numpy partial
+    sums in ONE Arrow-batched mapInPandas pass (vectors never
+    shuffle; output is n_cells rows per partition), the tiny partials
+    posexplode and merge in a single (cell, i) groupBy — O(1)
+    aggregate expressions at ANY dimension — and the driver divides
+    out the means. Per-partition summation is numpy (pairwise, SIMD);
+    the cross-partition merge is Spark's float sum, the same
+    order-dependence class as the previous per-column form."""
     centroids = ivf_seed_centroids(df, n_centroids, id_col, vec_col,
                                    seed)
+    dim = len(centroids[0])
     for _ in range(iterations):
         assigned = df.select(
-            F.col(vec_col),
-            _nearest_centroid(F.col(vec_col), centroids).alias("c"))
-        # elementwise mean per centroid: aggregate arrays with zip_with
-        dim = len(centroids[0])
-        sums = (assigned.groupBy("c")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.element_at(F.col(vec_col), i + 1)
-                             .cast("double")).alias(f"s{i}")
-                       for i in range(dim)])
-                .collect())
-        for row in sums:
-            c = row["c"]
-            centroids[c] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            F.col(vec_col).alias("_v"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("_c"))
+        merged = _lloyd_cell_sums(assigned).collect()
+        by_cell: dict[int, list] = {}
+        for row in merged:
+            by_cell.setdefault(row["c"], [None] * dim)
+            by_cell[row["c"]][row["i"]] = (row["sx"], row["nn"])
+        for c, pairs in by_cell.items():
+            centroids[c] = [sx / nn for sx, nn in pairs]
     return centroids
+
+
+def _lloyd_cell_sums(assigned: DataFrame) -> DataFrame:
+    """(c, i, sx, nn) element sums + counts per cell for one Lloyd
+    update, given (_v array, _c int) assignments. One mapInPandas
+    partial-sum pass (n_cells rows out per partition, vectors never
+    shuffle) + one posexplode/groupBy merge — the aggregate expression
+    count is constant in the embedding dimension."""
+    import numpy as np
+    import pandas as pd
+
+    def _partial_sums(batches):
+        acc: dict[int, tuple[int, "np.ndarray"]] = {}
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_v", "_c"])
+            if pdf.empty:
+                continue
+            for cell, grp in pdf.groupby("_c"):
+                mat = np.stack([np.asarray(v, dtype=np.float64)
+                                for v in grp["_v"]])
+                n, s = acc.get(int(cell), (0, None))
+                part = mat.sum(axis=0)
+                acc[int(cell)] = (n + len(grp),
+                                  part if s is None else s + part)
+        if acc:
+            yield pd.DataFrame({
+                "c": list(acc),
+                "n": [n for n, _ in acc.values()],
+                "s": [list(s) for _, s in acc.values()]})
+
+    partials = assigned.mapInPandas(
+        _partial_sums, "c int, n long, s array<double>")
+    return (partials
+            .select("c", "n", F.posexplode("s").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn")))
 
 
 def _dist2(vec: Column, centroid: list[float]) -> Column:
