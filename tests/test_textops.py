@@ -915,6 +915,38 @@ def test_ivf_recall_rises_with_nprobe(emb, spark):
     assert r4 > r1 or r1 == 1.0
 
 
+def test_shared_winnowing_fingerprint_pass(docs):
+    """VERDICT r4 #6: one persisted winnowing_fingerprint_rows table
+    can feed BOTH containment_pairs and contamination_pairs — results
+    identical to each op computing its own pass."""
+    from json_schema_spark.cache import register_cache, release_caches
+    from json_schema_spark.textops.dedup import (containment_pairs,
+                                                 contamination_pairs,
+                                                 winnowing_fingerprint_rows)
+
+    corpus = _perturbed(docs)
+    evals = (docs.filter((F.col("doc_id") % 25 == 0)
+                         & F.col("text").isNotNull())
+             .select((F.col("doc_id") + 900000).alias("eval_id"),
+                     F.substring("text", 1, 120).alias("text")))
+    try:
+        shared = register_cache(winnowing_fingerprint_rows(corpus))
+        own_pairs = containment_pairs(corpus, min_shared=20,
+                                      max_doc_freq=20)
+        via_shared = containment_pairs(corpus, min_shared=20,
+                                       max_doc_freq=20,
+                                       fingerprints=shared)
+        assert sorted(map(tuple, own_pairs.collect())) \
+            == sorted(map(tuple, via_shared.collect()))
+        own_cont = contamination_pairs(corpus, evals, min_shared=20)
+        via_cont = contamination_pairs(corpus, evals, min_shared=20,
+                                       corpus_fingerprints=shared)
+        assert sorted(map(tuple, own_cont.collect())) \
+            == sorted(map(tuple, via_cont.collect()))
+    finally:
+        release_caches()
+
+
 def test_ivf_lloyd_update_scales_with_dimension(spark):
     """VERDICT r4 #2: the Lloyd centroid update must not fan out one
     aggregate column per embedding dimension (codegen collapses past
