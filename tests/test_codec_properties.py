@@ -178,3 +178,63 @@ def test_video_frame_hashes_match_png_roundtrip_path(spark):
                     frames, "frame_png", carry_cols=["frame_idx"])
                 .collect()}
     assert fused == composed and len(fused) == 24
+
+
+@SETTINGS
+@given(grids)
+def test_progressive_jpeg_detected_and_refused(grid):
+    """VERDICT r4 #7: a progressive JPEG (SOF2 frame header) must be
+    classified by the scan-marker sniff, refused by the baseline
+    decoder (None, not an exception), keep its header-parsed
+    dimensions, and raise the documented PIL-gated stub error with a
+    message that names the progressive gap."""
+    import pytest
+
+    from json_schema_spark.textops.multimodal import (
+        decode_jpeg_gray, encode_jpeg_gray, jpeg_is_progressive,
+        parse_image_dimensions)
+
+    baseline = encode_jpeg_gray(grid)
+    assert jpeg_is_progressive(baseline) is False
+    assert jpeg_is_progressive(encode_png_gray(grid)) is None
+    assert jpeg_is_progressive(None) is None
+
+    prog = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_is_progressive(prog) is True
+    assert decode_jpeg_gray(prog) is None
+    assert parse_image_dimensions(prog) \
+        == (len(grid[0]), len(grid))  # dims survive the decode gap
+    try:
+        import PIL  # type: ignore # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="progressive"):
+            image_dhash(prog)
+
+
+def test_progressive_jpeg_nulls_on_batch_paths(spark):
+    """A progressive blob inside a corpus must not kill the job on ANY
+    batch path: perceptual hashing yields a NULL hash for it (real
+    hashes for its baseline neighbors), and feature extraction still
+    reports sniffed type + header dimensions."""
+    from json_schema_spark.textops.multimodal import (
+        encode_jpeg_gray, extract_media_features,
+        image_perceptual_hashes)
+
+    grid = [[(x * 13 + y * 31) % 251 for x in range(16)]
+            for y in range(16)]
+    base = encode_jpeg_gray(grid)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = spark.createDataFrame([(1, base), (2, prog)],
+                               "doc_id long, blob binary")
+
+    rows = image_perceptual_hashes(df, "blob").collect()
+    hashes = {r.doc_id: r.dhash for r in rows}
+    assert hashes.get(1) is not None
+    # the progressive blob is downgraded (NULL hash -> dropped row),
+    # never raised — the job survives
+    assert hashes.get(2) is None
+
+    feats = {r.id: r for r in
+             extract_media_features(df, "blob", "doc_id").collect()}
+    assert feats["2"].media_type == "image/jpeg"
+    assert (feats["2"].width, feats["2"].height) == (16, 16)
