@@ -95,6 +95,36 @@ def main() -> None:
     timings["validate_webtext"] = round(webtext_sec, 4)
     web.unpersist()
 
+    # adversarial-skew stress row (VERDICT r4 #5): Zipf(1.2) hosts, a
+    # 10^5-duplicate digest, one hot LSH band, one degenerate embedding
+    # cell — through the three skew-guarded operators. Graceful wall
+    # time here is the evidence the caps work COMBINED, not just in
+    # unit tests.
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.sources.webtext import generate_skewed_corpus
+    from json_schema_spark.textops import dedup as _dd
+    from json_schema_spark.textops.sampling import cap_per_group
+    from json_schema_spark.textops.similarity import semantic_dedup
+
+    skew = generate_skewed_corpus(spark, 200_000, n_dup=100_000,
+                                  n_hot_band=10_000).cache()
+    skew.count()
+    skew_sec = float("inf")
+    for _ in range(1):  # stress row, not a regression row: one rep
+        t0 = time.perf_counter()
+        _run(_dd.near_duplicates(skew, threshold=0.8,
+                                 max_bucket_size=50))
+        _dd.release_caches()
+        _run(cap_per_group(skew, "host", 5, [F.col("doc_id")],
+                           salt_shards=16, id_col="doc_id"))
+        _run(semantic_dedup(skew, id_col="doc_id", vec_col="embedding",
+                            max_cluster_size=500))
+        _dd.release_caches()
+        skew_sec = min(skew_sec, time.perf_counter() - t0)
+    timings["skew_stress"] = round(skew_sec, 4)
+    skew.unpersist()
+
     out = {
         "metric": "query wall-time, sf%s + webtext validation" % _sf_from_dir(SF_DIR),
         "value": round(sum(timings.values()), 4),

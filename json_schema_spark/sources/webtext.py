@@ -155,3 +155,77 @@ def write_webtext(spark: SparkSession, path: str, n_rows: int,
 def load_webtext(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select("url", "warc_ts", "html", "text", "lang")
+
+
+def generate_skewed_corpus(spark: SparkSession, n_rows: int,
+                           n_dup: int | None = None,
+                           n_hot_band: int | None = None,
+                           zipf_s: float = 1.2,
+                           dim: int = 8) -> DataFrame:
+    """Adversarial-skew fixture (VERDICT r4 #5): the three hot-key
+    pathologies a real crawl throws at dedup/sampling, combined in one
+    deterministic table (doc_id, host, text, embedding):
+
+    - hosts ~ Zipf(``zipf_s``) via inverse-CDF of a seeded uniform
+      (rank = ceil(u^(-1/(s-1))), capped at n_rows) — a handful of
+      link-farm hosts own a huge share of rows (stresses
+      cap_per_domain's salted two-phase top-n);
+    - one hot DIGEST: the first ``n_dup`` docs carry byte-identical
+      text (default n_rows/10, the "10^5-duplicate digest" at a 10^6
+      corpus) — stresses salted exact dedup AND parks every one of
+      those docs in the same LSH band buckets;
+    - one hot LSH BAND: the next ``n_hot_band`` docs share a 30-word
+      prefix with a unique 3-word tail (jaccard ~0.8 pairwise) — a
+      giant near-dup clique whose banded buckets must be capped
+      (max_bucket_size), not joined m^2;
+    - embeddings: the hot-digest docs share ONE vector (a degenerate
+      IVF cell for semantic_dedup's max_cluster_size guard); the rest
+      are deterministic pseudo-random unit-scale vectors.
+
+    Like generate_webtext: pure JVM expressions over spark.range —
+    distributed generation, same (args) -> byte-identical table."""
+    if n_dup is None:
+        n_dup = n_rows // 10
+    if n_hot_band is None:
+        n_hot_band = n_rows // 15
+    if n_dup + n_hot_band > n_rows:
+        raise ValueError("n_dup + n_hot_band must be <= n_rows")
+    rid = F.col("id")
+    df = spark.range(n_rows)
+
+    # Zipf hosts: u in (0,1] from a seeded hash; rank = ceil(u^-(1/(s-1)))
+    u = (F.pmod(_h(rid, 21), F.lit(1_000_000)) + 1) / 1_000_000.0
+    rank = F.least(F.ceil(F.pow(u, F.lit(-1.0 / (zipf_s - 1.0)))),
+                   F.lit(float(n_rows))).cast("bigint")
+    host = F.concat(F.lit("host-"), rank.cast("string"))
+
+    def words(prefix: str, start: int, count: int, salt: int):
+        # `count` unique-ish vocabulary words derived from (doc, pos)
+        return F.transform(
+            F.sequence(F.lit(start), F.lit(start + count - 1)),
+            lambda i: F.concat(
+                F.lit(prefix),
+                F.pmod(_h(F.concat(rid.cast("string"), F.lit(":"),
+                                   i.cast("string")), salt),
+                       F.lit(50_000)).cast("string")))
+
+    dup_text = " ".join(f"dupword{i * 17 % 101}" for i in range(36))
+    hot_prefix = " ".join(f"hotband{i * 13 % 97}" for i in range(30))
+    text = (F.when(rid < n_dup, F.lit(dup_text))
+            .when(rid < n_dup + n_hot_band,
+                  F.concat(F.lit(hot_prefix + " "),
+                           F.array_join(words("tail", 0, 3, 22), " ")))
+            .otherwise(F.array_join(words("w", 0, 30, 23), " ")))
+
+    # embeddings: hot docs one shared vector; others hash-derived
+    hot_vec = F.array(*[F.lit(float((j * 7) % 5) + 1.0)
+                        for j in range(dim)])
+    rand_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(_h(F.concat(rid.cast("string"), F.lit("#"),
+                                      j.cast("string")), 24),
+                          F.lit(2_000)).cast("double") - 1000.0) / 500.0)
+    emb = F.when(rid < n_dup, hot_vec).otherwise(rand_vec)
+
+    return df.select(rid.alias("doc_id"), host.alias("host"),
+                     text.alias("text"), emb.alias("embedding"))
