@@ -37,6 +37,7 @@ from json_schema_spark.cache import (  # noqa: E402
     register_cache as _register_cache,
     release_caches,
 )
+from json_schema_spark.plan import fan_out  # noqa: E402
 
 
 def tokens(col: Column) -> Column:
@@ -177,8 +178,6 @@ def shingle_rows(df: DataFrame, text_col: str = "text",
     element (no CSE inside lambdas — O(len^2) character work per row).
     The window is a per-document local sort, no cross-doc shuffle skew."""
     from pyspark.sql import Window as W
-
-    from json_schema_spark.plan import fan_out
 
     words = (fan_out(df.filter(F.col(text_col).isNotNull()))
              .select(F.col(id_col).alias("_id"),
@@ -441,8 +440,6 @@ def winnowing_fingerprint_rows(df: DataFrame, text_col: str = "text",
     executors the window wins."""
     from pyspark.sql import Window as W
 
-    from json_schema_spark.plan import fan_out
-
     n = F.length(F.col(text_col))
     # positions explode FIRST and the k-gram md5 is a plain projection
     # on the exploded rows: inside a transform() lambda it would run
@@ -647,7 +644,10 @@ def corpus_overlap(df: DataFrame, group_col: str = "lang",
     # in tests/test_plans.py). Keeping the transform directly inside
     # the explode dodges the rule; the words array still materializes
     # one projection earlier so the lambda slices a bound attribute.
-    sh = (df.filter(F.col(text_col).isNotNull())
+    # fan_out: the k-word concat+md5 expansion is hash-heavy enough to
+    # beat the guard's raw-text exchange (2.4s -> 1.6s at sf0.1 from a
+    # one-split scan; see plan.fan_out for the measured trade-off).
+    sh = (fan_out(df.filter(F.col(text_col).isNotNull()))
           .select(F.col(group_col).alias("_g"),
                   tokens(F.col(text_col)).alias("_w"))
           .filter(F.size("_w") >= k)
