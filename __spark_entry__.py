@@ -3898,6 +3898,202 @@ GROUP BY src_host, dst_host
 """
 
 
+
+
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (round 5): deterministic anchor markup per
+    document — mixed-case hosts, inner <b> tags, HTML entities, a
+    relative link and a userinfo authority — aggregated to
+    (dst_host, term, n_anchors) by textops.html.anchor_text_index.
+    The oracle rebuilds the same markup and replays the anchor /
+    href / host regexes plus the strip_tags chain (RE2-safe)."""
+    from json_schema_spark.textops.html import anchor_text_index
+
+    i = F.col("doc_id")
+
+    def opt(cond, st):
+        return F.when(cond, st).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<a href="https://Site'), (i % 20).cast("string"),
+        F.lit('.Example.com/p">Visit <b>Site</b> '),
+        (i % 20).cast("string"), F.lit(" now</a>"),
+        opt(i % 3 == 0,
+            F.concat(F.lit('<a href="https://docs.example.org/x">'
+                           "read the &amp;docs v"),
+                     (i % 5).cast("string"), F.lit("</a>"))),
+        opt(i % 4 == 0, F.lit('<a href="/rel">relative skip</a>')),
+        opt(i % 5 == 0,
+            F.lit('<a href="https://u:p@cdn.example.net/f">'
+                  "cdn &lt;fast&gt;</a>")))
+    pages = _docs(spark, sf_dir).select(html.alias("html"))
+    return anchor_text_index(pages)
+
+
+_SQL_ANCHOR_TEXT = r"""
+WITH pages AS (
+  SELECT '<a href="https://Site' || CAST(doc_id % 20 AS VARCHAR)
+         || '.Example.com/p">Visit <b>Site</b> '
+         || CAST(doc_id % 20 AS VARCHAR) || ' now</a>'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<a href="https://docs.example.org/x">read the &amp;docs v'
+                   || CAST(doc_id % 5 AS VARCHAR) || '</a>'
+              ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN '<a href="/rel">relative skip</a>' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN '<a href="https://u:p@cdn.example.net/f">cdn &lt;fast&gt;</a>'
+              ELSE '' END AS html
+  FROM documents
+),
+anchors AS (
+  SELECT unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a>')) AS a
+  FROM pages
+),
+parts AS (
+  SELECT lower(regexp_extract(
+           regexp_extract(a, '(?i)href\s*=\s*"([^"]*)"', 1),
+           '(?i)^https?://(?:[^/?#]*@)?([^/?#:@]+)', 1)) AS dst_host,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(a, '(?is)^<a[^>]*>|</a>$', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS txt
+  FROM anchors
+),
+terms AS (
+  SELECT dst_host,
+         unnest(string_split_regex(lower(txt), '\s+')) AS term
+  FROM parts WHERE dst_host <> ''
+)
+SELECT dst_host, term, COUNT(*) AS n_anchors
+FROM terms WHERE term <> ''
+GROUP BY dst_host, term
+"""
+
+
+def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile (round 5): synthetic urls with
+    mixed-case hosts and an occasional explicit port (stripped), a
+    third of the texts forced into one shared page so dup_frac is
+    non-trivial. The oracle replays the host regex and the
+    digest/length aggregate (SUM cast back from DuckDB HUGEINT)."""
+    from json_schema_spark.textops.urls import host_profile
+
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://H"), (i % 7).cast("string"),
+        F.lit(".Example.com"),
+        F.when(i % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), i.cast("string"))
+    txt = F.when(i % 3 == 0, F.lit("shared boilerplate page")) \
+        .otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select(url.alias("url"),
+                                       txt.alias("text"))
+    return host_profile(docs)
+
+
+_SQL_HOST_PROFILE = r"""
+WITH pages AS (
+  SELECT 'https://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com'
+         || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 = 0 THEN 'shared boilerplate page'
+              ELSE text END AS text
+  FROM documents
+),
+rows_ AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS host,
+         md5(COALESCE(text, '')) AS d,
+         length(COALESCE(text, '')) AS len
+  FROM pages WHERE url IS NOT NULL
+)
+SELECT host, COUNT(*) AS n_docs,
+       COUNT(DISTINCT d) AS n_unique_texts,
+       CAST(SUM(len) AS BIGINT) AS total_chars,
+       round(1.0 - COUNT(DISTINCT d) / COUNT(*), 6) AS dup_frac
+FROM rows_ WHERE host <> ''
+GROUP BY host
+"""
+
+
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate lines (round 5): five synthetic hosts,
+    each with a host-specific nav line on every page and a cookie
+    notice on half of them (doc_frac exactly 0.5 — binary-exact both
+    engines); per-doc body lines fall below the fraction threshold.
+    The oracle replays the split / trim / distinct-count / rounded
+    fraction pipeline."""
+    from json_schema_spark.textops.textanalysis import (
+        host_boilerplate_lines,
+    )
+
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                   F.lit(".example.com/p/"), i.cast("string"))
+    txt = F.concat(
+        F.lit("NAV h"), (i % 5).cast("string"),
+        F.lit(" | home | about\n"),
+        F.when(i % 2 == 0, F.lit("This site uses cookies\n"))
+        .otherwise(F.lit("")),
+        F.lit("body "), i.cast("string"), F.lit(" "),
+        F.coalesce(F.col("text"), F.lit("")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), txt.alias("text"))
+    return host_boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+
+
+_SQL_HOST_BOILERPLATE = r"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'NAV h' || CAST(doc_id % 5 AS VARCHAR) || ' | home | about'
+         || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+              THEN 'This site uses cookies' || chr(10) ELSE '' END
+         || 'body ' || CAST(doc_id AS VARCHAR) || ' '
+         || COALESCE(text, '') AS text
+  FROM documents
+),
+base AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS host,
+         doc_id AS id, text
+  FROM pages WHERE url IS NOT NULL AND text IS NOT NULL
+),
+hd AS (
+  SELECT host, COUNT(DISTINCT id) AS host_docs
+  FROM base WHERE host <> '' GROUP BY host
+  HAVING COUNT(DISTINCT id) >= 3
+),
+lines_ AS (
+  SELECT host, id, trim(u.l) AS line
+  FROM base, unnest(string_split(base.text, chr(10))) AS u(l)
+  WHERE host <> '' AND trim(u.l) <> ''
+),
+pl AS (
+  SELECT host, line, COUNT(DISTINCT id) AS n_docs
+  FROM lines_ GROUP BY host, line
+)
+SELECT host, line, n_docs, host_docs, doc_frac FROM (
+  SELECT p.host AS host, p.line AS line, p.n_docs AS n_docs,
+         h.host_docs AS host_docs,
+         round(p.n_docs / h.host_docs, 6) AS doc_frac
+  FROM pl p JOIN hd h ON p.host = h.host
+) WHERE doc_frac >= 0.5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -3953,6 +4149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "near_dedup_corpus": _q_near_dedup_corpus,
         # --- new in round 5 (must sit inside the first-50 window) ---
+        "anchor_text": _q_anchor_text,
+        "host_profile": _q_host_profile,
+        "host_boilerplate": _q_host_boilerplate,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4090,4 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_content": _SQL_KW_CONTENT,
         "cast_scalars": _SQL_CAST_SCALARS,
         "url_dedup": _SQL_URL_DEDUP,
+        "anchor_text": _SQL_ANCHOR_TEXT,
+        "host_profile": _SQL_HOST_PROFILE,
+        "host_boilerplate": _SQL_HOST_BOILERPLATE,
     }

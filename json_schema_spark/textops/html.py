@@ -91,3 +91,55 @@ def link_graph(df: DataFrame, html_col: str = "html",
                       .alias("dst_host"))
             .groupBy(src_col, "dst_host")
             .agg(F.count(F.lit(1)).alias("n_links")))
+
+
+# Whole <a href="...">...</a> elements. Non-greedy body, (?is) flags —
+# legal in both Java regex (Spark) and RE2 (DuckDB); no lookarounds, no
+# backreferences. Nested <a> is invalid HTML and terminates at the
+# first </a>, matching browser recovery behavior.
+_ANCHOR_RX = r'(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a>'
+_ANCHOR_HREF_RX = r'(?i)href\s*=\s*"([^"]*)"'
+# the opening <a ...> tag or the closing </a> — stripped before the
+# body text is cleaned (alternation + replace-all in both engines)
+_ANCHOR_WRAP_RX = r"(?is)^<a[^>]*>|</a>$"
+
+
+def anchor_text_index(df: DataFrame, html_col: str = "html",
+                      min_count: int = 1) -> DataFrame:
+    """Anchor-text index: (dst_host, term, n_anchors) — how the web
+    describes each target host, aggregated over every absolute
+    http(s) anchor in the corpus. The classic off-page relevance /
+    quality signal (anchor text was the original web-search ranking
+    feature) and, for crawl curation, a cheap language-and-topic prior
+    for hosts the crawler has not fetched yet.
+
+    Plan: one regexp_extract_all + explode per page (anchor elements),
+    a projection deriving (dst_host, visible text) per element —
+    href host via the same userinfo-safe _HOST_RX as link_graph, body
+    via strip_tags so inner markup and entities fold away — then a
+    token explode and ONE hash aggregate on (dst_host, term). Partial
+    aggregation collapses a page's repeated anchors map-side; the
+    shuffle carries (host, term) cardinality, not anchor cardinality.
+    Hot terms ("click", "here") spread across dst_host keys, so no
+    single reducer sees a celebrity key unless one HOST dominates —
+    the same skew profile link_graph already absorbs.
+
+    ``min_count`` drops sub-threshold (host, term) rows AFTER the
+    aggregate (a HAVING, not a second shuffle)."""
+    a = (df.select(F.explode(F.regexp_extract_all(
+             F.col(html_col), F.lit(_ANCHOR_RX), 0)).alias("_a"))
+         .select(F.lower(F.regexp_extract(
+                     F.regexp_extract("_a", _ANCHOR_HREF_RX, 1),
+                     _HOST_RX, 1)).alias("dst_host"),
+                 strip_tags(F.regexp_replace(
+                     F.col("_a"), _ANCHOR_WRAP_RX, " ")).alias("_txt"))
+         .filter(F.col("dst_host") != ""))
+    terms = (a.select("dst_host",
+                      F.explode(F.split(F.lower(F.col("_txt")),
+                                        r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    out = (terms.groupBy("dst_host", "term")
+           .agg(F.count(F.lit(1)).alias("n_anchors")))
+    if min_count > 1:
+        out = out.filter(F.col("n_anchors") >= min_count)
+    return out

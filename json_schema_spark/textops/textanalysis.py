@@ -276,6 +276,56 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs))
 
 
+def host_boilerplate_lines(df: DataFrame, url_col: str = "url",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_docs: int = 3,
+                           min_frac: float = 0.5) -> DataFrame:
+    """Host-SCOPED boilerplate: (host, line, n_docs, host_docs,
+    doc_frac) for trimmed lines appearing in >= ``min_frac`` of a
+    host's documents (hosts with >= ``min_docs`` pages). Boilerplate
+    is host-local on the real web — one site's nav menu, cookie
+    banner and footer repeat on EVERY page of that site but nowhere
+    else, so a global frequency threshold (boilerplate_lines) misses
+    them on small hosts and over-fires on common short sentences; the
+    per-host fraction is the CCNet/trafilatura-style signal for
+    main-content extraction.
+
+    Plan: explode lines -> distinct-count aggregate keyed on
+    (host, line) + a per-host doc-count aggregate, joined on host.
+    The host-docs side is one row per host (several orders smaller
+    than the corpus) and joins broadcast-eligible — left unhinted so
+    AQE picks broadcast when it fits and degrades to shuffle when a
+    10^9-host crawl does not. Skew: the (host, line) key subdivides a
+    hot host by its distinct lines, and the per-group state is a
+    constant-size count, so a 10^7-page host costs merge time only."""
+    from json_schema_spark.textops.urls import _HOST_RX
+
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    base = (df.filter(F.col(url_col).isNotNull()
+                      & F.col(text_col).isNotNull())
+            .select(host.alias("host"), F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t"))
+            .filter(F.col("host") != ""))
+    host_docs = (base.groupBy("host")
+                 .agg(F.count_distinct("_id").alias("host_docs"))
+                 .filter(F.col("host_docs") >= min_docs))
+    lines = (base
+             .select("host", "_id",
+                     F.explode(F.split(F.col("_t"), "\n")).alias("_raw"))
+             .select("host", "_id", F.trim(F.col("_raw")).alias("line"))
+             .filter(F.col("line") != ""))
+    per_line = (lines.groupBy("host", "line")
+                .agg(F.count_distinct("_id").alias("n_docs")))
+    return (per_line.join(host_docs, "host")
+            .withColumn("doc_frac",
+                        F.round(F.col("n_docs") / F.col("host_docs"), 6))
+            .filter(F.col("doc_frac") >= min_frac)
+            .select("host", "line", "n_docs", "host_docs", "doc_frac"))
+
+
 def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
                              min_docs: int = 2,

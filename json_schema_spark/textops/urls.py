@@ -144,3 +144,46 @@ def filter_urls(df: DataFrame, url_col: str = "url",
         keep = keep & ~path.rlike(BINARY_EXT_RX)
     return (df.filter(col.isNotNull() & keep)
             .withColumn(out_host_col, host))
+
+
+def host_profile(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-host corpus profile: (host, n_docs, n_unique_texts,
+    total_chars, dup_frac) — the first thing a crawl-curation pass
+    computes. A host with dup_frac near 1 is a boilerplate mill
+    (calendar pages, tag indexes, session-id permutations of one
+    article) and gets down-weighted or re-crawled less; total_chars /
+    n_docs separates link farms (tiny pages) from content hosts.
+
+    Plan: one projection (host regex + text digest + length), ONE hash
+    aggregate keyed on host. Exact distinct-text counts ride the same
+    aggregate via count_distinct — Spark rewrites it to a two-level
+    expand/agg whose partial side collapses each task's repeated
+    (host, digest) pairs before the shuffle, so a 10^12-row corpus
+    shuffles at most one row per distinct (host, digest). Hosts are
+    Zipf-skewed but the per-group STATE is constant-size (counts and
+    sums), so a hot host costs merge time, not memory; for
+    sketch-grade profiles at extreme skew swap count_distinct for
+    approx_count_distinct (HLL, checks/stats.py does this for
+    column profiling) and the shuffle drops to one sketch per task.
+
+    Parity: digest = md5(coalesce(text, '')) so NULL and '' collapse
+    to the same bucket deliberately (both are "no content");
+    dup_frac = round(1 - unique/docs, 6) evaluates in double precision
+    identically on any engine."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.filter(F.col(url_col).isNotNull())
+            .select(host.alias("host"), F.md5(txt).alias("_d"),
+                    F.length(txt).alias("_len"))
+            .filter(F.col("host") != "")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(F.col("_d")).alias("n_unique_texts"),
+                 F.sum("_len").alias("total_chars"))
+            .withColumn(
+                "dup_frac",
+                F.round(F.lit(1.0) - F.col("n_unique_texts")
+                        / F.col("n_docs"), 6)))

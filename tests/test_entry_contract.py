@@ -51,6 +51,7 @@ def test_query_registry_is_pinned():
         "kw_combinators", "kw_array",
         "kw_object", "kw_numeric", "kw_formats", "kw_content",
         "cast_scalars", "url_dedup",
+        "anchor_text", "host_profile", "host_boilerplate",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

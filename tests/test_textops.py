@@ -2629,3 +2629,95 @@ def test_weighted_sample_bias_and_determinism(spark):
     b = {r.doc_id for r in
          weighted_sample(df.repartition(13), "w", 20).collect()}
     assert a == b
+
+
+def test_anchor_text_index_semantics(spark):
+    """Anchor extraction: host lowercased via the userinfo-safe regex,
+    inner tags and entities stripped from the body, relative and
+    non-http links dropped, terms lowercased, counts aggregated
+    across pages. Zero Python in the plan."""
+    from json_schema_spark.textops.html import anchor_text_index
+
+    pages = spark.createDataFrame([
+        (1, '<a href="https://A.Example.com/x">Visit <b>Example</b>'
+            ' site</a><a href="/rel">skip me</a>'
+            '<a href="https://u:p@cdn.example.net/f">cdn'
+            ' &amp;fast&#39;s</a>'),
+        (2, '<a href="https://a.example.com/y">visit example'
+            ' SITE</a><a href="ftp://x.example.com/f">nope</a>'),
+        (3, "no anchors here"),
+    ], "doc_id int, html string")
+    out = anchor_text_index(pages)
+    got = {(r.dst_host, r.term): r.n_anchors for r in out.collect()}
+    assert got == {("a.example.com", "visit"): 2,
+                   ("a.example.com", "example"): 2,
+                   ("a.example.com", "site"): 2,
+                   ("cdn.example.net", "cdn"): 1,
+                   ("cdn.example.net", "&fast's"): 1}
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in phys
+
+
+def test_anchor_text_min_count(spark):
+    from json_schema_spark.textops.html import anchor_text_index
+
+    pages = spark.createDataFrame(
+        [(i, '<a href="https://a.example.com/p">common</a>'
+             f'<a href="https://b.example.com/p">rare{i}</a>')
+         for i in range(3)], "doc_id int, html string")
+    out = anchor_text_index(pages, min_count=2)
+    got = {(r.dst_host, r.term): r.n_anchors for r in out.collect()}
+    assert got == {("a.example.com", "common"): 3}
+
+
+def test_host_profile_semantics(spark):
+    """Host lowercase + port strip, md5 digest uniqueness, NULL text
+    folds to the empty digest, relative/NULL urls drop, dup_frac
+    rounded double. One aggregate keyed on host."""
+    from json_schema_spark.textops.urls import host_profile
+
+    docs = spark.createDataFrame([
+        ("https://H1.example.com/a", "same text"),
+        ("https://h1.example.com:8080/b", "same text"),
+        ("https://h1.example.com/c", "other"),
+        ("https://h2.example.com/a", None),
+        ("relative/no-host", "x"),
+        (None, "y"),
+    ], "url string, text string")
+    got = {r.host: r for r in host_profile(docs).collect()}
+    assert set(got) == {"h1.example.com", "h2.example.com"}
+    r1 = got["h1.example.com"]
+    assert (r1.n_docs, r1.n_unique_texts, r1.total_chars) == (3, 2, 23)
+    assert r1.dup_frac == 0.333333
+    r2 = got["h2.example.com"]
+    assert (r2.n_docs, r2.n_unique_texts, r2.total_chars,
+            r2.dup_frac) == (1, 1, 0, 0.0)
+
+
+def test_host_boilerplate_lines_semantics(spark):
+    """Host-scoped fraction: the per-host nav hits 1.0, the cookie
+    notice exactly 0.5 (kept at min_frac=0.5), unique body lines
+    drop; a host below min_docs disappears entirely."""
+    from json_schema_spark.textops.textanalysis import (
+        host_boilerplate_lines,
+    )
+
+    rows = [(i, f"https://h{i % 2}.example.com/{i}",
+             f"NAV h{i % 2} | home\nunique body {i}\n"
+             + ("Cookie notice\n" if i % 4 == 0 else ""))
+            for i in range(12)]
+    rows.append((99, "https://tiny.example.com/1", "NAV tiny\nbody"))
+    df = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    out = host_boilerplate_lines(df, min_docs=3, min_frac=0.5)
+    got = {(r.host, r.line): (r.n_docs, r.host_docs, r.doc_frac)
+           for r in out.collect()}
+    assert got == {
+        ("h0.example.com", "NAV h0 | home"): (6, 6, 1.0),
+        ("h0.example.com", "Cookie notice"): (3, 6, 0.5),
+        ("h1.example.com", "NAV h1 | home"): (6, 6, 1.0),
+    }
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in phys
