@@ -4094,6 +4094,80 @@ SELECT host, line, n_docs, host_docs, doc_frac FROM (
 """
 
 
+
+
+def _q_infer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field profile / schema inference (round 5): synthetic JSON
+    documents with integers, strings, fractional numbers, arrays,
+    nested objects, booleans, explicit nulls and one mixed-type
+    property, profiled to (prop, jtype, n) by
+    validator.infer.json_field_profile (variant parse + map explode,
+    zero Python). The oracle replays the corpus with DuckDB's
+    json_keys/json_type (SQL NULL type == JSON null; UBIGINT/BIGINT
+    both normalize to "integer", DOUBLE and Spark's DECIMAL(p,s>0)
+    both to "number")."""
+    from json_schema_spark.validator.infer import json_field_profile
+
+    i = F.col("doc_id")
+
+    def opt(cond, st):
+        return F.when(cond, st).otherwise(F.lit(""))
+
+    doc = F.concat(
+        F.lit('{"id": '), i.cast("string"),
+        F.lit(', "name": "doc-'), i.cast("string"), F.lit('"'),
+        opt(i % 2 == 0, F.concat(F.lit(', "score": '),
+                                 (i % 7).cast("string"), F.lit(".5"))),
+        opt(i % 3 == 0, F.lit(', "tags": ["a", "b"]')),
+        opt(i % 5 == 0, F.lit(', "meta": {"k": 1}')),
+        opt(i % 7 == 0, F.lit(', "flag": true')),
+        opt(i % 11 == 0, F.lit(', "extra": null')),
+        opt(i % 13 == 0, F.lit(', "mixed": 3')),
+        opt(i % 13 == 1, F.lit(', "mixed": "three"')),
+        F.lit("}"))
+    docs = _docs(spark, sf_dir).select(doc.alias("doc"))
+    return json_field_profile(docs)
+
+
+_SQL_INFER_PROFILE = r"""
+WITH docs AS (
+  SELECT '{"id": ' || CAST(doc_id AS VARCHAR)
+         || ', "name": "doc-' || CAST(doc_id AS VARCHAR) || '"'
+         || CASE WHEN doc_id % 2 = 0
+              THEN ', "score": ' || CAST(doc_id % 7 AS VARCHAR) || '.5'
+              ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+              THEN ', "tags": ["a", "b"]' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ', "meta": {"k": 1}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ', "flag": true' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ', "extra": null' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ', "mixed": 3' ELSE '' END
+         || CASE WHEN doc_id % 13 = 1
+              THEN ', "mixed": "three"' ELSE '' END
+         || '}' AS doc
+  FROM documents
+),
+kv AS (
+  SELECT k AS prop,
+         CASE COALESCE(json_type(doc::JSON, k), 'NULL')
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'BIGINT' THEN 'integer'
+           WHEN 'UBIGINT' THEN 'integer'
+           WHEN 'DOUBLE' THEN 'number'
+           WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'NULL' THEN 'null'
+           WHEN 'ARRAY' THEN 'array'
+           WHEN 'OBJECT' THEN 'object'
+           ELSE 'other' END AS jtype
+  FROM (SELECT doc, unnest(json_keys(doc::JSON)) AS k FROM docs)
+)
+SELECT prop, jtype, COUNT(*) AS n
+FROM kv GROUP BY prop, jtype
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4152,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q_anchor_text,
         "host_profile": _q_host_profile,
         "host_boilerplate": _q_host_boilerplate,
+        "infer_profile": _q_infer_profile,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4292,4 +4367,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _SQL_ANCHOR_TEXT,
         "host_profile": _SQL_HOST_PROFILE,
         "host_boilerplate": _SQL_HOST_BOILERPLATE,
+        "infer_profile": _SQL_INFER_PROFILE,
     }

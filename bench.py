@@ -61,7 +61,12 @@ def main() -> None:
     warm_sf = os.environ.get("BENCH_WARMUP_SF_DIR",
                              "/root/testdata/sf0.001")
     qs = entry.queries()
-    for name in list(qs)[:8]:
+    # 12, not 8: the round-5 driver-window rotation moved queries with
+    # heavy one-time codegen (baseline_drift's t-digest pipeline) into
+    # registry slots 9-10; measured best-of-2 at slot 9 was 7.2s cold
+    # vs 1.4s steady-state — the warmup exists precisely to keep that
+    # artifact out of the timed region
+    for name in list(qs)[:12]:
         try:
             _run(qs[name](spark, warm_sf))
         except Exception as exc:  # warm-up must never fail the bench
