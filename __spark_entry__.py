@@ -4168,6 +4168,181 @@ FROM kv GROUP BY prop, jtype
 """
 
 
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL gating (round 5): seven synthetic hosts — every
+    host has a '*' group (Disallow /p/ with an Allow /p/pub carve-out
+    on every third host, plus an empty Disallow that must be ignored),
+    even hosts add a googlebot+MyBot group (so the specific group
+    SHADOWS '*' there), comments and crawl-delay lines are noise. Urls
+    cycle through disallowed, carve-out, shadowed and unmatched paths;
+    the filter runs as agent="mybot". The oracle replays line
+    classification, the UA-run group reconstruction (lag + last_value
+    IGNORE NULLS), group shadowing, and longest-prefix ranking."""
+    from json_schema_spark.textops.robots import robots_filter
+
+    k = F.col("k")
+    robots = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 7).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("h"), k.cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p/\n"),
+                F.when(k % 3 == 0, F.lit("Allow: /p/pub\n"))
+                .otherwise(F.lit("")),
+                F.lit("Disallow:\n"),
+                F.when(
+                    k % 2 == 0,
+                    F.concat(
+                        F.lit("\nUser-agent: googlebot\n"
+                              "User-agent: MyBot\nDisallow: /s"),
+                        k.cast("string"), F.lit("/\nAllow: /s"),
+                        k.cast("string"), F.lit("/ok\n")))
+                .otherwise(F.lit("")),
+                F.lit("# end")).alias("robots_txt")))
+    i = F.col("doc_id")
+    path = (F.when(i % 5 == 0, F.concat(F.lit("/p/x"),
+                                        i.cast("string")))
+            .when(i % 5 == 1, F.concat(F.lit("/p/pub/y"),
+                                       i.cast("string")))
+            .when(i % 5 == 2, F.concat(F.lit("/s"),
+                                       (i % 7).cast("string"),
+                                       F.lit("/z"), i.cast("string")))
+            .when(i % 5 == 3, F.concat(F.lit("/s"),
+                                       (i % 7).cast("string"),
+                                       F.lit("/ok/w"),
+                                       i.cast("string")))
+            .otherwise(F.concat(F.lit("/open/"), i.cast("string"))))
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                 F.lit(".example.com"), path).alias("url"))
+    return robots_filter(urls, robots, agent="mybot")
+
+
+_SQL_ROBOTS_GATE = r"""
+WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+robots AS (
+  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         'User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10)
+         || CASE WHEN k % 3 = 0
+              THEN 'Allow: /p/pub' || chr(10) ELSE '' END
+         || 'Disallow:' || chr(10)
+         || CASE WHEN k % 2 = 0
+              THEN chr(10) || 'User-agent: googlebot' || chr(10)
+                   || 'User-agent: MyBot' || chr(10)
+                   || 'Disallow: /s' || CAST(k AS VARCHAR) || '/'
+                   || chr(10)
+                   || 'Allow: /s' || CAST(k AS VARCHAR) || '/ok'
+                   || chr(10)
+              ELSE '' END
+         || '# end' AS robots_txt
+  FROM ks
+),
+rlines AS (
+  SELECT host, unnest(range(0, len(ls))) AS pos, unnest(ls) AS raw
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls
+        FROM robots)
+),
+tagged AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '(?i)^([a-z-]+)\s*:', 1)) AS kind,
+         trim(regexp_extract(line, '(?i)^[a-z-]+\s*:\s*(.*)$', 1))
+           AS val
+  FROM (SELECT host, pos,
+               trim(regexp_replace(raw, '#.*$', '')) AS line
+        FROM rlines)
+  WHERE line <> ''
+),
+runflag AS (
+  SELECT host, pos, kind, val,
+         CASE WHEN kind = 'user-agent'
+               AND NOT COALESCE(
+                 lag(kind = 'user-agent')
+                   OVER (PARTITION BY host ORDER BY pos), false)
+              THEN pos END AS run_start
+  FROM tagged
+),
+blocked AS (
+  SELECT host, pos, kind, val,
+         last_value(run_start IGNORE NULLS)
+           OVER (PARTITION BY host ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS block
+  FROM runflag
+),
+ua AS (
+  SELECT host, block,
+         max(CASE WHEN lower(val) = 'mybot' THEN 1 ELSE 0 END)
+           AS has_agent,
+         max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM blocked WHERE kind = 'user-agent' AND val <> ''
+  GROUP BY host, block
+),
+appl AS (
+  SELECT b.host, b.kind AS rule, b.val AS path, b.pos,
+         u.has_agent
+  FROM blocked b JOIN ua u ON b.host = u.host AND b.block = u.block
+  WHERE b.kind IN ('allow', 'disallow') AND b.val <> ''
+    AND b.block IS NOT NULL AND (u.has_agent = 1 OR u.has_star = 1)
+),
+hostspec AS (
+  SELECT host, max(has_agent) AS has_spec FROM appl GROUP BY host
+),
+rules AS (
+  SELECT a.host, a.rule, a.path, a.pos
+  FROM appl a JOIN hostspec h ON a.host = h.host
+  WHERE a.has_agent = 1 OR h.has_spec = 0
+),
+urls AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         || CASE doc_id % 5
+              WHEN 0 THEN '/p/x' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/p/pub/y' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/s' || CAST(doc_id % 7 AS VARCHAR)
+                          || '/z' || CAST(doc_id AS VARCHAR)
+              WHEN 3 THEN '/s' || CAST(doc_id % 7 AS VARCHAR)
+                          || '/ok/w' || CAST(doc_id AS VARCHAR)
+              ELSE '/open/' || CAST(doc_id AS VARCHAR)
+            END AS url
+  FROM documents
+),
+u2 AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS uh,
+         CASE WHEN regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+         END AS up
+  FROM urls
+),
+cand AS (
+  SELECT u2.doc_id, u2.url, u2.uh, u2.up, r.rule, r.path, r.pos,
+         (r.path IS NOT NULL AND starts_with(u2.up, r.path)) AS hit
+  FROM u2 LEFT JOIN rules r ON u2.uh = r.host
+),
+best AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY hit DESC, length(path) DESC,
+                    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END,
+                    pos) AS rn
+  FROM cand
+)
+SELECT url, uh AS url_host,
+       (NOT hit OR rule = 'allow') AS allowed,
+       CASE WHEN hit THEN rule END AS matched_rule,
+       CASE WHEN hit THEN path END AS matched_path
+FROM best WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4227,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": _q_host_profile,
         "host_boilerplate": _q_host_boilerplate,
         "infer_profile": _q_infer_profile,
+        "robots_gate": _q_robots_gate,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4368,4 +4544,5 @@ def oracle_sql() -> dict[str, str]:
         "host_profile": _SQL_HOST_PROFILE,
         "host_boilerplate": _SQL_HOST_BOILERPLATE,
         "infer_profile": _SQL_INFER_PROFILE,
+        "robots_gate": _SQL_ROBOTS_GATE,
     }

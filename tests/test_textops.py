@@ -2721,3 +2721,74 @@ def test_host_boilerplate_lines_semantics(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
                    "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in phys
+
+
+def test_robots_rules_groups_and_noise(spark):
+    """Group reconstruction: consecutive User-agent lines share one
+    group; comments, crawl-delay, empty Disallow and pre-group
+    directives drop; agents lowercase."""
+    from json_schema_spark.textops.robots import robots_rules
+
+    txt = ("Disallow: /orphan/\n"          # before any group: drops
+           "# header comment\n"
+           "User-agent: GoogleBot\n"
+           "User-agent: mybot\n"
+           "Disallow: /private/\n"
+           "Crawl-delay: 10\n"
+           "\n"
+           "User-agent: *\n"
+           "Allow: /ok  # trailing comment\n"
+           "Disallow:\n")
+    df = spark.createDataFrame([("a.com", txt)],
+                               "host string, robots_txt string")
+    rows = robots_rules(df).collect()
+    got = {(r.rule, r.path): sorted(r.agents) for r in rows}
+    assert got == {("disallow", "/private/"): ["googlebot", "mybot"],
+                   ("allow", "/ok"): ["*"]}
+
+
+def test_robots_filter_semantics(spark):
+    """Longest-prefix wins, allow beats disallow on ties, specific
+    group shadows '*', robots-less hosts allow, duplicate urls each
+    keep a verdict."""
+    from json_schema_spark.textops.robots import robots_filter
+
+    robots = spark.createDataFrame([
+        ("a.com", "User-agent: mybot\nDisallow: /d/\nAllow: /d/ok\n"
+                  "\nUser-agent: *\nDisallow: /"),
+        ("b.com", "User-agent: *\nDisallow: /x\nAllow: /x"),
+    ], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.com/d/1",), ("https://a.com/d/ok/2",),
+         ("https://a.com/free",),          # '*' shadowed -> allowed
+         ("https://b.com/x/tie",),         # equal length: allow wins
+         ("https://c.com/anything",),      # no robots
+         ("https://a.com/d/1",)],          # duplicate url
+        "url string")
+    out = robots_filter(urls, robots, agent="MyBot").collect()
+    verdicts = {}
+    for r in out:
+        verdicts.setdefault(r.url, []).append(
+            (r.allowed, r.matched_rule, r.matched_path))
+    assert verdicts["https://a.com/d/1"] == [
+        (False, "disallow", "/d/")] * 2
+    assert verdicts["https://a.com/d/ok/2"] == [
+        (True, "allow", "/d/ok")]
+    assert verdicts["https://a.com/free"] == [(True, None, None)]
+    assert verdicts["https://b.com/x/tie"] == [(True, "allow", "/x")]
+    assert verdicts["https://c.com/anything"] == [(True, None, None)]
+
+
+def test_robots_filter_zero_python_plan(spark):
+    from json_schema_spark.textops.robots import robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame([("https://a.com/p/x",)],
+                                 "url string")
+    out = robots_filter(urls, robots)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "CartesianProduct"):
+        assert marker not in phys
