@@ -4343,6 +4343,98 @@ FROM best WHERE rn = 1
 """
 
 
+def _q_infer_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-format inference profile (round 5): synthetic JSON docs
+    whose string properties are all-date-time (ts), all-email (mail),
+    all-ipv4 (ip), never-matching (free), all-uri when present (link)
+    and half-uuid (code) — profiled to (prop, format, n_match,
+    n_strings, frac) by validator.infer.string_format_profile (one
+    explode, one aggregate, stack unpivot — zero Python). The oracle
+    cross-joins the string values against the SAME battery regexes
+    (FORMAT_BATTERY is the single source for both engines)."""
+    from json_schema_spark.validator.infer import string_format_profile
+
+    i = F.col("doc_id")
+
+    def opt(cond, st):
+        return F.when(cond, st).otherwise(F.lit(""))
+
+    doc = F.concat(
+        F.lit('{"id": '), i.cast("string"),
+        F.lit(', "ts": "2024-0'), (i % 9 + 1).cast("string"),
+        F.lit("-1"), (i % 9).cast("string"),
+        F.lit("T0"), (i % 9).cast("string"),
+        F.lit(":3"), (i % 5).cast("string"), F.lit(':00Z"'),
+        F.lit(', "mail": "user'), i.cast("string"),
+        F.lit('@example.com"'),
+        F.lit(', "ip": "10.0.'), (i % 250).cast("string"),
+        F.lit("."), (i % 9).cast("string"), F.lit('"'),
+        F.lit(', "free": "just text '), i.cast("string"), F.lit('"'),
+        opt(i % 4 == 0,
+            F.concat(F.lit(', "link": "https://example.org/p/'),
+                     i.cast("string"), F.lit('"'))),
+        F.lit(', "code": "'),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("00000000-0000-4000-8000-"),
+                        F.lpad(i.cast("string"), 12, "0")))
+        .otherwise(F.concat(F.lit("not-a-uuid-"), i.cast("string"))),
+        F.lit('"}'))
+    docs = _docs(spark, sf_dir).select(doc.alias("doc"))
+    return string_format_profile(docs)
+
+
+def _sql_infer_formats() -> str:
+    from json_schema_spark.validator.infer import FORMAT_BATTERY
+
+    battery = ",\n    ".join(
+        f"('{name}', $rx${rx}$rx$)" for name, rx in FORMAT_BATTERY)
+    return rf"""
+WITH docs AS (
+  SELECT '{{"id": ' || CAST(doc_id AS VARCHAR)
+         || ', "ts": "2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+         || '-1' || CAST(doc_id % 9 AS VARCHAR)
+         || 'T0' || CAST(doc_id % 9 AS VARCHAR)
+         || ':3' || CAST(doc_id % 5 AS VARCHAR) || ':00Z"'
+         || ', "mail": "user' || CAST(doc_id AS VARCHAR)
+         || '@example.com"'
+         || ', "ip": "10.0.' || CAST(doc_id % 250 AS VARCHAR)
+         || '.' || CAST(doc_id % 9 AS VARCHAR) || '"'
+         || ', "free": "just text ' || CAST(doc_id AS VARCHAR) || '"'
+         || CASE WHEN doc_id % 4 = 0
+              THEN ', "link": "https://example.org/p/'
+                   || CAST(doc_id AS VARCHAR) || '"'
+              ELSE '' END
+         || ', "code": "'
+         || CASE WHEN doc_id % 2 = 0
+              THEN '00000000-0000-4000-8000-'
+                   || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+              ELSE 'not-a-uuid-' || CAST(doc_id AS VARCHAR) END
+         || '"}}' AS doc
+  FROM documents
+),
+kv AS (
+  SELECT k AS prop, doc::JSON ->> k AS val
+  FROM (SELECT doc, unnest(json_keys(doc::JSON)) AS k FROM docs)
+  WHERE json_type(doc::JSON, k) = 'VARCHAR'
+),
+fmts(format, rx) AS (VALUES
+    {battery}
+)
+SELECT prop, format,
+       CAST(SUM(CASE WHEN regexp_matches(val, rx) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       COUNT(*) AS n_strings,
+       round(CAST(SUM(CASE WHEN regexp_matches(val, rx)
+                      THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS frac
+FROM kv CROSS JOIN fmts
+GROUP BY prop, format
+"""
+
+
+_SQL_INFER_FORMATS = _sql_infer_formats()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4403,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": _q_host_boilerplate,
         "infer_profile": _q_infer_profile,
         "robots_gate": _q_robots_gate,
+        "infer_formats": _q_infer_formats,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4545,4 +4638,5 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate": _SQL_HOST_BOILERPLATE,
         "infer_profile": _SQL_INFER_PROFILE,
         "robots_gate": _SQL_ROBOTS_GATE,
+        "infer_formats": _SQL_INFER_FORMATS,
     }

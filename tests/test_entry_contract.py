@@ -52,7 +52,7 @@ def test_query_registry_is_pinned():
         "kw_object", "kw_numeric", "kw_formats", "kw_content",
         "cast_scalars", "url_dedup",
         "anchor_text", "host_profile", "host_boilerplate",
-        "infer_profile", "robots_gate",
+        "infer_profile", "robots_gate", "infer_formats",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

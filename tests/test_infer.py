@@ -6,8 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from json_schema_spark.validator.infer import (
+    FORMAT_BATTERY,
     infer_json_schema,
     json_field_profile,
+    string_format_profile,
 )
 
 
@@ -71,6 +73,72 @@ def test_infer_json_schema_shape(corpus):
     assert props["mixed"] == {"type": ["integer", "string"]}
     assert props["extra"] == {"type": "null"}
     assert schema["required"] == ["id", "name"]
+
+
+@pytest.fixture(scope="module")
+def fmt_corpus(spark):
+    rows = []
+    for i in range(40):
+        parts = [
+            f'"id": {i}',
+            f'"ts": "2024-0{i % 9 + 1}-1{i % 9}T0{i % 9}:3{i % 5}:00Z"',
+            f'"mail": "user{i}@example.com"',
+            f'"ip": "10.0.{i % 250}.{i % 9}"',
+            f'"free": "just text {i}"',
+        ]
+        if i % 4 == 0:
+            # one near-miss so 'mail' is NOT 100% date-time etc.
+            parts.append(f'"link": "https://example.org/p/{i}"')
+        rows.append((i, "{" + ", ".join(parts) + "}"))
+    return spark.createDataFrame(rows, "doc_id int, doc string")
+
+
+def test_string_format_profile_counts(fmt_corpus):
+    got = {(r.prop, r.format): (r.n_match, r.n_strings)
+           for r in string_format_profile(fmt_corpus).collect()}
+    assert got[("ts", "date-time")] == (40, 40)
+    assert got[("ts", "date")] == (0, 40)
+    assert got[("mail", "email")] == (40, 40)
+    assert got[("ip", "ipv4")] == (40, 40)
+    assert got[("link", "uri")] == (10, 10)
+    assert got[("free", "email")] == (0, 40)
+    # every string prop gets exactly one row per battery entry
+    props = {p for (p, _) in got}
+    assert props == {"ts", "mail", "ip", "free", "link"}
+    assert len(got) == len(props) * len(FORMAT_BATTERY)
+
+
+def test_string_format_profile_is_jvm_only(fmt_corpus):
+    out = string_format_profile(fmt_corpus)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in phys
+    assert phys.count("Exchange hashpartitioning") <= 1
+
+
+def test_infer_detect_formats_round_trip(spark, fmt_corpus):
+    """Format inference annotates all-matching string props with the
+    most specific battery entry, and the compiled schema then REJECTS
+    a doc violating the inferred format."""
+    from json_schema_spark.validator.json_column import json_violations
+
+    schema = infer_json_schema(fmt_corpus, detect_formats=True)
+    props = schema["properties"]
+    assert props["ts"] == {"type": "string", "format": "date-time"}
+    assert props["mail"] == {"type": "string", "format": "email"}
+    assert props["ip"] == {"type": "string", "format": "ipv4"}
+    assert props["link"] == {"type": "string", "format": "uri"}
+    assert "format" not in props["free"]
+    assert "format" not in props["id"]
+    ok = json_violations(fmt_corpus, schema, column="doc",
+                         id_col="doc_id")
+    assert ok.count() == 0
+    bad = spark.createDataFrame(
+        [(999, '{"id": 1, "ts": "not-a-date", '
+               '"mail": "a@b.com", "ip": "1.2.3.4", "free": "x"}')],
+        "doc_id int, doc string")
+    viol = json_violations(bad, schema, column="doc", id_col="doc_id")
+    assert viol.count() >= 1
 
 
 def test_infer_compile_validate_round_trip(spark, corpus):
