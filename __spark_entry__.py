@@ -4435,6 +4435,206 @@ GROUP BY prop, format
 _SQL_INFER_FORMATS = _sql_infer_formats()
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (round 5): four synthetic path shapes
+    per host — numeric article ids (unique text), a two-level calendar
+    trap (one shared text), a nested numeric path, and a 12-hex-char
+    content-hash path — aggregated to (host, path_template, n_urls,
+    n_unique_texts, dup_frac) by textops.urls.url_path_templates. The
+    oracle replays host extraction and the hex-then-digit template
+    rewrite with regexp_replace(..., 'g')."""
+    from json_schema_spark.textops.urls import url_path_templates
+
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/article/"),
+                                    i.cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/cal/"),
+                                   (i % 3).cast("string"),
+                                   F.lit("/"), i.cast("string")))
+        .when(i % 4 == 2, F.concat(F.lit("/p/"), i.cast("string"),
+                                   F.lit("/x")))
+        .otherwise(F.concat(
+            F.lit("/hex/"),
+            F.substring(F.md5(i.cast("string")), 1, 12))))
+    txt = F.when(i % 4 == 1, F.lit("calendar page")) \
+        .otherwise(F.concat(F.lit("u"), i.cast("string")))
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://H"), (i % 5).cast("string"),
+                 F.lit(".Example.com"), path).alias("url"),
+        txt.alias("text"))
+    return url_path_templates(docs, min_urls=2)
+
+
+_SQL_URL_TEMPLATES = r"""
+WITH docs AS (
+  SELECT 'https://H' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com'
+         || CASE
+              WHEN doc_id % 4 = 0
+                THEN '/article/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 4 = 1
+                THEN '/cal/' || CAST(doc_id % 3 AS VARCHAR)
+                     || '/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 4 = 2
+                THEN '/p/' || CAST(doc_id AS VARCHAR) || '/x'
+              ELSE '/hex/'
+                   || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+            END AS url,
+         CASE WHEN doc_id % 4 = 1 THEN 'calendar page'
+              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+proj AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS host,
+         regexp_replace(regexp_replace(
+           CASE WHEN regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+                THEN '/'
+                ELSE regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+           END,
+           '[0-9a-f]{8,}', '{x}', 'g'), '[0-9]+', '{d}', 'g')
+           AS path_template,
+         md5(COALESCE(text, '')) AS _d
+  FROM docs WHERE url IS NOT NULL
+)
+SELECT host, path_template,
+       COUNT(*) AS n_urls,
+       CAST(COUNT(DISTINCT _d) AS BIGINT) AS n_unique_texts,
+       round(1.0 - CAST(COUNT(DISTINCT _d) AS BIGINT) / COUNT(*), 6)
+         AS dup_frac
+FROM proj WHERE host <> ''
+GROUP BY host, path_template
+HAVING COUNT(*) >= 2
+"""
+
+
+def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<head> metadata extraction (round 5): synthetic pages with an
+    entity-and-markup-bearing <title> (absent on every 7th), a
+    meta description in BOTH attribute orders, a canonical link in
+    both orders, and a mixed-case lang attribute — extracted to
+    (doc_id, title, meta_description, canonical_url, html_lang) by
+    textops.html.html_meta (zero-shuffle projection). The oracle
+    replays the tag regexes and the strip_tags entity chain."""
+    from json_schema_spark.textops.html import html_meta
+
+    i = F.col("doc_id")
+
+    def opt(cond, st):
+        return F.when(cond, st).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html"),
+        F.when(i % 5 == 0, F.lit(' lang="EN-us"'))
+        .when(i % 5 == 1, F.lit(' lang="fr"'))
+        .when(i % 5 == 3, F.lit(' lang="DE-at"'))
+        .otherwise(F.lit("")),
+        F.lit("><head>"),
+        opt(i % 7 != 0,
+            F.concat(F.lit("<title> Doc "), i.cast("string"),
+                     F.lit(" &amp; <b>more</b>\ntail </title>"))),
+        opt(i % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="Sum '
+                           "&quot;"), (i % 5).cast("string"),
+                     F.lit('&quot;">'))),
+        opt(i % 4 == 1,
+            F.concat(F.lit('<meta content="rev '),
+                     (i % 3).cast("string"),
+                     F.lit('" name="description">'))),
+        opt(i % 6 == 0,
+            F.concat(F.lit('<link rel="canonical" '
+                           'href="https://c.example.com/'),
+                     (i % 10).cast("string"), F.lit('">'))),
+        opt(i % 6 == 3,
+            F.concat(F.lit('<link href="https://c.example.com/r'),
+                     (i % 10).cast("string"),
+                     F.lit('" rel="canonical">'))),
+        F.lit("</head><body>body</body></html>"))
+    docs = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return html_meta(docs).select(
+        "doc_id", "title", "meta_description", "canonical_url",
+        "html_lang")
+
+
+_SQL_HTML_META = r"""
+WITH docs AS (
+  SELECT doc_id,
+         '<html'
+         || CASE WHEN doc_id % 5 = 0 THEN ' lang="EN-us"'
+                 WHEN doc_id % 5 = 1 THEN ' lang="fr"'
+                 WHEN doc_id % 5 = 3 THEN ' lang="DE-at"'
+                 ELSE '' END
+         || '><head>'
+         || CASE WHEN doc_id % 7 <> 0
+              THEN '<title> Doc ' || CAST(doc_id AS VARCHAR)
+                   || ' &amp; <b>more</b>' || chr(10)
+                   || 'tail </title>'
+              ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN '<meta name="description" content="Sum &quot;'
+                   || CAST(doc_id % 5 AS VARCHAR) || '&quot;">'
+              ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+              THEN '<meta content="rev ' || CAST(doc_id % 3 AS VARCHAR)
+                   || '" name="description">'
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN '<link rel="canonical" href="https://c.example.com/'
+                   || CAST(doc_id % 10 AS VARCHAR) || '">'
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 3
+              THEN '<link href="https://c.example.com/r'
+                   || CAST(doc_id % 10 AS VARCHAR) || '" rel="canonical">'
+              ELSE '' END
+         || '</head><body>body</body></html>' AS html
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+         regexp_extract(html, '(?is)<title[^>]*>(.*?)</title', 1)
+           AS title_raw,
+         regexp_extract(
+           regexp_extract(html,
+             '(?is)<meta\s[^>]*name\s*=\s*"description"[^>]*>', 0),
+           '(?i)content\s*=\s*"([^"]*)"', 1) AS desc_raw,
+         regexp_extract(
+           regexp_extract(html,
+             '(?is)<link\s[^>]*rel\s*=\s*"canonical"[^>]*>', 0),
+           '(?i)href\s*=\s*"([^"]*)"', 1) AS canon,
+         lower(regexp_extract(html,
+           '(?is)<html[^>]*\slang\s*=\s*"([^"]*)"', 1)) AS lang
+  FROM docs
+),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(title_raw, '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS title,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(desc_raw, '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS meta_description,
+         canon, lang
+  FROM raw
+)
+SELECT doc_id,
+       NULLIF(title, '') AS title,
+       NULLIF(meta_description, '') AS meta_description,
+       NULLIF(canon, '') AS canonical_url,
+       NULLIF(lang, '') AS html_lang
+FROM clean
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4496,6 +4696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_profile": _q_infer_profile,
         "robots_gate": _q_robots_gate,
         "infer_formats": _q_infer_formats,
+        "url_templates": _q_url_templates,
+        "html_meta": _q_html_meta,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4639,4 +4841,6 @@ def oracle_sql() -> dict[str, str]:
         "infer_profile": _SQL_INFER_PROFILE,
         "robots_gate": _SQL_ROBOTS_GATE,
         "infer_formats": _SQL_INFER_FORMATS,
+        "url_templates": _SQL_URL_TEMPLATES,
+        "html_meta": _SQL_HTML_META,
     }

@@ -143,3 +143,51 @@ def anchor_text_index(df: DataFrame, html_col: str = "html",
     if min_count > 1:
         out = out.filter(F.col("n_anchors") >= min_count)
     return out
+
+
+# <head> metadata extraction. One regex per element; attribute ORDER
+# inside the tag does not matter because the whole tag is extracted
+# first (the [^>]* before the marker attribute skips any attributes
+# ahead of it) and the wanted attribute is then pulled from the tag
+# text — '<meta content="x" name="description">' and
+# '<meta name="description" content="x">' both resolve. All patterns
+# are Java/RE2 common subset.
+_TITLE_RX = r"(?is)<title[^>]*>(.*?)</title"
+_META_NAME_DESC_RX = (
+    r'(?is)<meta\s[^>]*name\s*=\s*"description"[^>]*>')
+_LINK_CANONICAL_RX = r'(?is)<link\s[^>]*rel\s*=\s*"canonical"[^>]*>'
+_CONTENT_ATTR_RX = r'(?i)content\s*=\s*"([^"]*)"'
+_HREF_ATTR_RX = r'(?i)href\s*=\s*"([^"]*)"'
+_HTML_LANG_RX = r'(?is)<html[^>]*\slang\s*=\s*"([^"]*)"'
+
+
+def html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """df + <head> metadata columns — the page-level signals a crawl
+    curator reads before the body: ``title`` (tags stripped, entities
+    decoded, whitespace collapsed), ``meta_description`` (the
+    name="description" content, decoded the same way),
+    ``canonical_url`` (rel="canonical" href — THE dedup key search
+    engines honor ahead of any content hash), ``html_lang`` (the
+    <html lang> attribute, lowercased — the declared-language prior
+    a language-ID model is checked against). Absent elements are
+    NULL, not ''.
+
+    Scale story: a pure zero-shuffle projection (regexp extractions
+    only) that runs at scan throughput and composes with predicate
+    pushdown; at 10^12 pages this is a map stage with no state."""
+    html = F.col(html_col)
+    title_raw = F.regexp_extract(html, _TITLE_RX, 1)
+    title = strip_tags(title_raw)
+    desc_tag = F.regexp_extract(html, _META_NAME_DESC_RX, 0)
+    desc = strip_tags(F.regexp_extract(desc_tag, _CONTENT_ATTR_RX, 1))
+    canon_tag = F.regexp_extract(html, _LINK_CANONICAL_RX, 0)
+    canon = F.regexp_extract(canon_tag, _HREF_ATTR_RX, 1)
+    lang = F.lower(F.regexp_extract(html, _HTML_LANG_RX, 1))
+
+    def _nn(c: Column) -> Column:
+        return F.when(c != "", c)
+
+    return (df.withColumn("title", _nn(title))
+            .withColumn("meta_description", _nn(desc))
+            .withColumn("canonical_url", _nn(canon))
+            .withColumn("html_lang", _nn(lang)))

@@ -146,6 +146,64 @@ def filter_urls(df: DataFrame, url_col: str = "url",
             .withColumn(out_host_col, host))
 
 
+# template rewrite rules, applied in order: hex runs first (a hex id
+# is also a digit run when purely numeric — the longer class must win),
+# then digit runs. Both classes are Java/RE2 common subset; Spark's
+# regexp_replace is replace-all, the DuckDB oracle passes the 'g' flag.
+TEMPLATE_HEX_RX = r"[0-9a-f]{8,}"
+TEMPLATE_DIGIT_RX = r"[0-9]+"
+
+
+def path_template(col: Column) -> Column:
+    """Collapse volatile URL-path tokens to placeholders: hex runs of
+    8+ chars -> '{x}' (content hashes, session ids), digit runs ->
+    '{d}' (pagination, calendar, numeric ids). '/product/8213?x' and
+    '/product/97' both become '/product/{d}' — the shape a crawler
+    trap repeats millions of times."""
+    path = F.regexp_extract(col, _PATH_RX, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.regexp_replace(
+        F.regexp_replace(path, TEMPLATE_HEX_RX, "{x}"),
+        TEMPLATE_DIGIT_RX, "{d}")
+
+
+def url_path_templates(df: DataFrame, url_col: str = "url",
+                       text_col: str = "text",
+                       min_urls: int = 2) -> DataFrame:
+    """Per-host URL path-template mining — the crawler-trap detector:
+    (host, path_template, n_urls, n_unique_texts, dup_frac). A
+    template with thousands of urls but a handful of distinct texts
+    is an infinite URL space (calendar pages, session-id permutations,
+    faceted search) and gets dropped from the frontier; a template
+    with distinct text per url is real content paginated.
+
+    Plan: one projection (host + template regexes + text digest) and
+    ONE hash aggregate keyed on (host, template) — count_distinct
+    collapses repeated (host, template, digest) map-side, so the
+    shuffle carries at most one row per distinct triple regardless of
+    corpus size. Keys are (host, template), which SUBDIVIDE hot hosts
+    across their templates; a single hot (host, template) cell has
+    constant-size aggregate state (counts), so skew costs merge time,
+    not memory. Zero Python."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.filter(F.col(url_col).isNotNull())
+            .select(host.alias("host"),
+                    path_template(F.col(url_col)).alias("path_template"),
+                    F.md5(txt).alias("_d"))
+            .filter(F.col("host") != "")
+            .groupBy("host", "path_template")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.count_distinct(F.col("_d")).alias("n_unique_texts"))
+            .filter(F.col("n_urls") >= min_urls)
+            .withColumn(
+                "dup_frac",
+                F.round(F.lit(1.0) - F.col("n_unique_texts")
+                        / F.col("n_urls"), 6)))
+
+
 def host_profile(df: DataFrame, url_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """Per-host corpus profile: (host, n_docs, n_unique_texts,

@@ -2695,6 +2695,84 @@ def test_host_profile_semantics(spark):
             r2.dup_frac) == (1, 1, 0, 0.0)
 
 
+def test_url_path_templates_trap_detection(spark):
+    """Digit runs -> {d}, 8+ hex runs -> {x} (hex wins over digits on
+    long numeric runs), empty path -> '/', min_urls prunes singleton
+    templates; the calendar trap shows high dup_frac while the real
+    article template shows 0."""
+    from json_schema_spark.textops.urls import (
+        path_template,
+        url_path_templates,
+    )
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(8):
+        rows.append((f"https://t.example.com/cal/2024/{i}",
+                     "calendar page"))          # trap: one shared text
+        rows.append((f"https://t.example.com/article/{i}",
+                     f"real content {i}"))      # real: unique text
+    rows.append(("https://t.example.com/hex/deadbeef01", "h"))
+    rows.append(("https://t.example.com/hex/cafebabe9999", "h2"))
+    rows.append(("https://t.example.com/only-once", "x"))
+    rows.append(("https://t.example.com", "rootpage"))
+    rows.append(("https://t.example.com/", "rootpage"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = url_path_templates(df, min_urls=2)
+    got = {r.path_template: (r.n_urls, r.n_unique_texts, r.dup_frac)
+           for r in out.collect()}
+    assert got["/cal/{d}/{d}"] == (8, 1, 0.875)
+    assert got["/article/{d}"] == (8, 8, 0.0)
+    assert got["/hex/{x}"] == (2, 2, 0.0)
+    assert got["/"] == (2, 1, 0.5)
+    assert "/only-once" not in got
+    # a 10-digit run is hex-shaped too: hex rule applied first wins
+    tpl = spark.range(1).select(
+        path_template(F.lit("https://x.example.com/p/1234567890"))
+        .alias("t")).collect()[0].t
+    assert tpl == "/p/{x}"
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in phys
+
+
+def test_html_meta_extraction(spark):
+    """Title with inner tags + entities cleans; description resolves
+    for BOTH attribute orders; canonical href for both orders; lang
+    lowercases; absent elements are NULL (not '')."""
+    from json_schema_spark.textops.html import html_meta
+
+    docs = spark.createDataFrame([
+        (0, '<html lang="EN-us"><head>'
+            "<title> Big &amp; <b>Bold</b>\n News </title>"
+            '<meta name="description" content="A &quot;story&quot;.">'
+            '<link rel="canonical" href="https://ex.example.com/a">'
+            "</head><body>x</body></html>"),
+        (1, "<html><head>"
+            '<meta content="rev order" name="description">'
+            '<link href="https://ex.example.com/b" rel="canonical">'
+            "</head></html>"),
+        (2, "<html><body>no head markup</body></html>"),
+    ], "doc_id int, html string")
+    got = {r.doc_id: r for r in html_meta(docs).collect()}
+    assert got[0].title == 'Big & Bold News'
+    assert got[0].meta_description == 'A "story".'
+    assert got[0].canonical_url == "https://ex.example.com/a"
+    assert got[0].html_lang == "en-us"
+    assert got[1].title is None
+    assert got[1].meta_description == "rev order"
+    assert got[1].canonical_url == "https://ex.example.com/b"
+    assert got[1].html_lang is None
+    r2 = got[2]
+    assert (r2.title, r2.meta_description, r2.canonical_url,
+            r2.html_lang) == (None, None, None, None)
+    out = html_meta(docs)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "Exchange"):
+        assert marker not in phys
+
+
 def test_host_boilerplate_lines_semantics(spark):
     """Host-scoped fraction: the per-host nav hits 1.0, the cookie
     notice exactly 0.5 (kept at min_frac=0.5), unique body lines
