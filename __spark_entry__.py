@@ -803,7 +803,7 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(_docs(spark, sf_dir))
 
 
-def _sql_text_analysis() -> str:
+def _sql_text_analysis(source: str = "documents") -> str:
     from json_schema_spark.textops.textanalysis import STOPWORDS
 
     def lit_list(words: list[str]) -> str:
@@ -850,7 +850,7 @@ SELECT doc_id,
        {quality} AS quality,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
          AS fingerprint
-FROM documents WHERE text IS NOT NULL
+FROM {source} WHERE text IS NOT NULL
 """
 
 
@@ -4635,6 +4635,114 @@ FROM clean
 """
 
 
+def _q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup (round 5): the perturbed corpus where
+    the ' extrawordzz' clones are LONGER than their originals, so
+    keep-best retains the clone while keep-first (near_dedup_corpus)
+    would retain the original — the two oracles pin opposite
+    survivors from identical groups. The oracle ranks each transitive
+    group by (length DESC, id ASC) over the same recursive-CTE
+    closure."""
+    from json_schema_spark.textops.dedup import near_dedup_keep_best
+
+    out = near_dedup_keep_best(_dedup_corpus(spark, sf_dir),
+                               threshold=0.5)
+    return out.select("doc_id")
+
+
+def _sql_canonical_pick() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.s AS node, r.lab
+  FROM edges e JOIN reach r ON e.t = r.node
+),
+labels AS (
+  SELECT node, min(lab) AS grp FROM reach GROUP BY node
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extrawordzz'
+  FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+),
+members AS (
+  SELECT l.node, l.grp, length(COALESCE(c.text, '')) AS q
+  FROM labels l JOIN corpus c ON c.doc_id = l.node
+),
+ranked AS (
+  SELECT node, row_number() OVER (
+    PARTITION BY grp ORDER BY q DESC, node ASC) AS rn
+  FROM members
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+"""
+
+
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality prior (round 5): urls spread over 7 hosts,
+    every 5th text replaced by one short shared page (fails the
+    min_tokens gate AND collapses the fingerprint), aggregated to
+    integer-exact host stats by textanalysis.host_quality. The oracle
+    reuses the text_analysis SQL (parameterized source) joined to the
+    synthetic host and grouped."""
+    from json_schema_spark.textops.textanalysis import host_quality
+
+    i = F.col("doc_id")
+    txt = F.when(
+        i % 5 == 0,
+        F.lit("the shared and duplicated page text appears here")) \
+        .otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string"))
+        .alias("url"),
+        txt.alias("text"))
+    return host_quality(docs)
+
+
+def _sql_host_quality() -> str:
+    feats = _sql_text_analysis(source="hdocs")
+    return f"""
+WITH hdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'the shared and duplicated page text appears here'
+              ELSE text END AS text
+  FROM documents
+),
+feats AS ({feats}),
+hosted AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         n_tokens, alpha_ratio, quality, fingerprint
+  FROM feats
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens >= 10 AND alpha_ratio >= 0.5
+                     AND quality >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(CAST(SUM(CASE WHEN n_tokens >= 10 AND alpha_ratio >= 0.5
+                      AND quality >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS keep_rate,
+       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique_texts,
+       round(1.0 - CAST(COUNT(DISTINCT fingerprint) AS BIGINT)
+             / COUNT(*), 6) AS dup_frac,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_tokens) AS BIGINT) / COUNT(*), 6) AS avg_tokens
+FROM hosted
+GROUP BY host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4698,6 +4806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_formats": _q_infer_formats,
         "url_templates": _q_url_templates,
         "html_meta": _q_html_meta,
+        "canonical_pick": _q_canonical_pick,
+        "host_quality": _q_host_quality,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4843,4 +4953,6 @@ def oracle_sql() -> dict[str, str]:
         "infer_formats": _SQL_INFER_FORMATS,
         "url_templates": _SQL_URL_TEMPLATES,
         "html_meta": _SQL_HTML_META,
+        "canonical_pick": _sql_canonical_pick(),
+        "host_quality": _sql_host_quality(),
     }

@@ -1064,6 +1064,47 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
+def near_dedup_keep_best(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3,
+                         num_hashes: int = DEFAULT_NUM_HASHES,
+                         bands: int = DEFAULT_BANDS,
+                         threshold: float = 0.7,
+                         max_bucket_size: int | None = None,
+                         quality_col: str | None = None) -> DataFrame:
+    """near_dedup_corpus with QUALITY-AWARE survivor selection: keep
+    the group member with the highest quality key (default: text
+    length — near-dup clusters on crawl data are usually one full
+    article plus truncated/boilerplate-wrapped copies, so keep-first
+    by id throws away the best copy about half the time). Ties break
+    to the minimum id, so the cut is deterministic. Pass
+    ``quality_col`` (any numeric column of ``df``) to rank by a model
+    score instead of length.
+
+    Plan: pairs -> connected components as near_dedup_corpus, then the
+    winner per group is ONE max aggregate of a (quality, -id, id)
+    struct — partial aggregation collapses even a million-member dup
+    clique to one row per map task (constant state, no per-group
+    sort), so a hot group costs merge time, not a single-task sort the
+    way a row_number window would. Losers = members anti-joined
+    against winners; the final cut is the same unhinted left-anti join
+    as near_dedup_corpus (AQE broadcasts when measured small)."""
+    pairs = near_duplicates(df, text_col, id_col, k, num_hashes, bands,
+                            threshold, max_bucket_size)
+    groups = dedup_groups(pairs, out_id_col=id_col)
+    q = (F.col(quality_col) if quality_col is not None
+         else F.length(F.coalesce(F.col(text_col), F.lit(""))))
+    members = groups.join(
+        df.select(F.col(id_col), q.cast("double").alias("_q")), id_col)
+    winners = (members.groupBy("group_id")
+               .agg(F.max(F.struct(
+                   F.col("_q").alias("q"),
+                   (-F.col(id_col)).alias("nid"),
+                   F.col(id_col).alias("id"))).alias("_w"))
+               .select(F.col("_w.id").alias(id_col)))
+    losers = members.select(id_col).join(winners, id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
+
+
 # Version marker for PERSISTED bloom state (ShardedNovelFilter epochs,
 # caller-saved priming bitmaps): bits set under a different position
 # scheme probe uselessly — same byte length, silent corruption. Bump

@@ -276,6 +276,60 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs))
 
 
+def host_quality(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text",
+                 min_tokens: int = 10,
+                 min_alpha_ratio: float = 0.5,
+                 min_quality: float = 0.2) -> DataFrame:
+    """Per-host quality prior: (host, n_docs, n_kept, keep_rate,
+    n_unique_texts, dup_frac, total_tokens, avg_tokens) — the host
+    score a crawl scheduler combines with PageRank to decide recrawl
+    priority. keep_rate is the fraction of the host's documents
+    passing the C4-style quality_filter gates; dup_frac is the
+    fingerprint-level duplication rate (host_profile's signal but on
+    the casefolded whitespace-collapsed fingerprint, so trivial
+    reformatting still counts as a dup).
+
+    Every aggregate is an INTEGER count/sum — ratios are one double
+    division of two exact longs, rounded once — so the result is
+    bit-identical regardless of aggregation order (a float avg of
+    per-doc scores would be order-dependent across engines and
+    partitionings). One projection (analyze's two stacked selects,
+    keyed by host instead of doc id) + ONE hash aggregate; skew story
+    matches host_profile: constant per-group state, count_distinct
+    collapses (host, fingerprint) map-side. NULL-text documents are
+    not profiled (analyze drops them), matching quality_filter."""
+    from json_schema_spark.textops.urls import _HOST_RX
+
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    base = (df.filter(F.col(url_col).isNotNull())
+            .select(host.alias("_host"), F.col(text_col))
+            .filter(F.col("_host") != ""))
+    feats = analyze(base, text_col, id_col="_host")
+    kept = ((F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("quality") >= min_quality))
+    return (feats
+            .groupBy(F.col("_host").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.count_distinct("fingerprint")
+                 .alias("n_unique_texts"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .select(
+                "host", "n_docs", "n_kept",
+                F.round(F.col("n_kept") / F.col("n_docs"), 6)
+                .alias("keep_rate"),
+                "n_unique_texts",
+                F.round(F.lit(1.0) - F.col("n_unique_texts")
+                        / F.col("n_docs"), 6).alias("dup_frac"),
+                "total_tokens",
+                F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+                .alias("avg_tokens")))
+
+
 def host_boilerplate_lines(df: DataFrame, url_col: str = "url",
                            text_col: str = "text",
                            id_col: str = "doc_id",

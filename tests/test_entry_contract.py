@@ -53,7 +53,7 @@ def test_query_registry_is_pinned():
         "cast_scalars", "url_dedup",
         "anchor_text", "host_profile", "host_boilerplate",
         "infer_profile", "robots_gate", "infer_formats",
-        "url_templates", "html_meta",
+        "url_templates", "html_meta", "canonical_pick", "host_quality",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

@@ -998,6 +998,34 @@ def test_ivf_lloyd_update_scales_with_dimension(spark):
     assert base == [pytest.approx(0.0), pytest.approx(100.0)]
 
 
+def test_near_dedup_keep_best_survivor_rules(spark):
+    """Keep-best keeps the LONGEST member per group (even at a higher
+    id), ties break to min id, singletons survive; quality_col
+    overrides the length rule."""
+    from json_schema_spark.textops import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    corpus = spark.createDataFrame([
+        (1, base, 0.9),
+        (2, base + " extended with extra trailing words", 0.1),
+        (3, base + " extended with extra trailing words", 0.2),
+        (7, "a completely different singleton document entirely "
+            "unrelated to anything else in this corpus", 0.5),
+    ], "doc_id long, text string, score double")
+    out = dedup.near_dedup_keep_best(corpus, threshold=0.5)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # 2 and 3 are longest and tie on length -> min id 2 wins; 7 singleton
+    assert kept == {2, 7}
+    out_q = dedup.near_dedup_keep_best(corpus, threshold=0.5,
+                                       quality_col="score")
+    kept_q = {r.doc_id for r in out_q.select("doc_id").collect()}
+    dedup.release_caches()
+    # by score doc 1 (0.9) beats the longer copies
+    assert kept_q == {1, 7}
+    assert out.columns == corpus.columns
+
+
 def test_near_dedup_corpus_keeps_one_per_group(docs):
     """The one-call dedup keeps exactly one canonical doc (min id) per
     near-dup group plus every singleton, returning original rows."""
@@ -2734,6 +2762,32 @@ def test_url_path_templates_trap_detection(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in phys
+
+
+def test_host_quality_integer_exact_aggregates(spark):
+    """keep_rate / dup_frac / avg_tokens derive from integer sums;
+    the junk host fails the gates, the content host passes; NULL
+    text and NULL/relative urls drop."""
+    from json_schema_spark.textops.textanalysis import host_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "keeps running for a while longer today")
+    docs = spark.createDataFrame([
+        ("https://good.example.com/1", good),
+        ("https://good.example.com/2", good + " extra tail words"),
+        ("https://good.example.com/3", good),          # dup of /1
+        ("https://junk.example.com/1", "!!! ??? ..."),
+        ("https://junk.example.com/2", None),
+        (None, good),
+    ], "url string, text string")
+    got = {r.host: r for r in host_quality(docs).collect()}
+    assert set(got) == {"good.example.com", "junk.example.com"}
+    g = got["good.example.com"]
+    assert (g.n_docs, g.n_kept, g.n_unique_texts) == (3, 3, 2)
+    assert g.keep_rate == 1.0 and g.dup_frac == 0.333333
+    assert g.total_tokens == 3 * 18 + 3
+    j = got["junk.example.com"]
+    assert (j.n_docs, j.n_kept, j.keep_rate) == (1, 0, 0.0)
 
 
 def test_html_meta_extraction(spark):
