@@ -4743,6 +4743,66 @@ GROUP BY host
 """
 
 
+def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority composition (round 5): host PageRank over the
+    link corpus joined with host_quality over urls on the SAME seven
+    source hosts — priority = rank * keep_rate * (1 - dup_frac), all
+    factors engine-exact (INT64 ranks, integer-ratio rates, one
+    per-row double product). The oracle nests the full pagerank SQL
+    and a host-keyed text_analysis aggregate as two CTEs."""
+    from json_schema_spark.textops.graph import crawl_priority, pagerank
+    from json_schema_spark.textops.html import link_graph
+    from json_schema_spark.textops.textanalysis import host_quality
+
+    edges = link_graph(_link_pages(spark, sf_dir))
+    ranks = pagerank(edges, iterations=3).select(
+        "node", F.col("rank").cast("long").alias("rank"))
+    i = F.col("doc_id")
+    txt = F.when(
+        i % 5 == 0,
+        F.lit("the shared and duplicated page text appears here")) \
+        .otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://example"), (i % 7).cast("string"),
+                 F.lit(".com/p/"), i.cast("string")).alias("url"),
+        txt.alias("text"))
+    return crawl_priority(ranks, host_quality(docs))
+
+
+def _sql_crawl_priority() -> str:
+    feats = _sql_text_analysis(source="hdocs")
+    return f"""
+WITH ranksq AS ({_sql_pagerank_hosts()}),
+hdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'the shared and duplicated page text appears here'
+              ELSE text END AS text
+  FROM documents
+),
+feats AS ({feats}),
+hosted AS (
+  SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         n_tokens, alpha_ratio, quality, fingerprint
+  FROM feats
+),
+hq AS (
+  SELECT host,
+         COUNT(*) AS n_docs,
+         round(CAST(SUM(CASE WHEN n_tokens >= 10 AND alpha_ratio >= 0.5
+                        AND quality >= 0.2 THEN 1 ELSE 0 END)
+                    AS BIGINT) / COUNT(*), 6) AS keep_rate,
+         round(1.0 - CAST(COUNT(DISTINCT fingerprint) AS BIGINT)
+               / COUNT(*), 6) AS dup_frac
+  FROM hosted GROUP BY host
+)
+SELECT hq.host, r.rank, hq.n_docs, hq.keep_rate, hq.dup_frac,
+       round(CAST(r.rank AS DOUBLE) * hq.keep_rate
+             * (1.0 - hq.dup_frac), 6) AS priority
+FROM ranksq r JOIN hq ON r.node = hq.host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-window rotation (VERDICT r4 #1): the correctness driver
     # verifies the FIRST 50 registry entries each round, so dict order
@@ -4808,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": _q_html_meta,
         "canonical_pick": _q_canonical_pick,
         "host_quality": _q_host_quality,
+        "crawl_priority": _q_crawl_priority,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -4955,4 +5016,5 @@ def oracle_sql() -> dict[str, str]:
         "html_meta": _SQL_HTML_META,
         "canonical_pick": _sql_canonical_pick(),
         "host_quality": _sql_host_quality(),
+        "crawl_priority": _sql_crawl_priority(),
     }

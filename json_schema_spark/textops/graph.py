@@ -117,3 +117,37 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
                          .alias("_r")))
     return ranks.select(F.col("_n").alias("node"),
                         F.col("_r").alias("rank"))
+
+
+def crawl_priority(ranks: DataFrame, host_quality: DataFrame,
+                   node_col: str = "node", rank_col: str = "rank",
+                   host_col: str = "host") -> DataFrame:
+    """Crawl-schedule priority per host: the PageRank mass (link-based
+    authority) discounted by the host's OWN content record —
+    ``priority = rank * keep_rate * (1 - dup_frac)`` — so a
+    well-linked boilerplate mill (high rank, dup_frac near 1) drops
+    below a modest host that publishes unique, gate-passing pages.
+    This is the join a frontier scheduler actually consumes: rank
+    alone over-crawls link farms, quality alone under-crawls big
+    hubs.
+
+    Inputs are the outputs of ``pagerank`` (node, rank) and
+    ``textanalysis.host_quality``. Determinism: both inputs are
+    engine-exact (INT64 ranks, integer-ratio rates); the priority is
+    one per-row double product of already-rounded values — no float
+    aggregation anywhere — rounded once to 6.
+
+    Scale story: both sides are HOST-cardinality aggregates (millions
+    of rows at web scale, not trillions), so this is a tiny unhinted
+    equi-join on host — AQE broadcasts whichever side measures small;
+    the corpus-sized work already happened upstream."""
+    j = ranks.join(host_quality,
+                   ranks[node_col] == host_quality[host_col])
+    priority = F.round(
+        F.col(rank_col).cast("double") * F.col("keep_rate")
+        * (F.lit(1.0) - F.col("dup_frac")), 6)
+    return j.select(
+        host_quality[host_col].alias("host"),
+        F.col(rank_col).alias("rank"),
+        "n_docs", "keep_rate", "dup_frac",
+        priority.alias("priority"))

@@ -445,6 +445,55 @@ def test_continuation_operator_plan_shapes(docs, spark):
     release_caches()
 
 
+def test_round5_session2_operator_plan_shapes(docs, spark):
+    """Round-5 session-2 operators: url_path_templates / host_quality
+    / string_format_profile are one-projection-one-aggregate (zero
+    Python, no nested-loop joins, <=2 hash exchanges — count_distinct
+    legitimately plans a two-level expand/agg); near_dedup_keep_best's
+    winner selection is an AGGREGATE (max of a struct), never a
+    row_number window over group members, so a hot dup clique
+    collapses map-side instead of sorting in one task."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import near_dedup_keep_best
+    from json_schema_spark.textops.textanalysis import host_quality
+    from json_schema_spark.textops.urls import url_path_templates
+    from json_schema_spark.validator.infer import string_format_profile
+
+    from pyspark.sql import functions as F
+
+    urled = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("https://h"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    jsons = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit('{"v": "x'), F.col("doc_id").cast("string"),
+                 F.lit('"}')).alias("doc"))
+    for tag, build in [
+        ("templates", lambda: url_path_templates(urled)),
+        ("hostq", lambda: host_quality(urled)),
+        ("formats", lambda: string_format_profile(jsons)),
+    ]:
+        plan = _plan(build())
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "PythonUDF", "MapInPandas", "CartesianProduct",
+                       "BroadcastNestedLoopJoin"):
+            assert marker not in plan, (tag, marker)
+        assert plan.count("Exchange hashpartitioning") <= 2, tag
+
+    try:
+        out = near_dedup_keep_best(docs.filter(F.col("text").isNotNull())
+                                   .select("doc_id", "text"),
+                                   threshold=0.5)
+        plan = _plan(out)
+        assert "Window" not in plan, \
+            "keep-best winner must be an aggregate, not a window sort"
+        assert "CartesianProduct" not in plan
+    finally:
+        release_caches()
+
+
 def test_adversarial_skew_fixture(spark):
     """VERDICT r4 #5: the engine's skew answers, stressed TOGETHER on
     one deterministic corpus (Zipf-1.2 hosts + one giant duplicate

@@ -2533,6 +2533,38 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_crawl_priority_demotes_boilerplate_mill(spark):
+    """A higher-ranked host whose pages are duplicated boilerplate
+    falls below a modest host with unique gate-passing content; hosts
+    absent from either input drop (inner join)."""
+    from json_schema_spark.textops.graph import crawl_priority
+    from json_schema_spark.textops.textanalysis import host_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "keeps running for a while longer today")
+    docs = spark.createDataFrame(
+        [(f"https://mill.example.com/{i}", "spam spam spam")
+         for i in range(4)]
+        + [(f"https://indie.example.com/{i}", good + f" tail {i}")
+           for i in range(4)],
+        "url string, text string")
+    ranks = spark.createDataFrame(
+        [("mill.example.com", 5_000_000_000),
+         ("indie.example.com", 1_000_000_000),
+         ("unseen.example.com", 9_000_000_000)],
+        "node string, rank long")
+    got = {r.host: r for r in
+           crawl_priority(ranks, host_quality(docs)).collect()}
+    assert set(got) == {"mill.example.com", "indie.example.com"}
+    mill, indie = got["mill.example.com"], got["indie.example.com"]
+    # mill: all docs fail the gates AND collapse to one fingerprint
+    assert mill.keep_rate == 0.0 and mill.dup_frac == 0.75
+    assert mill.priority == 0.0
+    assert indie.keep_rate == 1.0 and indie.dup_frac == 0.0
+    assert indie.priority == 1_000_000_000.0
+    assert indie.priority > mill.priority
+
+
 def test_pagerank_dangling_mass_conserved(spark):
     """VERDICT r4 #4: star graph hub->4 dangling leaves. With the
     dangling-mass redistribution every iteration's divisions are
