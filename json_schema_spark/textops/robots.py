@@ -25,7 +25,8 @@ Simplifications (documented, unit-tested): rule paths are matched as
 LITERAL prefixes — RFC 9309 '*' wildcards and '$' anchors inside rule
 paths are not expanded (rows whose path contains them still match
 literally); matching uses the url path only (query strings excluded);
-crawl-delay and sitemap lines are ignored.
+crawl-delay lines are ignored (sitemap lines feed
+`sitemap_urls` instead of the gate).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ from pyspark.sql import functions as F
 
 from json_schema_spark.textops.urls import _HOST_RX, _PATH_RX
 
-__all__ = ["robots_rules", "robots_filter"]
+__all__ = ["robots_rules", "robots_filter", "sitemap_urls"]
 
 _DIRECTIVE_RX = r"(?i)^([a-z-]+)\s*:"
 _VALUE_RX = r"(?i)^[a-z-]+\s*:\s*(.*)$"
@@ -133,3 +134,32 @@ def robots_filter(urls_df: DataFrame, robots_df: DataFrame,
         .alias("allowed"),
         F.when(F.col("_hit"), F.col("rule")).alias("matched_rule"),
         F.when(F.col("_hit"), F.col("path")).alias("matched_path"))
+
+
+def sitemap_urls(df: DataFrame, host_col: str = "host",
+                 robots_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) for every ``Sitemap:`` line in every robots
+    file — the crawl seeder's discovery table. RFC 9309 §2.3 makes
+    sitemap lines group-INDEPENDENT, so this is a flat extraction:
+    explode lines, keep the sitemap directive (case-insensitive,
+    leading whitespace tolerated), trim the value, drop empties and
+    comment-only lines. Relative sitemap values (rare but seen in the
+    wild) are resolved against https://host/.
+
+    One explode + one projection, zero shuffle, zero Python; the
+    distinct() is per-(host, url) and collapses map-side."""
+    lines = (df.filter(F.col(robots_col).isNotNull())
+             .select(F.col(host_col).alias("host"),
+                     F.explode(F.split(F.col(robots_col), "\n"))
+                     .alias("_raw")))
+    val = F.trim(F.regexp_extract(
+        F.trim(F.col("_raw")), r"(?i)^sitemap\s*:\s*([^#]*)", 1))
+    resolved = F.when(val.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), val) \
+        .when(val.startswith("/"),
+              F.concat(F.lit("https://"), F.col("host"), val)) \
+        .otherwise(val)
+    return (lines
+            .filter(F.trim(F.col("_raw")).rlike(r"(?i)^sitemap\s*:"))
+            .select("host", resolved.alias("sitemap_url"))
+            .filter(F.col("sitemap_url") != "")
+            .distinct())

@@ -54,7 +54,7 @@ def test_query_registry_is_pinned():
         "anchor_text", "host_profile", "host_boilerplate",
         "infer_profile", "robots_gate", "infer_formats",
         "url_templates", "html_meta", "canonical_pick", "host_quality",
-        "crawl_priority",
+        "crawl_priority", "sitemap_urls",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

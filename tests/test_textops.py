@@ -2887,6 +2887,34 @@ def test_host_boilerplate_lines_semantics(spark):
         assert marker not in phys
 
 
+def test_sitemap_urls_extraction(spark):
+    """Case-insensitive directive, comment trim, relative resolution
+    against https://host/, duplicates collapse, empty values and
+    NULL robots drop; zero Python / zero shuffle pre-distinct."""
+    from json_schema_spark.textops.robots import sitemap_urls
+
+    robots = spark.createDataFrame([
+        ("a.example.com",
+         "User-agent: *\nDisallow: /x\n"
+         "Sitemap: https://a.example.com/s.xml\n"
+         "SITEMAP:https://a.example.com/s.xml\n"     # dup, casing
+         "  sitemap : /rel.xml # with comment\n"
+         "Sitemap:\n"                                 # empty value
+         "NotASitemap: https://a.example.com/no.xml"),
+        ("b.example.com", None),
+    ], "host string, robots_txt string")
+    got = {(r.host, r.sitemap_url)
+           for r in sitemap_urls(robots).collect()}
+    assert got == {
+        ("a.example.com", "https://a.example.com/s.xml"),
+        ("a.example.com", "https://a.example.com/rel.xml"),
+    }
+    phys = sitemap_urls(robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in phys
+
+
 def test_robots_rules_groups_and_noise(spark):
     """Group reconstruction: consecutive User-agent lines share one
     group; comments, crawl-delay, empty Disallow and pre-group
