@@ -22,6 +22,8 @@ row that gates it):
    (the training-data hand-off)
 10. corpus reports: cross-language MinHash overlap (corpus_overlap)
     + host quality prior (link_graph -> fixed-point pagerank)
+    + crawl priority (pagerank x host_quality — the frontier
+    scheduler's combined signal)
 
 Run: python examples/llm_dataset_pipeline.py [sf_dir]
 """
@@ -165,8 +167,22 @@ pages = docs.filter(F.col("text").isNotNull()).select(
     F.concat(F.lit('<a href="https://host'),
              ((F.col("doc_id") + 1) % 9).cast("string"),
              F.lit('.com/p">n</a>')).alias("html"))
-top_host = (pagerank(link_graph(pages), iterations=3)
-            .orderBy(F.col("rank").desc(), "node").first())
+ranks = pagerank(link_graph(pages), iterations=3)
+top_host = ranks.orderBy(F.col("rank").desc(), "node").first()
+
+# 13. crawl-priority: the scheduler's actual signal — link authority
+#     (PageRank) discounted by the host's own content record
+#     (host_quality keep_rate / dup_frac); a well-linked boilerplate
+#     mill ranks below a modest host with unique, gate-passing pages
+from json_schema_spark.textops.graph import crawl_priority  # noqa: E402
+from json_schema_spark.textops.textanalysis import host_quality  # noqa: E402
+
+hosted = docs.filter(F.col("text").isNotNull()).select(
+    F.concat(F.lit("https://host"), (F.col("doc_id") % 9).cast("string"),
+             F.lit(".com/p/"), F.col("doc_id").cast("string"))
+    .alias("url"), "text")
+top_crawl = (crawl_priority(ranks, host_quality(hosted))
+             .orderBy(F.col("priority").desc(), "host").first())
 
 dedup.release_caches()  # pair-finder intermediates
 
@@ -186,4 +202,6 @@ print(f"mixed+exported:      {n9} docs in 4 jsonl shards")
 print(f"max lang overlap:    {overlap.group_a}<->{overlap.group_b} "
       f"jaccard~{overlap.jaccard_est}")
 print(f"top host by pagerank: {top_host.node} rank={top_host.rank}")
+print(f"top crawl priority:  {top_crawl.host} "
+      f"priority={top_crawl.priority}")
 spark.stop()
