@@ -143,8 +143,9 @@ def sitemap_urls(df: DataFrame, host_col: str = "host",
     sitemap lines group-INDEPENDENT, so this is a flat extraction:
     explode lines, keep the sitemap directive (case-insensitive,
     leading whitespace tolerated), trim the value, drop empties and
-    comment-only lines. Relative sitemap values (rare but seen in the
-    wild) are resolved against https://host/.
+    comment-only lines. Slash-prefixed relative sitemap values (rare but seen
+    in the wild) are resolved against https://host; other non-URL
+    values pass through for the caller to triage.
 
     One explode + one projection, zero shuffle, zero Python; the
     distinct() is per-(host, url) and collapses map-side."""
