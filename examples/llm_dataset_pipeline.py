@@ -184,6 +184,25 @@ hosted = docs.filter(F.col("text").isNotNull()).select(
 top_crawl = (crawl_priority(ranks, host_quality(hosted))
              .orderBy(F.col("priority").desc(), "host").first())
 
+# 14. frontier execution: HITS separates directory hosts (hubs) from
+#     content hosts (authorities) on the same edges; the fetch queue
+#     is batched per host (politeness) with robots Crawl-delay as the
+#     batch interval
+from json_schema_spark.textops.graph import hits  # noqa: E402
+from json_schema_spark.textops.robots import (  # noqa: E402
+    crawl_delays,
+    fetch_batches,
+)
+
+top_hub = (hits(link_graph(pages), iterations=2)
+           .orderBy(F.col("hub").desc(), "node").first())
+robots = spark.createDataFrame(
+    [("host1.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n")],
+    "host string, robots_txt string")
+delays = {r.host: r.crawl_delay for r in crawl_delays(robots).collect()}
+frontier = fetch_batches(hosted, per_host=50)
+n_batches = frontier.agg(F.max("batch")).first()[0] + 1
+
 dedup.release_caches()  # pair-finder intermediates
 
 print(f"input docs:          {n0}")
@@ -204,4 +223,7 @@ print(f"max lang overlap:    {overlap.group_a}<->{overlap.group_b} "
 print(f"top host by pagerank: {top_host.node} rank={top_host.rank}")
 print(f"top crawl priority:  {top_crawl.host} "
       f"priority={top_crawl.priority}")
+print(f"top hub (HITS):      {top_hub.node} hub={top_hub.hub}")
+print(f"fetch frontier:      {n_batches} polite batches "
+      f"(host1.com delay={delays.get('host1.com')}s)")
 spark.stop()

@@ -1468,3 +1468,69 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
             .filter(F.col("status").isNotNull())
             .select(F.col("_id").alias(id_col), "status",
                     "old_digest", "new_digest"))
+
+
+def recrawl_schedule(old: DataFrame, new: DataFrame,
+                     url_col: str = "url", text_col: str = "text",
+                     tiers: tuple[tuple[float, str], ...] = (
+                         (0.5, "daily"), (0.1, "weekly"),
+                         (0.0, "monthly"))) -> DataFrame:
+    """Per-host recrawl scheduling from two crawl snapshots: hosts
+    whose pages churn get refetched often, static hosts fall back to
+    a slow tier — the feedback loop that keeps a 10^12-page frontier
+    affordable (recrawling everything daily is the single largest
+    cost a naive crawler pays).
+
+    Per host: n_old / n_new (URL counts per side), n_common (URLs in
+    both), n_changed (common URLs whose normalized content digest
+    differs), change_frac = round(n_changed / n_common, 6), and tier:
+    the first entry of ``tiers`` whose threshold the frac EXCEEDS
+    (strictly — so an all-static host falls past a 0.0 threshold to
+    the terminal tier), else 'stable'. Hosts with no common URLs
+    (all added/removed) get tier 'new'.
+
+    Determinism: integer counts per host, one rounded division, tier
+    by comparison on the rounded value — engine-exact everywhere.
+
+    Scale story: each side projects to (host, url-digest,
+    content-digest) — text never crosses the wire — then ONE
+    full-outer shuffle join on the url digest (the irreducible
+    snapshot-diff cost; bucket both snapshots on the url to co-locate
+    it) feeding ONE host-keyed aggregate whose state is five
+    counters. Host skew is absorbed by the partial agg: a 10^8-page
+    host collapses map-side to one row per task."""
+    from json_schema_spark.textops.urls import _HOST_RX
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+            r":[0-9]+$", "")
+        return (df.filter(F.col(url_col).isNotNull())
+                .select(F.md5(F.col(url_col)).alias("_u"),
+                        host.alias(f"_h_{tag}"),
+                        normalized_digest(F.col(text_col))
+                        .alias(f"_d_{tag}"),
+                        F.lit(True).alias(f"_in_{tag}")))
+
+    j = side(old, "o").join(side(new, "n"), "_u", "full_outer")
+    host = F.coalesce(F.col("_h_n"), F.col("_h_o"))
+    in_both = F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
+    changed = in_both & ~F.col("_d_o").eqNullSafe(F.col("_d_n"))
+    agg = (j.select(host.alias("host"),
+                    F.col("_in_o").isNotNull().cast("int").alias("_o"),
+                    F.col("_in_n").isNotNull().cast("int").alias("_n"),
+                    in_both.cast("int").alias("_c"),
+                    changed.cast("int").alias("_ch"))
+           .filter(F.col("host") != "")
+           .groupBy("host")
+           .agg(F.sum("_o").alias("n_old"), F.sum("_n").alias("n_new"),
+                F.sum("_c").alias("n_common"),
+                F.sum("_ch").alias("n_changed")))
+    frac = F.round(F.col("n_changed") / F.col("n_common"), 6)
+    tier = F.when(F.col("n_common") == 0, F.lit("new"))
+    for thr, name in tiers:
+        tier = tier.when(frac > F.lit(thr), F.lit(name))
+    tier = tier.otherwise(F.lit("stable"))
+    return agg.select("host", "n_old", "n_new", "n_common", "n_changed",
+                      F.when(F.col("n_common") > 0, frac)
+                      .alias("change_frac"), tier.alias("tier"))

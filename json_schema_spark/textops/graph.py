@@ -119,6 +119,95 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
                         F.col("_r").alias("rank"))
 
 
+HITS_SCALE = 1_000_000  # fixed-point units of hub/authority mass
+
+
+def hits(edges: DataFrame, src_col: str = "src_host",
+         dst_col: str = "dst_host", iterations: int = 2,
+         scale: int = HITS_SCALE) -> DataFrame:
+    """Fixed-point HITS (Kleinberg hubs & authorities) over a
+    (src, dst) edge list; parallel edges collapse to one. Returns
+    (node, hub, authority) in integer ``scale`` units.
+
+    Complements ``pagerank``: PageRank measures endorsement flow,
+    HITS separates DIRECTORY hosts (hubs — link out to many good
+    authorities) from CONTENT hosts (authorities — linked from many
+    good hubs). A crawl frontier wants both: hubs are where new
+    authorities get discovered first.
+
+    Determinism (same discipline as ``pagerank``): classic HITS
+    L2-normalizes each round, which is float math and order-dependent
+    across engines. Normalization in HITS is a UNIFORM scalar per
+    round — it exists only to stop the values growing as
+    (principal eigenvalue)^k, it never changes the ranking — so this
+    implementation replaces it with integer floor division by
+    ``q = max(1, total_mass DIV (n_nodes * scale))``: every value is
+    an exact INT64 sum divided by one exact INT64 scalar, bit-identical
+    on any engine/partitioning/retry. q floors, so total mass decays
+    toward ~n_nodes*scale instead of equalling it — harmless for a
+    ranking signal, exact for the oracle.
+
+    Overflow headroom: one round's raw authority sum is bounded by
+    max_indeg * n_nodes * scale (all normalized mass funneled through
+    the hottest node); at the default scale=10^6 that caps around
+    n_nodes * max_indeg < 9.2e12 — a 10^7-host graph with a 10^5-indeg
+    hub fits with 10x room. Pass a smaller scale for more.
+
+    Plan: edges/nodes persist once; each half-iteration is one
+    edges->scores join + one partial+final sum (shuffled on the
+    receiving key — the link_graph key distribution) + a 1-row total
+    crossJoin (the sanctioned one-row-totals BNLJ). 2 joins + 2 aggs
+    per iteration, O(iterations) stages."""
+    from json_schema_spark.cache import register_cache
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_d"))
+         .distinct())
+    e = register_cache(e)
+    nodes = register_cache(
+        e.select(F.col("_s").alias("_n"))
+        .unionByName(e.select(F.col("_d").alias("_n")))
+        .distinct())
+    # bounded driver scalar off the persisted nodes table (same
+    # precedent as pagerank/dedup_groups), folded in as a literal
+    n_cnt = nodes.count()
+    full = n_cnt * scale
+    hub = nodes.select("_n", F.lit(scale).cast("bigint").alias("_h"))
+
+    def _half(scores: DataFrame, val: str, join_key: str,
+              out_key: str, out_val: str) -> DataFrame:
+        # one propagation: sum sender scores onto the receiving side,
+        # then divide every node by the one-row q scalar
+        raw = (e.join(scores, e[join_key] == scores["_n"])
+               .groupBy(F.col(out_key).alias("_n"))
+               .agg(F.sum(val).alias("_raw")))
+        tot = raw.agg(F.sum("_raw").alias("_tot"))
+        return (nodes.join(raw, "_n", "left")
+                .crossJoin(tot)
+                .select("_n",
+                        F.expr(f"coalesce(_raw, 0) DIV "
+                               f"greatest(coalesce(_tot, 0) DIV {full},"
+                               f" 1)").alias(out_val)))
+
+    auth = None
+    for _i in range(iterations):
+        # authority(v) = sum of hub(u) over u->v, then hub(u) = sum of
+        # authority(v) over u->v — each normalized by its own q.
+        # The FINAL auth has two consumers (the last hub half-step and
+        # the output join) and Spark recomputes unpersisted branches
+        # per consumer — persist it (repo-wide self-join rule)
+        auth = _half(hub, "_h", "_s", "_d", "_a")
+        if _i == iterations - 1:
+            auth = register_cache(auth)
+        hub = _half(auth, "_a", "_d", "_s", "_h")
+    return (hub.join(auth, "_n")
+            .select(F.col("_n").alias("node"),
+                    F.col("_h").alias("hub"),
+                    F.col("_a").alias("authority")))
+
+
 def crawl_priority(ranks: DataFrame, host_quality: DataFrame,
                    node_col: str = "node", rank_col: str = "rank",
                    host_col: str = "host") -> DataFrame:

@@ -25,8 +25,8 @@ Simplifications (documented, unit-tested): rule paths are matched as
 LITERAL prefixes — RFC 9309 '*' wildcards and '$' anchors inside rule
 paths are not expanded (rows whose path contains them still match
 literally); matching uses the url path only (query strings excluded);
-crawl-delay lines are ignored (sitemap lines feed
-`sitemap_urls` instead of the gate).
+crawl-delay lines feed `crawl_delays` (not the gate), sitemap lines
+feed `sitemap_urls`.
 """
 
 from __future__ import annotations
@@ -36,19 +36,20 @@ from pyspark.sql import functions as F
 
 from json_schema_spark.textops.urls import _HOST_RX, _PATH_RX
 
-__all__ = ["robots_rules", "robots_filter", "sitemap_urls"]
+__all__ = ["robots_rules", "robots_filter", "sitemap_urls",
+           "crawl_delays", "fetch_batches", "parse_sitemaps"]
 
 _DIRECTIVE_RX = r"(?i)^([a-z-]+)\s*:"
 _VALUE_RX = r"(?i)^[a-z-]+\s*:\s*(.*)$"
 
 
-def robots_rules(df: DataFrame, host_col: str = "host",
-                 robots_col: str = "robots_txt") -> DataFrame:
-    """(host, agents, rule, path, pos): one row per allow/disallow
-    directive, tagged with the lowercased agent set of its group.
-    Comments strip at '#'; empty-path directives drop (an empty
-    Disallow means "allow everything" — it must never match);
-    directives before any User-agent line drop (no group)."""
+def _grouped_directives(df: DataFrame, host_col: str,
+                        robots_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared RFC 9309 group reconstruction: returns (blocked, ua)
+    where ``blocked`` is one row per non-empty directive line —
+    (host, pos, kind, val, block) with ``block`` the position of the
+    User-agent run that opened the line's group — and ``ua`` maps
+    (host, block) to the group's lowercased agent set."""
     w = Window.partitionBy("host").orderBy("pos")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     lines = (df.filter(F.col(robots_col).isNotNull())
@@ -72,6 +73,17 @@ def robots_rules(df: DataFrame, host_col: str = "host",
     ua = (blocked.filter(is_ua & (F.col("val") != ""))
           .groupBy("host", "block")
           .agg(F.collect_set(F.lower(F.col("val"))).alias("agents")))
+    return blocked, ua
+
+
+def robots_rules(df: DataFrame, host_col: str = "host",
+                 robots_col: str = "robots_txt") -> DataFrame:
+    """(host, agents, rule, path, pos): one row per allow/disallow
+    directive, tagged with the lowercased agent set of its group.
+    Comments strip at '#'; empty-path directives drop (an empty
+    Disallow means "allow everything" — it must never match);
+    directives before any User-agent line drop (no group)."""
+    blocked, ua = _grouped_directives(df, host_col, robots_col)
     rules = (blocked
              .filter(F.col("kind").isin("allow", "disallow")
                      & (F.col("val") != "")
@@ -80,6 +92,45 @@ def robots_rules(df: DataFrame, host_col: str = "host",
                      F.col("val").alias("path"), "pos"))
     return (rules.join(ua, ["host", "block"])
             .select("host", "agents", "rule", "path", "pos"))
+
+
+def crawl_delays(df: DataFrame, host_col: str = "host",
+                 robots_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """(host, crawl_delay): the Crawl-delay seconds applicable to
+    ``agent`` — the politeness interval ``fetch_batches`` schedules
+    against (batch k fetches no earlier than k * delay). Crawl-delay
+    is group-scoped like allow/disallow (de-facto Bing/Yandex
+    semantics; not in RFC 9309): within a group the LAST declaration
+    wins, groups naming the agent exactly shadow the '*' groups, and
+    across still-applicable groups the MOST restrictive (max) delay
+    is kept. Non-numeric values drop; hosts with no applicable delay
+    are absent (caller supplies the default interval).
+
+    Plan: the same one-pass line parse + per-host window as
+    robots_rules, then one tiny (host-cardinality) aggregate."""
+    a = agent.lower()
+    blocked, ua = _grouped_directives(df, host_col, robots_col)
+    d = (blocked.filter((F.col("kind") == "crawl-delay")
+                        & F.col("block").isNotNull()
+                        & F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$"))
+         .select("host", "block", "pos",
+                 F.col("val").cast("double").alias("_delay")))
+    # last declaration inside a group wins
+    wg = Window.partitionBy("host", "block").orderBy(F.col("pos").desc())
+    d = (d.withColumn("_rn", F.row_number().over(wg))
+         .filter(F.col("_rn") == 1).drop("_rn", "pos"))
+    d = d.join(ua, ["host", "block"])
+    applies = F.array_contains("agents", a) | \
+        F.array_contains("agents", "*")
+    specific = F.array_contains("agents", a) & F.lit(a != "*")
+    d = d.filter(applies).withColumn("_spec", specific)
+    host_spec = (d.groupBy("host")
+                 .agg(F.max("_spec").alias("_has_spec")))
+    return (d.join(host_spec, "host")
+            .filter(F.col("_spec") | ~F.col("_has_spec"))
+            .groupBy("host")
+            .agg(F.max("_delay").alias("crawl_delay")))
 
 
 def robots_filter(urls_df: DataFrame, robots_df: DataFrame,
@@ -164,3 +215,95 @@ def sitemap_urls(df: DataFrame, host_col: str = "host",
             .select("host", resolved.alias("sitemap_url"))
             .filter(F.col("sitemap_url") != "")
             .distinct())
+
+
+def fetch_batches(df: DataFrame, url_col: str = "url",
+                  host_col: str | None = None,
+                  per_host: int = 2) -> DataFrame:
+    """Politeness scheduling for a fetch frontier: assign every URL a
+    ``batch`` number such that no host appears more than ``per_host``
+    times per batch — the crawl executes batch 0, waits a politeness
+    interval, then batch 1, and so on. This is THE constraint that
+    makes frontier execution different from ordinary batch work: the
+    corpus-wide parallelism is unbounded, but per-host concurrency is
+    contractual (robots Crawl-delay, RFC 9309 politeness).
+
+    batch = (per-host rank - 1) DIV per_host, ranked by (md5(url),
+    url) — deterministic on any engine, no timestamp dependence. With
+    a host's robots Crawl-delay, batch k schedules no earlier than
+    k * delay; hosts with few URLs finish early, the long tail of a
+    10^6-page host stretches over 10^6/per_host batches — exactly the
+    wall-clock floor politeness imposes.
+
+    Plan: ONE shuffle keyed on host + a per-host window rank. A
+    10^8-URL host serializes its rank in one reducer — if frontiers
+    that hot are real, pre-shard with cap_per_group's salted two-phase
+    (rank within (host, md5-shard), offset by shard sizes); for host
+    distributions crawls actually see (Zipf with a bounded head after
+    cap_per_domain), the single window is the cheaper plan."""
+    if per_host < 1:
+        raise ValueError("per_host must be >= 1")
+    from pyspark.sql import Window as W
+
+    if host_col is None:
+        from json_schema_spark.textops.urls import _HOST_RX
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+            r":[0-9]+$", "")
+        df = df.withColumn("host", host).filter(F.col("host") != "")
+        host_col = "host"
+    rank = F.row_number().over(
+        W.partitionBy(host_col).orderBy(F.md5(F.col(url_col)),
+                                        F.col(url_col)))
+    # integer DIV, not float-divide-then-cast: DuckDB's double->int
+    # cast ROUNDS where Spark truncates (repo-wide oracle rule)
+    return (df.withColumn("_rk", rank)
+            .withColumn("batch",
+                        F.expr(f"(_rk - 1) DIV {int(per_host)}"))
+            .drop("_rk"))
+
+
+# one record block per entry; no </\1> backreference (RE2-safe): the
+# sitemaps.org schema only ever nests <url> under <urlset> and
+# <sitemap> under <sitemapindex>, so the alternation cannot mispair
+_SITEMAP_BLOCK_RX = r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"
+_LOC_RX = r"(?is)<loc\b[^>]*>\s*(.*?)\s*</loc\s*>"
+_LASTMOD_RX = r"(?is)<lastmod\b[^>]*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def parse_sitemaps(df: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse fetched sitemap documents (sitemaps.org XML) into the
+    crawl frontier's URL feed: one output row per <url>/<sitemap>
+    entry — (host, kind, loc, lastmod) where kind is 'index' for a
+    <sitemapindex> (loc points at ANOTHER sitemap to fetch) and
+    'urlset' for a leaf sitemap (loc is a page URL). lastmod is the
+    entry's optional <lastmod> value (NULL when absent) — the recrawl
+    scheduler's freshness hint. The five basic XML entities decode in
+    loc (&amp; is rife in real sitemap URLs); entries without a <loc>
+    drop.
+
+    This closes the discovery loop started by ``sitemap_urls``
+    (robots.txt -> sitemap URLs -> fetch -> THIS -> frontier).
+
+    Plan: one regexp_extract_all per document + one explode + a
+    per-row projection — zero shuffle, zero Python, and the explode
+    fan-out is bounded by the 50k-entry sitemaps.org cap. XML-wise
+    this is the deliberate regex subset (like html.py): sitemaps are
+    machine-generated documents whose grammar is a fixed four-tag
+    vocabulary, not general XML."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.rlike(r"(?is)<sitemapindex\b"), F.lit("index")) \
+        .otherwise(F.lit("urlset"))
+    blocks = F.regexp_extract_all(xml, F.lit(_SITEMAP_BLOCK_RX), 1)
+    out = (df.filter(xml.isNotNull())
+           .select(F.col(host_col).alias("host"), kind.alias("kind"),
+                   F.explode(blocks).alias("_b")))
+    loc = F.regexp_extract(F.col("_b"), _LOC_RX, 1)
+    from json_schema_spark.textops.html import _ENTITIES
+    for ent, ch in _ENTITIES:
+        loc = F.regexp_replace(loc, ent, ch)
+    lastmod = F.regexp_extract(F.col("_b"), _LASTMOD_RX, 1)
+    return (out.select("host", "kind", loc.alias("loc"),
+                       F.when(lastmod != "", lastmod).alias("lastmod"))
+            .filter(F.col("loc") != ""))

@@ -170,6 +170,42 @@ def quality_filter(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), "n_tokens", "quality"))
 
 
+# lowercase literal phrases probed with contains() — the classic
+# soft-404 battery (error pages served with HTTP 200, which a crawler
+# cannot tell apart by status code). Literals, not regexes: both
+# engines do a plain substring probe, no dialect surface at all.
+SOFT404_PHRASES = (
+    "page not found", "404 not found", "error 404", "404 error",
+    "does not exist", "no longer available", "page you requested",
+    "page has been removed", "could not be found", "access denied",
+    "temporarily unavailable", "nothing was found",
+)
+
+
+def soft404_flags(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_chars: int = 500) -> DataFrame:
+    """Soft-404 / error-page detection: pages that SAY they are
+    errors while returning HTTP 200 — a real crawl's second-largest
+    junk class after boilerplate mills. Per document:
+    ``n_error_phrases`` (how many battery phrases the lowercased text
+    contains), ``n_chars``, and ``is_soft404`` = at least one phrase
+    AND short (< max_chars) — the length gate keeps a long article
+    that merely QUOTES 'page not found' out of the junk pile.
+
+    Plan: one projection — a constant chain of substring probes over
+    one lowercase() — zero shuffle, zero Python, fully codegen'd;
+    composes with quality_filter in the same scan."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hits = sum((t.contains(p).cast("int") for p in SOFT404_PHRASES),
+               F.lit(0))
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_error_phrases"),
+        F.length(t).alias("n_chars"),
+        ((hits > 0) & (F.length(t) < max_chars)).alias("is_soft404"))
+
+
 def analyze(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Full text-analysis pass: two stacked projections, zero shuffle.

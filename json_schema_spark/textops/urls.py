@@ -245,3 +245,87 @@ def host_profile(df: DataFrame, url_col: str = "url",
                 "dup_frac",
                 F.round(F.lit(1.0) - F.col("n_unique_texts")
                         / F.col("n_docs"), 6)))
+
+
+# Deterministic snapshot SUBSET of the multi-label public suffixes
+# (publicsuffix.org) — the common ccTLD second-level registries. A
+# built-in literal (not a fetched list) so results are reproducible
+# run-to-run and engine-to-engine; callers union site-specific entries
+# via ``extra_suffixes``. Single-label suffixes (com, org, de, ...)
+# need no table — they are the default "last two labels" rule.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.my",
+    "com.hk", "com.tw", "co.za", "org.za", "co.kr", "or.kr",
+    "com.pl", "net.pl", "org.pl", "com.ua", "co.il", "org.il",
+    "com.eg", "com.sa", "com.vn", "com.ph", "co.th", "or.th",
+)
+
+
+def registered_domain(host: Column,
+                      extra_suffixes: tuple[str, ...] = ()) -> Column:
+    """Registrable-domain extraction (public-suffix-lite): the label
+    directly under the public suffix — 'news.bbc.co.uk' ->
+    'bbc.co.uk', 'a.b.example.com' -> 'example.com', 'localhost' ->
+    'localhost'. Per-domain policy (crawl caps, quality priors,
+    blocklists) keyed on raw hosts over-splits: every subdomain of a
+    blog farm would get its own cap.
+
+    Rule: if the last TWO labels form a known multi-label suffix
+    (MULTI_SUFFIXES + extras) keep three labels, else keep two.
+    Lowercases; expects a bare host (no scheme/port — pair with the
+    _HOST_RX extraction filter_urls/host_profile use). Pure string
+    ops (split + element_at + isin), zero shuffle, zero Python; the
+    suffix probe is a constant IN-list the optimizer folds."""
+    suffixes = [s.lower() for s in
+                tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)]
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat(F.element_at(labels, -2), F.lit("."),
+                     F.element_at(labels, -1))
+    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
+    return (F.when(n >= 3, F.when(last2.isin(suffixes), last3)
+                   .otherwise(last2))
+            .when(n == 2, last2)
+            .otherwise(h))
+
+
+def domain_rollup(df: DataFrame, url_col: str = "url",
+                  text_col: str = "text",
+                  extra_suffixes: tuple[str, ...] = ()) -> DataFrame:
+    """Per-REGISTERED-DOMAIN corpus rollup: (domain, n_docs, n_hosts,
+    n_unique_texts, dup_frac) — host_profile's coarser sibling, the
+    granularity crawl budgets and per-domain caps actually operate at
+    (a blog platform is one domain with 10^6 subdomain hosts; capping
+    per host misses it entirely).
+
+    Plan: one projection (host regex -> registered_domain + text
+    digest), ONE hash aggregate keyed on domain; both distinct counts
+    (hosts, digests) ride Spark's expand/partial-agg rewrite, so the
+    shuffle carries at most one row per distinct (domain, host) /
+    (domain, digest) — the same 10^12-row story as host_profile.
+    Parity: digest = md5(coalesce(text, '')); dup_frac rounded once."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.filter(F.col(url_col).isNotNull())
+            .select(host.alias("_h"), F.md5(txt).alias("_d"))
+            .filter(F.col("_h") != "")
+            .select(registered_domain(F.col("_h"), extra_suffixes)
+                    .alias("domain"), "_h", "_d")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(F.col("_h")).alias("n_hosts"),
+                 F.count_distinct(F.col("_d")).alias("n_unique_texts"))
+            .withColumn(
+                "dup_frac",
+                F.round(F.lit(1.0) - F.col("n_unique_texts")
+                        / F.col("n_docs"), 6)))

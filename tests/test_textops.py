@@ -2533,6 +2533,245 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_crawl_delays_group_semantics(spark):
+    """Group scoping: specific-agent delay shadows '*'; last
+    declaration in a group wins; non-numeric drops; max across
+    applicable groups; hosts without an applicable delay absent."""
+    from json_schema_spark.textops.robots import crawl_delays
+
+    shadowed = ("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+                "\nUser-agent: MyBot\nCrawl-delay: 0.5\n")
+    lastwins = ("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 7\n"
+                "Disallow: /\n")
+    badval = "User-agent: *\nCrawl-delay: soon\nDisallow: /x\n"
+    nodelay = "User-agent: *\nDisallow: /x\n"
+    twostars = ("User-agent: *\nCrawl-delay: 1\n\n"
+                "User-agent: *\nCrawl-delay: 4\n")
+    df = spark.createDataFrame(
+        [("a.com", shadowed), ("b.com", lastwins), ("c.com", badval),
+         ("d.com", nodelay), ("e.com", twostars)],
+        "host string, robots_txt string")
+    got = {r.host: r.crawl_delay
+           for r in crawl_delays(df, agent="MyBot").collect()}
+    assert got == {"a.com": 0.5, "b.com": 7.0, "e.com": 4.0}
+    # star agent: no shadowing, a.com keeps the '*' group's 10
+    got_star = {r.host: r.crawl_delay
+                for r in crawl_delays(df).collect()}
+    assert got_star["a.com"] == 10.0
+
+
+def test_fetch_batches_politeness(spark):
+    """No host exceeds per_host URLs in any batch; batches are dense
+    (0..ceil(n/per_host)-1 per host); assignment is deterministic
+    across partitionings; explicit host_col skips extraction."""
+    from json_schema_spark.textops.robots import fetch_batches
+
+    urls = [(f"https://a.ex.com/{i}",) for i in range(7)] \
+        + [(f"https://b.ex.com/{i}",) for i in range(2)]
+    df = spark.createDataFrame(urls, "url string")
+    rows = fetch_batches(df, per_host=3).collect()
+    assert len(rows) == 9
+    per = {}
+    for r in rows:
+        per.setdefault((r.host, r.batch), 0)
+        per[(r.host, r.batch)] += 1
+    assert all(v <= 3 for v in per.values())
+    assert sorted(b for (h, b) in per if h == "a.ex.com") == [0, 1, 2]
+    assert sorted(b for (h, b) in per if h == "b.ex.com") == [0]
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        rows2 = fetch_batches(df, per_host=3).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+    hosted = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h1")], "url string, host string")
+    got = fetch_batches(hosted, host_col="host", per_host=1).collect()
+    assert sorted(r.batch for r in got) == [0, 1]
+    with pytest.raises(ValueError):
+        fetch_batches(df, per_host=0)
+
+
+def test_soft404_flags(spark):
+    """Phrase battery + length gate: a short error page flags, a long
+    article quoting an error phrase does not, clean text and empty
+    text do not; phrase hits count individually."""
+    from json_schema_spark.textops.textanalysis import soft404_flags
+
+    long_quote = ("discussion of page not found pages "
+                  + "filler " * 100)
+    df = spark.createDataFrame(
+        [(1, "Sorry — the page you requested could not be found. "
+             "Error 404."),
+         (2, long_quote),
+         (3, "perfectly normal document text"),
+         (4, None),
+         (5, "ACCESS DENIED")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in soft404_flags(df).collect()}
+    assert got[1].n_error_phrases == 3 and got[1].is_soft404
+    assert got[2].n_error_phrases == 1 and not got[2].is_soft404
+    assert got[3].n_error_phrases == 0 and not got[3].is_soft404
+    assert got[4].n_chars == 0 and not got[4].is_soft404
+    assert got[5].is_soft404  # case-insensitive
+
+
+def test_recrawl_schedule_tiers(spark):
+    """Host churn classification: full churn -> daily, 1/3 churn ->
+    weekly, static -> stable; one-sided URLs count as added/removed
+    but not churn; a host present only in new has no common URLs ->
+    tier 'new'."""
+    from json_schema_spark.textops.dedup import recrawl_schedule
+
+    old = spark.createDataFrame(
+        [(f"https://hot.ex.com/{i}", f"v1 {i}") for i in range(4)]
+        + [(f"https://warm.ex.com/{i}", f"v1 {i}") for i in range(6)]
+        + [(f"https://cold.ex.com/{i}", f"v1 {i}") for i in range(3)]
+        + [("https://cold.ex.com/gone", "bye")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [(f"https://hot.ex.com/{i}", f"v2 {i}") for i in range(4)]
+        + [(f"https://warm.ex.com/{i}",
+            f"v2 {i}" if i < 2 else f"v1 {i}") for i in range(6)]
+        + [(f"https://cold.ex.com/{i}", f"v1 {i}") for i in range(3)]
+        + [("https://fresh.ex.com/a", "hello")],
+        "url string, text string")
+    got = {r.host: r for r in recrawl_schedule(old, new).collect()}
+    assert got["hot.ex.com"].tier == "daily"
+    assert got["hot.ex.com"].change_frac == 1.0
+    w = got["warm.ex.com"]
+    assert (w.n_common, w.n_changed, w.tier) == (6, 2, "weekly")
+    c = got["cold.ex.com"]
+    assert (c.n_old, c.n_new, c.tier) == (4, 3, "stable")
+    assert c.change_frac == 0.0
+    assert got["fresh.ex.com"].tier == "new"
+    assert got["fresh.ex.com"].change_frac is None
+
+
+def test_parse_sitemaps(spark):
+    """Sitemap XML parsing: urlset vs sitemapindex classification,
+    loc trimming + entity decode, optional lastmod -> NULL,
+    case-insensitive tags across newlines, locless entries and NULL
+    documents drop."""
+    from json_schema_spark.textops.robots import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc> https://ex.com/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-03-01</lastmod></url>\n"
+        "<url>\n<LOC>https://ex.com/b</LOC>\n</url>\n"
+        "<url><lastmod>2026-01-01</lastmod></url>\n</urlset>")
+    index = ("<sitemapindex>"
+             "<sitemap><loc>https://ex.com/sm1.xml</loc></sitemap>"
+             "<sitemap><loc>https://ex.com/sm2.xml</loc>"
+             "<lastmod>2026-02-02</lastmod></sitemap>"
+             "</sitemapindex>")
+    df = spark.createDataFrame(
+        [("ex.com", urlset), ("idx.com", index), ("n.com", None)],
+        "host string, sitemap_xml string")
+    rows = sorted(parse_sitemaps(df).collect(),
+                  key=lambda r: (r.host, r.loc))
+    assert [(r.host, r.kind, r.loc, r.lastmod) for r in rows] == [
+        ("ex.com", "urlset", "https://ex.com/a?x=1&y=2", "2026-03-01"),
+        ("ex.com", "urlset", "https://ex.com/b", None),
+        ("idx.com", "index", "https://ex.com/sm1.xml", None),
+        ("idx.com", "index", "https://ex.com/sm2.xml", "2026-02-02"),
+    ]
+
+
+def test_registered_domain_and_rollup(spark):
+    """Public-suffix-lite semantics: multi-label suffixes keep three
+    labels, plain TLDs keep two, single-label hosts pass through;
+    rollup counts hosts and distinct texts per registrable domain
+    (userinfo skipped, port stripped, NULL urls dropped);
+    extra_suffixes extends the built-in snapshot."""
+    from json_schema_spark.textops.urls import (
+        domain_rollup,
+        registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("https://news.BBC.co.uk/p1", "a"),
+         ("https://www.bbc.co.uk/p2", "b"),
+         ("https://a.b.example.com/p", "a"),
+         ("https://example.com/q", "c"),
+         ("https://u:p@shop.foo.com.au:8443/x", "d"),
+         ("https://localhost/x", "e"),
+         (None, "f")],
+        "url string, text string")
+    got = {r.domain: r for r in domain_rollup(df).collect()}
+    assert set(got) == {"bbc.co.uk", "example.com", "foo.com.au",
+                        "localhost"}
+    assert (got["bbc.co.uk"].n_docs, got["bbc.co.uk"].n_hosts,
+            got["bbc.co.uk"].n_unique_texts) == (2, 2, 2)
+    assert got["bbc.co.uk"].dup_frac == 0.0
+    assert (got["example.com"].n_docs,
+            got["example.com"].n_hosts) == (2, 2)
+    assert got["foo.com.au"].n_hosts == 1
+    assert got["localhost"].n_docs == 1
+    one = spark.range(1)
+    cases = {
+        "news.bbc.co.uk": "bbc.co.uk",
+        "deep.a.b.site.ac.jp": "site.ac.jp",
+        "Example.COM": "example.com",
+        "co.uk": "co.uk",      # bare suffix: two labels, kept as-is
+        "intranet": "intranet",
+    }
+    for host, want in cases.items():
+        assert one.select(
+            registered_domain(F.lit(host)).alias("d")).head().d == want
+    got_extra = one.select(
+        registered_domain(F.lit("x.y.custom.zz"),
+                          extra_suffixes=("custom.zz",))
+        .alias("d")).head().d
+    assert got_extra == "y.custom.zz"
+
+
+def test_hits_fixed_point_semantics(spark):
+    """Known tiny graph (a directory host linking to three content
+    hosts, plus one extra endorser of c1): the directory gets the top
+    hub score, content hosts get the authority scores (c1 highest —
+    two in-links), cross scores are zero. Values are the hand-rolled
+    2-iteration fixed point with q = max(1, total DIV n*scale);
+    identical across shuffle partitionings (integer sums + one-scalar
+    division are order-independent)."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.graph import HITS_SCALE, hits
+
+    s = HITS_SCALE
+    edges = spark.createDataFrame(
+        [("dir", "c1"), ("dir", "c2"), ("dir", "c3"), ("other", "c1")],
+        "src_host string, dst_host string")
+    try:
+        out = {r.node: (r.hub, r.authority)
+               for r in hits(edges, iterations=2).collect()}
+        release_caches()
+        assert set(out) == {"dir", "other", "c1", "c2", "c3"}
+        # iteration 1: auth c1=2s,c2=s,c3=s (q=1); hub dir=4s,other=2s
+        # (q=1).  iteration 2: auth_raw c1=6s,c2=4s,c3=4s, T=14s,
+        # q=14s//5s=2 -> c1=3s,c2=2s,c3=2s; hub_raw dir=7s,other=3s,
+        # T=10s, q=2 -> dir=3.5s, other=1.5s.
+        assert out["dir"] == (3_500_000, 0)
+        assert out["other"] == (1_500_000, 0)
+        assert out["c1"] == (0, 3_000_000)
+        assert out["c2"] == (0, 2_000_000)
+        assert out["c3"] == (0, 2_000_000)
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            out2 = {r.node: (r.hub, r.authority)
+                    for r in hits(edges, iterations=2).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+        assert out2 == out
+        with pytest.raises(ValueError):
+            hits(edges, iterations=0)
+    finally:
+        release_caches()
+
+
 def test_crawl_priority_demotes_boilerplate_mill(spark):
     """A higher-ranked host whose pages are duplicated boilerplate
     falls below a modest host with unique gate-passing content; hosts
