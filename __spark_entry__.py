@@ -4080,6 +4080,95 @@ GROUP BY host
 """
 
 
+def _q_parse_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-lite ingestion (round 5): each document is a synthetic
+    WARC file with a response record (4 headers + html payload), a
+    metadata record (json payload), and — every 7th — a trailing
+    header-only warcinfo record (no blank-line separator -> empty
+    payload). The oracle replays the version-line regex split, the
+    header/payload partition and the per-header extracts."""
+    from json_schema_spark.sources.warc import parse_warc
+
+    i = F.col("doc_id")
+    nl = "\n"
+    rec1 = F.concat(
+        F.lit("WARC/1.0" + nl + "WARC-Type: response" + nl
+              + "WARC-Target-URI: https://w"),
+        (i % 5).cast("string"),
+        F.lit(".example.com/p/"), i.cast("string"),
+        F.lit(nl + "WARC-Date: 2026-0"), ((i % 9) + 1).cast("string"),
+        F.lit("-01T00:00:00Z" + nl + "Content-Type: text/html"
+              + nl + nl + "<html>page "),
+        i.cast("string"), F.lit("</html>" + nl + nl))
+    rec2 = F.lit("WARC/1.0" + nl + "WARC-Type: metadata" + nl
+                 + "Content-Type: application/json" + nl + nl
+                 + '{"x":1}' + nl + nl)
+    rec3 = F.when(i % 7 == 0,
+                  F.lit("WARC/1.0" + nl + "WARC-Type: warcinfo" + nl)
+                  ).otherwise(F.lit(""))
+    warcs = _docs(spark, sf_dir).select(
+        F.concat(rec1, rec2, rec3).alias("warc"))
+    return parse_warc(warcs)
+
+
+_SQL_PARSE_WARC = r"""
+WITH warcs AS (
+  SELECT 'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10)
+         || 'WARC-Target-URI: https://w' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'WARC-Date: 2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+         || '-01T00:00:00Z' || chr(10)
+         || 'Content-Type: text/html' || chr(10) || chr(10)
+         || '<html>page ' || CAST(doc_id AS VARCHAR) || '</html>'
+         || chr(10) || chr(10)
+         || 'WARC/1.0' || chr(10) || 'WARC-Type: metadata' || chr(10)
+         || 'Content-Type: application/json' || chr(10) || chr(10)
+         || '{"x":1}' || chr(10) || chr(10)
+         || CASE WHEN doc_id % 7 = 0
+              THEN 'WARC/1.0' || chr(10) || 'WARC-Type: warcinfo'
+                   || chr(10)
+              ELSE '' END AS w
+  FROM documents
+),
+recs AS (
+  SELECT unnest(string_split_regex(w,
+    '(?m)^WARC/1\.[01]\r?\n')) AS rec
+  FROM warcs WHERE w IS NOT NULL
+),
+ne AS (SELECT rec FROM recs WHERE trim(rec) <> ''),
+staged AS (
+  SELECT CASE WHEN regexp_matches(rec, '(?s)^(.*?)\r?\n\r?\n')
+           THEN regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1)
+           ELSE rec END AS hdr,
+         CASE WHEN regexp_matches(rec, '(?s)^(.*?)\r?\n\r?\n')
+           THEN regexp_replace(rec, '(?s)^(.*?)\r?\n\r?\n', '')
+           ELSE '' END AS body
+  FROM ne
+)
+SELECT
+  CASE WHEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Type\s*:\s*([^\r\n]*)', 1)) <> ''
+       THEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Type\s*:\s*([^\r\n]*)', 1)) END AS warc_type,
+  CASE WHEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Target-URI\s*:\s*([^\r\n]*)', 1)) <> ''
+       THEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Target-URI\s*:\s*([^\r\n]*)', 1)) END
+    AS target_uri,
+  CASE WHEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Date\s*:\s*([^\r\n]*)', 1)) <> ''
+       THEN trim(regexp_extract(hdr,
+         '(?im)^WARC-Date\s*:\s*([^\r\n]*)', 1)) END AS warc_date,
+  CASE WHEN trim(regexp_extract(hdr,
+         '(?im)^Content-Type\s*:\s*([^\r\n]*)', 1)) <> ''
+       THEN trim(regexp_extract(hdr,
+         '(?im)^Content-Type\s*:\s*([^\r\n]*)', 1)) END
+    AS content_type,
+  regexp_replace(body, '(?s)\r?\n\r?\n$', '') AS payload
+FROM staged
+"""
+
+
 def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay extraction (round 5): seven synthetic robots files
     — a '*' group with a delay (absent for host 5, repeated with
@@ -5509,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "fetch_batches": _q_fetch_batches,
         "crawl_delays": _q_crawl_delays,
+        "parse_warc": _q_parse_warc,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5613,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": _SQL_RECRAWL_SCHEDULE,
         "fetch_batches": _SQL_FETCH_BATCHES,
         "crawl_delays": _SQL_CRAWL_DELAYS,
+        "parse_warc": _SQL_PARSE_WARC,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -520,6 +520,17 @@ def test_round5_session3_operator_plan_shapes(docs, spark):
         assert marker not in plan, marker
     assert plan.count("Exchange hashpartitioning") <= 2
 
+    from json_schema_spark.sources.warc import parse_warc
+    warcs = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("WARC/1.0\nWARC-Type: response\n\n"),
+                 F.col("text"), F.lit("\n\n")).alias("warc"))
+    plan = _plan(parse_warc(warcs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas", "CartesianProduct",
+                   "BroadcastNestedLoopJoin",
+                   "Exchange hashpartitioning"):
+        assert marker not in plan, marker  # zero shuffle, zero Python
+
     edges = docs.filter(F.col("text").isNotNull()).select(
         F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
         .alias("src_host"),

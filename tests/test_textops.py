@@ -2533,6 +2533,42 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_parse_warc_records(spark):
+    """WARC-lite splitting: CRLF and LF records, header-only records
+    (no blank-line separator -> empty payload), headers read from the
+    header BLOCK only (payload cannot spoof), absent headers NULL,
+    trailing record separators trimmed, NULL docs drop."""
+    from json_schema_spark.sources.warc import parse_warc
+
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/a\r\n"
+        "WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        "Content-Type: text/html\r\n"
+        "\r\n"
+        "<html>body says WARC-Type: fake</html>\r\n\r\n"
+        "WARC/1.0\n"
+        "WARC-Type: metadata\n"
+        "\n"
+        "{\"k\": 1}\n\n"
+        "WARC/1.0\n"
+        "WARC-Type: warcinfo\n")
+    df = spark.createDataFrame([(warc,), (None,)], "warc string")
+    rows = sorted(parse_warc(df).collect(), key=lambda r: r.warc_type)
+    assert [r.warc_type for r in rows] == ["metadata", "response",
+                                           "warcinfo"]
+    resp = rows[1]
+    assert resp.target_uri == "https://ex.com/a"
+    assert resp.warc_date == "2026-01-02T03:04:05Z"
+    assert resp.content_type == "text/html"
+    assert resp.payload == "<html>body says WARC-Type: fake</html>"
+    meta = rows[0]
+    assert meta.target_uri is None and meta.payload == '{"k": 1}'
+    info = rows[2]
+    assert info.payload == "" and info.content_type is None
+
+
 def test_crawl_delays_group_semantics(spark):
     """Group scoping: specific-agent delay shadows '*'; last
     declaration in a group wins; non-numeric drops; max across
