@@ -241,13 +241,17 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_dedup_corpus(spark, sf_dir), threshold=0.5)
 
 
-_SQL_DEDUP_MINHASH = """
-WITH corpus AS (
+_DEDUP_CORPUS_SQL = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, text || ' extrawordzz'
   FROM documents WHERE doc_id < 20 AND text IS NOT NULL
-),
+"""
+
+# the reusable MinHash-LSH pair chain: WITH-prefix expecting a
+# ``corpus(doc_id, text, ...)`` CTE defined by the caller, producing
+# verified (id_a, id_b, jaccard) pairs at __THRESHOLD__
+_MINHASH_PAIR_CHAIN = """
 sh AS (
   SELECT doc_id AS _id, shingles FROM (
     SELECT doc_id,
@@ -295,8 +299,9 @@ SELECT id_a, id_b,
 FROM cand
 JOIN sh sa ON sa._id = cand.id_a
 JOIN sh sb ON sb._id = cand.id_b
-WHERE jaccard >= 0.5
+WHERE jaccard >= __THRESHOLD__
 """
+
 
 def _minhash_consts_sql(num_hashes: int = 16) -> str:
     from json_schema_spark.textops.dedup import minhash_affine_params
@@ -306,8 +311,17 @@ def _minhash_consts_sql(num_hashes: int = 16) -> str:
         for i, (a, b) in enumerate(minhash_affine_params(num_hashes)))
 
 
-_SQL_DEDUP_MINHASH = _SQL_DEDUP_MINHASH.replace(
-    "__MINHASH_CONSTS__", _minhash_consts_sql())
+def _minhash_pair_sql(corpus_sql: str, threshold: float) -> str:
+    """Full pair query over a caller-supplied corpus CTE body (must
+    expose doc_id and text; extra columns pass through to other CTEs
+    referencing ``corpus``)."""
+    return (f"WITH corpus AS ({corpus_sql}),"
+            + _MINHASH_PAIR_CHAIN
+            .replace("__MINHASH_CONSTS__", _minhash_consts_sql())
+            .replace("__THRESHOLD__", repr(threshold)))
+
+
+_SQL_DEDUP_MINHASH = _minhash_pair_sql(_DEDUP_CORPUS_SQL, 0.5)
 
 
 
@@ -614,6 +628,84 @@ reach AS (
   FROM edges e JOIN reach r ON e.t = r.node
 )
 SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node
+"""
+
+
+_MIRROR_CORPUS_SQL = """
+  SELECT doc_id,
+         'https://orig' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         'https://mirror.example.net/p/' || CAST(doc_id AS VARCHAR),
+         text
+  FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 300000,
+         'https://orig' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.com/q/' || CAST(doc_id AS VARCHAR),
+         text || ' extrawordzz'
+  FROM documents WHERE doc_id < 10 AND text IS NOT NULL
+"""
+
+
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (round 5): 4 origin hosts plus one
+    mirror host republishing the first 40 docs verbatim, plus
+    same-host near-dup clones (excluded — intra-host dups are not
+    mirroring). The oracle reuses the shared MinHash pair chain at
+    threshold 0.8 and replays the host join + unordered-pair
+    aggregate."""
+    from json_schema_spark.textops.dedup import mirror_hosts
+
+    i = F.col("doc_id")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://orig"), (i % 4).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string"))
+        .alias("url"),
+        "text")
+    mirror = (_docs(spark, sf_dir)
+              .filter((i < 40) & F.col("text").isNotNull())
+              .select((i + 200000).alias("doc_id"),
+                      F.concat(F.lit("https://mirror.example.net/p/"),
+                               i.cast("string")).alias("url"),
+                      "text"))
+    intra = (_docs(spark, sf_dir)
+             .filter((i < 10) & F.col("text").isNotNull())
+             .select((i + 300000).alias("doc_id"),
+                     F.concat(F.lit("https://orig"),
+                              (i % 4).cast("string"),
+                              F.lit(".example.com/q/"),
+                              i.cast("string")).alias("url"),
+                     F.concat(F.col("text"), F.lit(" extrawordzz"))
+                     .alias("text")))
+    corpus = base.unionByName(mirror).unionByName(intra)
+    return mirror_hosts(corpus, threshold=0.8, min_shared=3)
+
+
+def _sql_mirror_hosts() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pair_sql(_MIRROR_CORPUS_SQL, 0.8)}),
+corpus2 AS ({_MIRROR_CORPUS_SQL}),
+hosts AS (
+  SELECT doc_id AS hid,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS h
+  FROM corpus2 WHERE url IS NOT NULL
+),
+x AS (
+  SELECT least(a.h, b.h) AS host_a, greatest(a.h, b.h) AS host_b
+  FROM pairs p
+  JOIN hosts a ON p.id_a = a.hid
+  JOIN hosts b ON p.id_b = b.hid
+  WHERE a.h <> b.h AND a.h <> '' AND b.h <> ''
+)
+SELECT host_a, host_b, count(*) AS n_shared
+FROM x GROUP BY host_a, host_b HAVING count(*) >= 3
 """
 
 
@@ -5599,6 +5691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_batches": _q_fetch_batches,
         "crawl_delays": _q_crawl_delays,
         "parse_warc": _q_parse_warc,
+        "mirror_hosts": _q_mirror_hosts,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5704,6 +5797,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_batches": _SQL_FETCH_BATCHES,
         "crawl_delays": _SQL_CRAWL_DELAYS,
         "parse_warc": _SQL_PARSE_WARC,
+        "mirror_hosts": _sql_mirror_hosts(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

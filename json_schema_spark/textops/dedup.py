@@ -1470,6 +1470,54 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
                     "old_digest", "new_digest"))
 
 
+def mirror_hosts(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 threshold: float = 0.8, min_shared: int = 2,
+                 **lsh_kwargs) -> DataFrame:
+    """Mirror-site detection: host pairs whose CONTENT overlaps —
+    (host_a, host_b, n_shared) for every unordered cross-host pair
+    sharing >= ``min_shared`` near-duplicate documents (MinHash-LSH
+    pairs at ``jaccard >= threshold``). Mirrors/CDNs/scraper sites are
+    why URL-level and host-level dedup miss each other: the same
+    corpus appears under two hostnames, and per-host caps count it
+    twice. A crawl keeps ONE host of a detected mirror pair (pick by
+    crawl_priority) and drops the other from the frontier.
+
+    Distinct from ``corpus_overlap`` (per-GROUP MinHash signature
+    estimate): this counts actual verified document pairs, so it
+    localizes WHICH hosts mirror, at pair precision, on the same LSH
+    budget near_duplicates already paid.
+
+    Scale story: pair volume is the LSH-capped near-dup budget
+    (max_bucket_size forwards via lsh_kwargs); the two id->host joins
+    are doc-cardinality equi-joins (unhinted, AQE picks the strategy);
+    the final aggregate is host-pair-cardinality — tiny. Same-host
+    pairs (ordinary boilerplate dups) are excluded before the
+    aggregate, so a template-heavy host does not inflate the join."""
+    from json_schema_spark.textops.urls import _HOST_RX
+
+    pairs = near_duplicates(df.select(id_col, text_col),
+                            text_col=text_col, id_col=id_col,
+                            threshold=threshold, **lsh_kwargs)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
+        r":[0-9]+$", "")
+    hosts = (df.filter(F.col(url_col).isNotNull())
+             .select(F.col(id_col).alias("_hid"), host.alias("_h"))
+             .filter(F.col("_h") != ""))
+    j = (pairs
+         .join(hosts.withColumnRenamed("_hid", "id_a")
+               .withColumnRenamed("_h", "_ha"), "id_a")
+         .join(hosts.withColumnRenamed("_hid", "id_b")
+               .withColumnRenamed("_h", "_hb"), "id_b")
+         .filter(F.col("_ha") != F.col("_hb")))
+    return (j.select(F.least("_ha", "_hb").alias("host_a"),
+                     F.greatest("_ha", "_hb").alias("host_b"))
+            .groupBy("host_a", "host_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def recrawl_schedule(old: DataFrame, new: DataFrame,
                      url_col: str = "url", text_col: str = "text",
                      tiers: tuple[tuple[float, str], ...] = (

@@ -2533,6 +2533,33 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_mirror_hosts_detection(spark):
+    """A host republishing another's docs verbatim is reported as an
+    unordered host pair with the shared-pair count; same-host dup
+    pairs are excluded; sub-threshold cross-host similarity does not
+    pair; min_shared filters sparse pairs."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.dedup import mirror_hosts
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again in this long enough text")
+    rows = []
+    for i in range(5):
+        t = base + f" unique tail {i} with several more varying words"
+        rows.append((i, f"https://a.ex.com/{i}", t))
+        rows.append((100 + i, f"https://b.ex.net/{i}", t))  # mirror
+    rows.append((200, "https://a.ex.com/d1", base + " same host copy"))
+    rows.append((201, "https://a.ex.com/d2", base + " same host copy"))
+    df = spark.createDataFrame(rows,
+                               "doc_id long, url string, text string")
+    try:
+        got = mirror_hosts(df, threshold=0.8, min_shared=3).collect()
+    finally:
+        release_caches()
+    assert [(r.host_a, r.host_b, r.n_shared) for r in got] == \
+        [("a.ex.com", "b.ex.net", 5)]
+
+
 def test_parse_warc_records(spark):
     """WARC-lite splitting: CRLF and LF records, header-only records
     (no blank-line separator -> empty payload), headers read from the
