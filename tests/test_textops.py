@@ -2533,6 +2533,70 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_registered_domain_reference_parity(spark):
+    """200 md5-seeded pseudo-random hosts (0-3 subdomain labels,
+    single- and multi-label TLDs, mixed case, single-label hosts)
+    against a pure-Python mirror of the rule — one Spark job."""
+    from json_schema_spark.textops.urls import (
+        MULTI_SUFFIXES,
+        registered_domain,
+    )
+
+    tlds = ["com", "org", "co.uk", "com.au", "ac.jp", "net", "io"]
+    hosts = []
+    for i in range(200):
+        h = int(hashlib.md5(f"rd{i}".encode()).hexdigest()[:8], 16)
+        labels = [f"l{(h >> (4 * j)) % 13}" for j in range(h % 4)]
+        host = ".".join(labels + [tlds[h % len(tlds)]])
+        if h % 17 == 0:
+            host = host.upper()
+        if h % 23 == 0:
+            host = "single"
+        hosts.append(host)
+    multi = set(MULTI_SUFFIXES)
+
+    def ref(host: str) -> str:
+        hl = host.lower()
+        ls = hl.split(".")
+        if len(ls) >= 3:
+            last2 = ".".join(ls[-2:])
+            return ".".join(ls[-3:]) if last2 in multi else last2
+        if len(ls) == 2:
+            return ".".join(ls)
+        return hl
+
+    df = spark.createDataFrame([(x,) for x in hosts], "host string")
+    got = df.select("host",
+                    registered_domain(F.col("host")).alias("d")) \
+        .collect()
+    for r in got:
+        assert r.d == ref(r.host), r.host
+
+
+def test_parse_warc_roundtrip_many(spark):
+    """Assemble 90 records with varying header presence and payloads
+    into one WARC file, parse, and match every record back by URI."""
+    from json_schema_spark.sources.warc import parse_warc
+
+    parts, want = [], {}
+    for i in range(90):
+        uri = f"https://r.ex.com/{i}"
+        payload = f"payload {i} alpha beta" if i % 4 else ""
+        hdrs = [f"WARC-Type: t{i % 5}", f"WARC-Target-URI: {uri}"]
+        if i % 3 == 0:
+            hdrs.append("Content-Type: text/plain")
+        parts.append("WARC/1.0\n" + "\n".join(hdrs) + "\n\n"
+                     + payload + "\n\n")
+        want[uri] = (f"t{i % 5}",
+                     "text/plain" if i % 3 == 0 else None, payload)
+    df = spark.createDataFrame([("".join(parts),)], "warc string")
+    rows = parse_warc(df).collect()
+    assert len(rows) == 90
+    for r in rows:
+        wt, ct, pl = want[r.target_uri]
+        assert (r.warc_type, r.content_type, r.payload) == (wt, ct, pl)
+
+
 def test_mirror_hosts_detection(spark):
     """A host republishing another's docs verbatim is reported as an
     unordered host pair with the shared-pair count; same-host dup
