@@ -2533,6 +2533,39 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_expand_frontier_composition(spark):
+    """End-to-end frontier hop: outlinks extracted and canonicalized,
+    policy + robots gates applied, seen URLs dropped, result batched
+    per host; deterministic across reruns."""
+    from json_schema_spark.textops.frontier import expand_frontier
+
+    html = ('<a href="https://A.ex.com/new1#frag">x</a>'
+            '<a href="https://a.ex.com/new1">dup-after-normalize</a>'
+            '<a href="https://a.ex.com/private/p">robots-blocked</a>'
+            '<a href="https://a.ex.com/old">seen</a>'
+            '<a href="https://blocked.net/x">policy-blocked</a>'
+            '<a href="https://a.ex.com/img.png">asset</a>'
+            '<a href="/relative">skipped</a>'
+            '<a href="https://b.ex.com/fresh">kept</a>')
+    crawled = spark.createDataFrame([(html,), (None,)], "html string")
+    robots = spark.createDataFrame(
+        [("a.ex.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    seen = spark.createDataFrame([("https://a.ex.com/old",)],
+                                 "url string")
+    out = expand_frontier(crawled, robots=robots, seen=seen,
+                          block_domains=("blocked.net",), per_host=1)
+    rows = sorted((r.url, r.host, r.batch) for r in out.collect())
+    assert rows == [
+        ("https://a.ex.com/new1", "a.ex.com", 0),
+        ("https://b.ex.com/fresh", "b.ex.com", 0),
+    ]
+    rows2 = sorted((r.url, r.host, r.batch) for r in expand_frontier(
+        crawled, robots=robots, seen=seen,
+        block_domains=("blocked.net",), per_host=1).collect())
+    assert rows2 == rows
+
+
 def test_registered_domain_reference_parity(spark):
     """200 md5-seeded pseudo-random hosts (0-3 subdomain labels,
     single- and multi-label TLDs, mixed case, single-label hosts)
