@@ -4172,6 +4172,62 @@ GROUP BY host
 """
 
 
+def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup (round 5): URL families (6 hosts x 20
+    pages) where parameter permutations declare the family page as
+    canonical; every 10th page IS the canonical page (survives over
+    lexicographically-smaller permutations); no-declaration and
+    relative-declaration pages fall back to their own URL. The
+    oracle constructs the expected group keys INDEPENDENTLY of the
+    html parser (url_dedup precedent) and replays the min-of-struct
+    survivor pick."""
+    from json_schema_spark.textops.html import collapse_by_canonical
+
+    i = F.col("doc_id")
+    fam = F.concat(F.lit("https://f"), (i % 6).cast("string"),
+                   F.lit(".example.com/page/"), (i % 20).cast("string"))
+    own = F.when(i % 10 == 0, fam).otherwise(
+        F.concat(fam, F.lit("?v="), i.cast("string")))
+    decl = (F.when(i % 7 == 3, F.lit(""))
+            .when(i % 7 == 5,
+                  F.lit('<link rel="canonical" href="/rel/x">'))
+            .otherwise(F.concat(
+                F.lit('<link rel="canonical" href="'), fam,
+                F.lit('">'))))
+    html = F.concat(F.lit("<html><head>"), decl,
+                    F.lit("</head><body>b</body></html>"))
+    docs = _docs(spark, sf_dir).select(own.alias("url"),
+                                       html.alias("html"))
+    return collapse_by_canonical(docs)
+
+
+_SQL_CANONICAL_COLLAPSE = """
+WITH built AS (
+  SELECT doc_id,
+         'https://f' || CAST(doc_id % 6 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id % 20 AS VARCHAR)
+           AS fam,
+         doc_id % 10 AS m10, doc_id % 7 AS m7
+  FROM documents
+),
+keyed AS (
+  SELECT CASE WHEN m10 = 0 THEN fam
+              ELSE fam || '?v=' || CAST(doc_id AS VARCHAR) END AS own,
+         CASE WHEN m7 IN (3, 5)
+              THEN CASE WHEN m10 = 0 THEN fam
+                        ELSE fam || '?v=' || CAST(doc_id AS VARCHAR)
+                   END
+              ELSE fam END AS key
+  FROM built
+)
+SELECT key AS canonical_url,
+       (min(struct_pack(ns := CASE WHEN own <> key THEN 1 ELSE 0 END,
+                        u := own))).u AS url,
+       count(*) AS n_pages
+FROM keyed GROUP BY key
+"""
+
+
 def _q_parse_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingestion (round 5): each document is a synthetic
     WARC file with a response record (4 headers + html payload), a
@@ -5692,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": _q_crawl_delays,
         "parse_warc": _q_parse_warc,
         "mirror_hosts": _q_mirror_hosts,
+        "canonical_collapse": _q_canonical_collapse,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5798,6 +5855,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delays": _SQL_CRAWL_DELAYS,
         "parse_warc": _SQL_PARSE_WARC,
         "mirror_hosts": _sql_mirror_hosts(),
+        "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -191,3 +191,43 @@ def html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
             .withColumn("meta_description", _nn(desc))
             .withColumn("canonical_url", _nn(canon))
             .withColumn("html_lang", _nn(lang)))
+
+
+def collapse_by_canonical(df: DataFrame, url_col: str = "url",
+                          html_col: str = "html") -> DataFrame:
+    """Canonical-declaration dedup: pages that declare the same
+    ``rel="canonical"`` target collapse to ONE survivor — the dedup
+    signal search engines honor BEFORE any content hash, and the only
+    one that catches parameter permutations serving byte-different
+    HTML (ads, timestamps) of the same logical page.
+
+    Group key = the page's declared canonical target (absolute
+    http(s) hrefs only, canonicalized by normalize_url; relative or
+    absent declarations -> the page's own normalized URL, i.e. no
+    collapse). Survivor = the page whose own URL IS the target (the
+    canonical page itself) when crawled, else the lexicographically
+    smallest URL — chosen with ONE min-of-struct aggregate
+    ((is_not_self, url) — field-by-field struct min is engine-exact),
+    never a window sort, so a 10^6-permutation URL family collapses
+    map-side. Output: (canonical_url, url, n_pages) — one row per
+    logical page.
+
+    Plan: zero-shuffle projection + ONE hash aggregate keyed on the
+    canonical target; same 10^12-row story as host_profile."""
+    from json_schema_spark.textops.urls import normalize_url
+
+    html = F.col(html_col)
+    canon_tag = F.regexp_extract(html, _LINK_CANONICAL_RX, 0)
+    declared = F.regexp_extract(canon_tag, _HREF_ATTR_RX, 1)
+    own = normalize_url(F.col(url_col))
+    target = F.when(declared.rlike(r"(?i)^https?://"),
+                    normalize_url(declared)).otherwise(own)
+    staged = (df.filter(F.col(url_col).isNotNull())
+              .select(own.alias("_own"), target.alias("_key")))
+    pick = F.min(F.struct(
+        (F.col("_own") != F.col("_key")).cast("int").alias("ns"),
+        F.col("_own").alias("u"))).alias("_pick")
+    return (staged.groupBy("_key")
+            .agg(pick, F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("_key").alias("canonical_url"),
+                    F.col("_pick.u").alias("url"), "n_pages"))

@@ -57,7 +57,7 @@ def test_query_registry_is_pinned():
         "crawl_priority", "sitemap_urls", "hits_hosts",
         "domain_rollup", "parse_sitemaps", "soft404",
         "recrawl_schedule", "fetch_batches", "crawl_delays",
-        "parse_warc", "mirror_hosts",
+        "parse_warc", "mirror_hosts", "canonical_collapse",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

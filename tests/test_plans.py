@@ -520,6 +520,23 @@ def test_round5_session3_operator_plan_shapes(docs, spark):
         assert marker not in plan, marker
     assert plan.count("Exchange hashpartitioning") <= 2
 
+    from json_schema_spark.textops.html import collapse_by_canonical
+    pages = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("https://h"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ex.com/p?v="),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit('<html><head><link rel="canonical" '
+              'href="https://c.ex.com/x"></head></html>')
+        .alias("html"))
+    plan = _plan(collapse_by_canonical(pages))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas", "CartesianProduct",
+                   "BroadcastNestedLoopJoin", "Window"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange hashpartitioning") <= 1, \
+        "canonical collapse must be one aggregate, no window sort"
+
     from json_schema_spark.sources.warc import parse_warc
     warcs = docs.filter(F.col("text").isNotNull()).select(
         F.concat(F.lit("WARC/1.0\nWARC-Type: response\n\n"),

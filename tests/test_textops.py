@@ -2533,6 +2533,38 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_collapse_by_canonical(spark):
+    """Pages declaring the same canonical target collapse; the
+    canonical page itself survives over lexicographically smaller
+    permutations; relative or absent declarations keep the page's own
+    URL; declared targets are normalized (fragment/case/port)."""
+    from json_schema_spark.textops.html import collapse_by_canonical
+
+    def page(url, canon=None):
+        d = f'<link rel="canonical" href="{canon}">' if canon else ""
+        return (url, f"<html><head>{d}</head><body>b</body></html>")
+
+    rows = [
+        page("https://s.ex.com/a?v=1", "https://s.ex.com/a"),
+        page("https://s.ex.com/a?v=2", "HTTPS://S.EX.COM:443/a#x"),
+        page("https://s.ex.com/a"),          # canonical page, no decl
+        # declared target never crawled -> permutation survives
+        page("https://s.ex.com/b?v=9", "https://s.ex.com/b"),
+        page("https://s.ex.com/c", "/relative"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.canonical_url: r for r in
+           collapse_by_canonical(df).collect()}
+    a = got["https://s.ex.com/a"]
+    # 'https://s.ex.com/a' < 'https://s.ex.com/a?v=1' lexicographically
+    # — the (is_not_self, url) struct makes the self page win anyway
+    assert (a.url, a.n_pages) == ("https://s.ex.com/a", 3)
+    b = got["https://s.ex.com/b"]
+    assert (b.url, b.n_pages) == ("https://s.ex.com/b?v=9", 1)
+    assert got["https://s.ex.com/c"].n_pages == 1
+    assert len(got) == 3
+
+
 def test_expand_frontier_composition(spark):
     """End-to-end frontier hop: outlinks extracted and canonicalized,
     policy + robots gates applied, seen URLs dropped, result batched
