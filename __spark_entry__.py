@@ -3976,6 +3976,43 @@ FROM {prev} h JOIN a2 a ON h.n = a.n
 """)
 
 
+def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph degree features (round 5) over the shared link_graph
+    corpus: distinct out/in degree per host + reciprocal-edge count
+    (the link-farm / mutual-ring screen). The oracle replays the two
+    degree aggregates and an EXISTS reciprocity probe."""
+    from json_schema_spark.textops.graph import degree_stats
+    from json_schema_spark.textops.html import link_graph
+
+    return degree_stats(link_graph(_link_pages(spark, sf_dir)))
+
+
+def _sql_degree_stats() -> str:
+    return (_sql_link_pages() + """,
+hosts2 AS (
+  SELECT src_host, dst_host FROM hosts WHERE dst_host != ''
+),
+edges AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM hosts2),
+o AS (SELECT s AS n, count(*) AS out_deg FROM edges GROUP BY s),
+i AS (SELECT d AS n, count(*) AS in_deg FROM edges GROUP BY d),
+r AS (
+  SELECT e.s AS n, count(*) AS n_reciprocal
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r2
+                WHERE r2.s = e.d AND r2.d = e.s)
+  GROUP BY e.s
+),
+m AS (
+  SELECT COALESCE(o.n, i.n) AS n, o.out_deg, i.in_deg
+  FROM o FULL OUTER JOIN i ON o.n = i.n
+)
+SELECT m.n AS node, COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(r.n_reciprocal, 0) AS n_reciprocal
+FROM m LEFT JOIN r ON m.n = r.n
+""")
+
+
 def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic (src_host, html) page corpus shared by the
     link_graph and pagerank queries."""
@@ -5749,6 +5786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_warc": _q_parse_warc,
         "mirror_hosts": _q_mirror_hosts,
         "canonical_collapse": _q_canonical_collapse,
+        "degree_stats": _q_degree_stats,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5856,6 +5894,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_warc": _SQL_PARSE_WARC,
         "mirror_hosts": _sql_mirror_hosts(),
         "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
+        "degree_stats": _sql_degree_stats(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

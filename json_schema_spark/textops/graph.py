@@ -208,6 +208,44 @@ def hits(edges: DataFrame, src_col: str = "src_host",
                     F.col("_a").alias("authority")))
 
 
+def degree_stats(edges: DataFrame, src_col: str = "src_host",
+                 dst_col: str = "dst_host") -> DataFrame:
+    """Per-node webgraph degree features: (node, out_deg, in_deg,
+    n_reciprocal) over the distinct edge set — the cheap link-farm
+    screen that runs before (and explains) PageRank/HITS. A link farm
+    shows huge out_deg with near-zero in_deg; a mutual-admiration
+    ring shows n_reciprocal ~ out_deg (organic webgraphs have low
+    edge reciprocity); a real hub shows balanced degrees. Missing
+    sides are 0, not NULL.
+
+    Plan: two keyed aggregates (out on src, in on dst) + ONE
+    left-semi self-join against the reversed edge set for
+    reciprocity, merged on node via outer joins of
+    node-cardinality aggregates. No quadratic step: reciprocity is an
+    equi-join on (src, dst) — edge-cardinality, co-partitioned with
+    the out-degree shuffle."""
+    from json_schema_spark.cache import register_cache
+
+    e = register_cache(
+        edges.select(F.col(src_col).alias("_s"),
+                     F.col(dst_col).alias("_d")).distinct())
+    out_deg = e.groupBy(F.col("_s").alias("_n")) \
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy(F.col("_d").alias("_n")) \
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    recip = (e.join(rev, ["_s", "_d"], "left_semi")
+             .groupBy(F.col("_s").alias("_n"))
+             .agg(F.count(F.lit(1)).alias("n_reciprocal")))
+    merged = (out_deg.join(in_deg, "_n", "full_outer")
+              .join(recip, "_n", "left"))
+    return merged.select(
+        F.col("_n").alias("node"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"))
+
+
 def crawl_priority(ranks: DataFrame, host_quality: DataFrame,
                    node_col: str = "node", rank_col: str = "rank",
                    host_col: str = "host") -> DataFrame:

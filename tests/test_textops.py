@@ -2533,6 +2533,32 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_degree_stats_reciprocity(spark):
+    """Known graph: a farm with 3 outlinks and no inlinks, a mutual
+    pair (reciprocal both ways), a sink with inlinks only; parallel
+    edges collapse; missing sides are 0."""
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [("farm", "a"), ("farm", "b"), ("farm", "sink"),
+         ("farm", "a"),                      # parallel edge collapses
+         ("a", "b"), ("b", "a"),             # mutual pair
+         ("b", "sink")],
+        "src_host string, dst_host string")
+    try:
+        got = {r.node: (r.out_deg, r.in_deg, r.n_reciprocal)
+               for r in degree_stats(edges).collect()}
+    finally:
+        release_caches()
+    assert got == {
+        "farm": (3, 0, 0),
+        "a": (1, 2, 1),
+        "b": (2, 2, 1),
+        "sink": (0, 2, 0),
+    }
+
+
 def test_collapse_by_canonical(spark):
     """Pages declaring the same canonical target collapse; the
     canonical page itself survives over lexicographically smaller
