@@ -88,6 +88,16 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
     # so both engines see the same literal
     base_lit = F.lit((scale * (damping_den - damping_num))
                      // damping_den).cast("bigint")
+    # NOTE each iteration consumes `ranks` twice (contrib join +
+    # dangling aggregate) with no ReusedExchange, so the iteration
+    # subtree formally re-executes per consumer — but the recompute
+    # bottoms out at the PERSISTED e/nodes/deg leaves, so it is k
+    # cheap cached-table joins, not k corpus scans. Measured at
+    # sf0.1/3 iters: per-iteration register_cache(ranks) is ~25%
+    # SLOWER (2.1 -> 2.7s) than recompute — materialization overhead
+    # beats the saved joins. For many-iteration runs (>5) persist
+    # every few rounds instead (dedup_groups' localCheckpoint
+    # pattern).
     ranks = nodes.select("_n", F.lit(scale).cast("bigint").alias("_r"))
     for _i in range(iterations):
         # integer DIV end to end: long '/' would detour through a
