@@ -4209,6 +4209,64 @@ GROUP BY host
 """
 
 
+def _q_clean_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (round 5): decomposed combining sequences
+    (e+U+0301, A+U+030A) that NFC composes, zero-width/BOM/soft-
+    hyphen strips, C0-control strips, ligatures preserved (NFC not
+    NFKC), plus plain corpus text (NULLs propagate). The oracle
+    replays nfc_normalize + the same regex strips + length-delta
+    counts — cross-engine NFC agreement verified over these classes."""
+    from json_schema_spark.textops.textanalysis import clean_unicode
+
+    i = F.col("doc_id")
+    txt = (F.when(i % 6 == 0, F.lit("Café menu"))
+           .when(i % 6 == 1, F.lit("Å ring x​y"))
+           .when(i % 6 == 2, F.lit("ctl\x01\x1fend"))
+           .when(i % 6 == 4, F.lit("ﬁle ligature flow ﻿"))
+           .when(i % 6 == 5, F.lit("hy­phen"))
+           .otherwise(F.col("text")))
+    docs = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return clean_unicode(docs)
+
+
+def _sql_clean_unicode() -> str:
+    from json_schema_spark.textops.textanalysis import (
+        CONTROL_RX,
+        ZERO_WIDTH_RX,
+    )
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'Cafe' || chr(769) || ' menu'
+           WHEN 1 THEN 'A' || chr(778) || ' ring x' || chr(8203)
+                       || 'y'
+           WHEN 2 THEN 'ctl' || chr(1) || chr(31) || 'end'
+           WHEN 4 THEN chr(64257) || 'le ligature flow ' || chr(65279)
+           WHEN 5 THEN 'hy' || chr(173) || 'phen'
+           ELSE text
+         END AS text
+  FROM documents
+),
+n AS (SELECT doc_id, nfc_normalize(text) AS nfc FROM docs),
+z AS (
+  SELECT doc_id, nfc,
+         regexp_replace(nfc, '{ZERO_WIDTH_RX}', '', 'g') AS nozw
+  FROM n
+),
+c AS (
+  SELECT doc_id, nozw,
+         length(nfc) - length(nozw) AS n_zero_width,
+         regexp_replace(nozw, '{CONTROL_RX}', '', 'g') AS clean
+  FROM z
+)
+SELECT doc_id, clean AS text, n_zero_width,
+       length(nozw) - length(clean) AS n_control
+FROM c
+"""
+
+
 def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel=canonical dedup (round 5): URL families (6 hosts x 20
     pages) where parameter permutations declare the family page as
@@ -5787,6 +5845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "canonical_collapse": _q_canonical_collapse,
         "degree_stats": _q_degree_stats,
+        "clean_unicode": _q_clean_unicode,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5895,6 +5954,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _sql_mirror_hosts(),
         "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
         "degree_stats": _sql_degree_stats(),
+        "clean_unicode": _sql_clean_unicode(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -168,6 +169,63 @@ def quality_filter(df: DataFrame, text_col: str = "text",
                          & (F.col("alpha_ratio") >= min_alpha_ratio)
                          & (F.col("quality") >= min_quality))
             .select(F.col(id_col), "n_tokens", "quality"))
+
+
+# Unicode hygiene: invisible formatting chars (zero-widths, word
+# joiner, BOM, soft hyphen) and non-whitespace C0 controls + DEL.
+# \x{...} hex classes are the Java/RE2 common subset (no \uXXXX).
+ZERO_WIDTH_RX = r"[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]"
+CONTROL_RX = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+
+
+def clean_unicode(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode text hygiene — the normalization pass a crawl corpus
+    runs before ANY hashing or dedup (the same logical text arrives
+    NFC- and NFD-encoded from different CMSes, and byte-level digests
+    treat them as different documents):
+
+    1. NFC-normalize (composed forms; ligatures/fullwidth untouched —
+       NFC, not NFKC, so no lossy compatibility folding);
+    2. strip invisible formatting chars (zero-widths, word joiner,
+       BOM, soft hyphen) — SEO spam and copy-paste artifacts that
+       break tokenizers and salt n-grams;
+    3. strip non-whitespace C0 controls + DEL.
+
+    Output: (id, text, n_zero_width, n_control) — counts are exact
+    length deltas so pipelines can flag invisible-char spam
+    (a document with thousands of zero-widths is adversarial).
+
+    Plan: NFC is the sanctioned Arrow-batched pandas UDF (Spark has
+    no built-in normalizer; DuckDB's nfc_normalize replays it in the
+    oracle — agreement verified over combining sequences, Hangul
+    jamo, ligatures and fullwidth forms); the strips and counts are
+    pure codegen'd regex projections. Zero shuffle."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    # each stage materializes its string ONCE as an attribute the
+    # next select references twice (value + length delta) — a
+    # multi-referenced attribute survives CollapseProject, a repeated
+    # expression would run the regex per reference
+    s1 = df.select(F.col(id_col), _nfc(F.col(text_col)).alias("_nfc"))
+    s2 = s1.select(
+        id_col, "_nfc",
+        F.regexp_replace(F.col("_nfc"), ZERO_WIDTH_RX, "")
+        .alias("_nozw"))
+    s3 = s2.select(
+        id_col, "_nozw",
+        (F.length("_nfc") - F.length("_nozw")).alias("n_zero_width"),
+        F.regexp_replace(F.col("_nozw"), CONTROL_RX, "")
+        .alias("_clean"))
+    return s3.select(
+        id_col, F.col("_clean").alias(text_col), "n_zero_width",
+        (F.length("_nozw") - F.length("_clean")).alias("n_control"))
 
 
 # lowercase literal phrases probed with contains() — the classic

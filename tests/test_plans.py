@@ -548,6 +548,39 @@ def test_round5_session3_operator_plan_shapes(docs, spark):
                    "Exchange hashpartitioning"):
         assert marker not in plan, marker  # zero shuffle, zero Python
 
+    # pure-projection battery: zero shuffle, zero Python
+    from json_schema_spark.textops.robots import parse_sitemaps
+    from json_schema_spark.textops.textanalysis import soft404_flags
+    sm = docs.filter(F.col("text").isNotNull()).select(
+        F.lit("h.ex.com").alias("host"),
+        F.concat(F.lit("<urlset><url><loc>https://h.ex.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("</loc></url></urlset>")).alias("sitemap_xml"))
+    for tag, build in [
+        ("soft404", lambda: soft404_flags(
+            docs.filter(F.col("text").isNotNull()))),
+        ("sitemaps", lambda: parse_sitemaps(sm)),
+    ]:
+        plan = _plan(build())
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "PythonUDF", "MapInPandas", "CartesianProduct",
+                       "BroadcastNestedLoopJoin",
+                       "Exchange hashpartitioning"):
+            assert marker not in plan, (tag, marker)
+
+    # recrawl_schedule: one full-outer url-digest join + one host agg
+    from json_schema_spark.textops.dedup import recrawl_schedule
+    snap = docs.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("https://s.ex.com/"),
+                 F.col("doc_id").cast("string")).alias("url"), "text")
+    plan = _plan(recrawl_schedule(snap, snap))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"):
+        assert marker not in plan, marker
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
     edges = docs.filter(F.col("text").isNotNull()).select(
         F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
         .alias("src_host"),

@@ -2533,6 +2533,30 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_clean_unicode(spark):
+    """NFC composes decomposed sequences (digest-identical after),
+    zero-widths/BOM/soft-hyphen strip with exact counts, C0 controls
+    strip, ligatures survive (NFC not NFKC), NULL propagates."""
+    from json_schema_spark.textops.textanalysis import clean_unicode
+
+    df = spark.createDataFrame(
+        [(0, "Café menu"),          # decomposed -> composed
+         (1, "x​y‌z﻿"),    # 3 invisibles
+         (2, "ctl\x01\x02ok\ttab\nnl"),   # \t \n survive
+         (3, "ﬁle"),                  # ligature preserved
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_unicode(df).collect()}
+    assert got[0].text == "Café menu"
+    assert (got[0].n_zero_width, got[0].n_control) == (0, 0)
+    assert got[1].text == "xyz"
+    assert got[1].n_zero_width == 3
+    assert got[2].text == "ctlok\ttab\nnl"
+    assert got[2].n_control == 2
+    assert got[3].text == "ﬁle"
+    assert got[4].text is None and got[4].n_control is None
+
+
 def test_degree_stats_reciprocity(spark):
     """Known graph: a farm with 3 outlinks and no inlinks, a mutual
     pair (reciprocal both ways), a sink with inlinks only; parallel
