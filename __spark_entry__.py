@@ -4209,6 +4209,59 @@ GROUP BY host
 """
 
 
+def _q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (round 5): appended spam tokens (2
+    hits), case-insensitive whole-token match (1 hit), and the
+    substring trap ('viagrafree' must NOT hit); NULL text propagates.
+    The oracle replays tokenize -> lower -> list_filter membership
+    and the max_hits verdict."""
+    from json_schema_spark.textops.textanalysis import wordlist_filter
+
+    i = F.col("doc_id")
+    txt = (F.when(i % 5 == 0,
+                  F.concat(F.coalesce(F.col("text"), F.lit("")),
+                           F.lit(" casino jackpot")))
+           .when(i % 5 == 1, F.lit("Classic CASINO night"))
+           .when(i % 5 == 2, F.lit("classics and viagrafree"))
+           .otherwise(F.col("text")))
+    docs = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return wordlist_filter(docs)
+
+
+def _sql_wordlist_filter() -> str:
+    from json_schema_spark.textops.textanalysis import SPAM_WORDS
+    wl = ", ".join(f"'{w}'" for w in SPAM_WORDS)
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN COALESCE(text, '') || ' casino jackpot'
+           WHEN 1 THEN 'Classic CASINO night'
+           WHEN 2 THEN 'classics and viagrafree'
+           ELSE text
+         END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                     string_split_regex(trim(text), '\s+'),
+                     x -> lower(x))
+         END AS toks
+  FROM docs
+),
+h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains([{wl}], x)))
+           AS n_blocked,
+         len(toks) AS n_tokens
+  FROM t
+)
+SELECT doc_id, n_blocked, n_tokens, n_blocked <= 0 AS kept FROM h
+"""
+
+
 def _q_clean_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene (round 5): decomposed combining sequences
     (e+U+0301, A+U+030A) that NFC composes, zero-width/BOM/soft-
@@ -5846,6 +5899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": _q_canonical_collapse,
         "degree_stats": _q_degree_stats,
         "clean_unicode": _q_clean_unicode,
+        "wordlist_filter": _q_wordlist_filter,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -5955,6 +6009,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
         "degree_stats": _sql_degree_stats(),
         "clean_unicode": _sql_clean_unicode(),
+        "wordlist_filter": _sql_wordlist_filter(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

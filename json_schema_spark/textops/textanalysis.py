@@ -228,6 +228,47 @@ def clean_unicode(df: DataFrame, text_col: str = "text",
         (F.length("_nozw") - F.length("_clean")).alias("n_control"))
 
 
+# demo blocklist for wordlist_filter — spam-market terms, stand-ins
+# for the operational lists real pipelines ship (C4's badwords list,
+# ad/affiliate vocabularies). Lowercase single tokens.
+SPAM_WORDS = ("casino", "viagra", "xxx", "jackpot", "gambling",
+              "lottery", "pills")
+
+
+def wordlist_filter(df: DataFrame, words: tuple[str, ...] = SPAM_WORDS,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_hits: int = 0) -> DataFrame:
+    """C4-style blocklist gate: per document, the number of TOKENS
+    matching a blocklist (whole-token equality after lowercasing —
+    substring probes would flag 'classics' for 'ass'-type entries,
+    the classic blocklist false positive), plus the keep verdict
+    ``n_blocked <= max_hits``. C4 dropped any page with a single
+    bad-word hit (max_hits=0); gentler pipelines allow a budget.
+
+    Output: (id, n_blocked, n_tokens, kept). The caller filters on
+    ``kept`` or reweighs by the ratio — returning the verdict instead
+    of pre-filtering keeps the gate composable with audit ledgers.
+
+    Plan: one tokenize + one exists/filter HOF over the token array
+    against a constant array literal (right for lists up to ~10^4;
+    beyond that explode + broadcast-join a word table). Zero shuffle,
+    zero Python; the token array materializes once as an attribute
+    (CollapseProject rule)."""
+    if not words:
+        raise ValueError("words must be non-empty")
+    wl = F.array(*[F.lit(w.lower()) for w in words])
+    staged = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("_toks"))
+    hits = F.size(F.filter(
+        F.col("_toks"), lambda t: F.array_contains(wl, t)))
+    return (staged
+            .select(id_col, hits.alias("n_blocked"),
+                    F.size("_toks").alias("n_tokens"))
+            .withColumn("kept", F.col("n_blocked") <= max_hits))
+
+
 # lowercase literal phrases probed with contains() — the classic
 # soft-404 battery (error pages served with HTTP 200, which a crawler
 # cannot tell apart by status code). Literals, not regexes: both

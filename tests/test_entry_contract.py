@@ -58,7 +58,7 @@ def test_query_registry_is_pinned():
         "domain_rollup", "parse_sitemaps", "soft404",
         "recrawl_schedule", "fetch_batches", "crawl_delays",
         "parse_warc", "mirror_hosts", "canonical_collapse",
-        "degree_stats", "clean_unicode",
+        "degree_stats", "clean_unicode", "wordlist_filter",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

@@ -2533,6 +2533,33 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_wordlist_filter(spark):
+    """Whole-token matching (no substring false positives),
+    case-insensitive, exact hit counts, max_hits budget, custom
+    lists, NULL text propagates NULL verdict."""
+    from json_schema_spark.textops.textanalysis import wordlist_filter
+
+    df = spark.createDataFrame(
+        [(1, "play CASINO jackpot now"),
+         (2, "classics and viagrafree prose"),   # substrings only
+         (3, "clean text entirely"),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in wordlist_filter(df).collect()}
+    assert (got[1].n_blocked, got[1].kept) == (2, False)
+    assert (got[2].n_blocked, got[2].kept) == (0, True)
+    assert got[3].kept
+    assert got[4].kept is None and got[4].n_blocked is None
+    lax = {r.doc_id: r.kept
+           for r in wordlist_filter(df, max_hits=2).collect()}
+    assert lax[1] is True
+    custom = {r.doc_id: r.n_blocked
+              for r in wordlist_filter(df, words=("prose",)).collect()}
+    assert custom[2] == 1
+    with pytest.raises(ValueError):
+        wordlist_filter(df, words=())
+
+
 def test_clean_unicode(spark):
     """NFC composes decomposed sequences (digest-identical after),
     zero-widths/BOM/soft-hyphen strip with exact counts, C0 controls
