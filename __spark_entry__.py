@@ -4469,9 +4469,11 @@ def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay extraction (round 5): seven synthetic robots files
     — a '*' group with a delay (absent for host 5, repeated with
     last-wins for k%3==0), a MyBot-specific 0.5s group on even hosts
-    (shadows '*'), and a non-numeric SlowBot delay that drops. Agent
-    'MyBot'. The oracle replays group reconstruction, last-wins,
-    shadowing and the max-across-groups aggregate."""
+    except 6 (shadows '*'), host 6 gets a MyBot group WITHOUT a delay
+    (must still shadow — the '*' delay may not leak), and a
+    non-numeric SlowBot delay that drops. Agent 'MyBot'. The oracle
+    replays group reconstruction, last-wins, all-groups shadowing and
+    the max-across-groups aggregate."""
     from json_schema_spark.textops.robots import crawl_delays
 
     ks = (_docs(spark, sf_dir)
@@ -4487,8 +4489,9 @@ def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
                              (k % 4 + 1).cast("string"), F.lit("\n"))),
         opt(k % 3 == 0, F.lit("Crawl-delay: 9\n")),
         F.lit("Disallow: /x\n"),
-        opt(k % 2 == 0,
+        opt((k % 2 == 0) & (k != 6),
             F.lit("\nUser-agent: MyBot\nCrawl-delay: 0.5\n")),
+        opt(k == 6, F.lit("\nUser-agent: MyBot\nDisallow: /secret\n")),
         opt(k % 5 == 4,
             F.lit("\nUser-agent: SlowBot\nCrawl-delay: fast\n")))
     robots = ks.select(
@@ -4509,9 +4512,12 @@ robots AS (
          || CASE WHEN k % 3 = 0
               THEN 'Crawl-delay: 9' || chr(10) ELSE '' END
          || 'Disallow: /x' || chr(10)
-         || CASE WHEN k % 2 = 0
+         || CASE WHEN k % 2 = 0 AND k <> 6
               THEN chr(10) || 'User-agent: MyBot' || chr(10)
                    || 'Crawl-delay: 0.5' || chr(10) ELSE '' END
+         || CASE WHEN k = 6
+              THEN chr(10) || 'User-agent: MyBot' || chr(10)
+                   || 'Disallow: /secret' || chr(10) ELSE '' END
          || CASE WHEN k % 5 = 4
               THEN chr(10) || 'User-agent: SlowBot' || chr(10)
                    || 'Crawl-delay: fast' || chr(10) ELSE '' END
@@ -4576,7 +4582,8 @@ appl AS (
   WHERE u.has_agent = 1 OR u.has_star = 1
 ),
 hostspec AS (
-  SELECT host, max(has_agent) AS has_spec FROM appl GROUP BY host
+  -- all-groups shadowing: computed over ua, not delay-bearing rows
+  SELECT host, max(has_agent) AS has_spec FROM ua GROUP BY host
 )
 SELECT a.host, max(a.delay) AS crawl_delay
 FROM appl a JOIN hostspec h ON a.host = h.host
@@ -4607,19 +4614,25 @@ WITH urls AS (
   FROM documents
 ),
 h AS (
-  SELECT url,
-         regexp_replace(lower(regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
-           ':[0-9]+$', '') AS host
-  FROM urls WHERE url IS NOT NULL
+  SELECT url, CASE WHEN h0 <> '' THEN h0 END AS host
+  FROM (
+    SELECT url,
+           regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)',
+             1)), ':[0-9]+$', '') AS h0
+    FROM urls WHERE url IS NOT NULL
+  )
 ),
 r AS (
   SELECT url, host,
          row_number() OVER (PARTITION BY host
                             ORDER BY md5(url), url) AS rk
-  FROM h WHERE host <> ''
+  FROM h
 )
-SELECT url, host, (rk - 1) // 3 AS batch FROM r
+SELECT url, host,
+       CASE WHEN host IS NOT NULL THEN (rk - 1) // 3 ELSE 0 END
+         AS batch
+FROM r
 """
 
 
@@ -4728,19 +4741,21 @@ new_ AS (
 ),
 o AS (
   SELECT md5(url) AS u,
-         regexp_replace(lower(regexp_extract(url,
+         max(regexp_replace(lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
-           ':[0-9]+$', '') AS h,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS d
-  FROM old_ WHERE url IS NOT NULL
+           ':[0-9]+$', '')) AS h,
+         max(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+           AS d
+  FROM old_ WHERE url IS NOT NULL GROUP BY md5(url)
 ),
 n AS (
   SELECT md5(url) AS u,
-         regexp_replace(lower(regexp_extract(url,
+         max(regexp_replace(lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
-           ':[0-9]+$', '') AS h,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS d
-  FROM new_ WHERE url IS NOT NULL
+           ':[0-9]+$', '')) AS h,
+         max(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+           AS d
+  FROM new_ WHERE url IS NOT NULL GROUP BY md5(url)
 ),
 j AS (
   SELECT COALESCE(n.h, o.h) AS host,

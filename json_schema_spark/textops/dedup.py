@@ -1494,14 +1494,12 @@ def mirror_hosts(df: DataFrame, url_col: str = "url",
     the final aggregate is host-pair-cardinality — tiny. Same-host
     pairs (ordinary boilerplate dups) are excluded before the
     aggregate, so a template-heavy host does not inflate the join."""
-    from json_schema_spark.textops.urls import _HOST_RX
+    from json_schema_spark.textops.urls import host_of
 
     pairs = near_duplicates(df.select(id_col, text_col),
                             text_col=text_col, id_col=id_col,
                             threshold=threshold, **lsh_kwargs)
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     hosts = (df.filter(F.col(url_col).isNotNull())
              .select(F.col(id_col).alias("_hid"), host.alias("_h"))
              .filter(F.col("_h") != ""))
@@ -1529,7 +1527,9 @@ def recrawl_schedule(old: DataFrame, new: DataFrame,
     affordable (recrawling everything daily is the single largest
     cost a naive crawler pays).
 
-    Per host: n_old / n_new (URL counts per side), n_common (URLs in
+    Per host: n_old / n_new (DISTINCT URL counts per side — duplicate
+    URLs within a snapshot collapse first, so refetch logs don't
+    inflate counters), n_common (URLs in
     both), n_changed (common URLs whose normalized content digest
     differs), change_frac = round(n_changed / n_common, 6), and tier:
     the first entry of ``tiers`` whose threshold the frac EXCEEDS
@@ -1547,18 +1547,22 @@ def recrawl_schedule(old: DataFrame, new: DataFrame,
     it) feeding ONE host-keyed aggregate whose state is five
     counters. Host skew is absorbed by the partial agg: a 10^8-page
     host collapses map-side to one row per task."""
-    from json_schema_spark.textops.urls import _HOST_RX
+    from json_schema_spark.textops.urls import host_of
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        host = F.regexp_replace(
-            F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-            r":[0-9]+$", "")
+        host = host_of(F.col(url_col))
+        # collapse duplicate URLs within a snapshot (a crawl log with
+        # refetches) BEFORE the join — otherwise the full-outer join
+        # fans out and inflates every counter; max() is the
+        # deterministic pick (prefers a non-NULL digest)
         return (df.filter(F.col(url_col).isNotNull())
                 .select(F.md5(F.col(url_col)).alias("_u"),
-                        host.alias(f"_h_{tag}"),
-                        normalized_digest(F.col(text_col))
-                        .alias(f"_d_{tag}"),
-                        F.lit(True).alias(f"_in_{tag}")))
+                        host.alias("_h"),
+                        normalized_digest(F.col(text_col)).alias("_d"))
+                .groupBy("_u")
+                .agg(F.max("_h").alias(f"_h_{tag}"),
+                     F.max("_d").alias(f"_d_{tag}"))
+                .withColumn(f"_in_{tag}", F.lit(True)))
 
     j = side(old, "o").join(side(new, "n"), "_u", "full_outer")
     host = F.coalesce(F.col("_h_n"), F.col("_h_o"))

@@ -56,23 +56,29 @@ def expand_frontier(crawled: DataFrame, robots: DataFrame | None = None,
     )
     from json_schema_spark.textops.urls import filter_urls, normalize_url
 
+    # the scheme prefilter overlaps filter_urls' allowlist on purpose:
+    # it prunes relative/garbage hrefs BEFORE the distinct() shuffle
     links = (crawled.filter(F.col(html_col).isNotNull())
              .select(F.explode(extract_links(F.col(html_col)))
                      .alias("_raw"))
              .filter(F.col("_raw").rlike(r"(?i)^https?://")))
     urls = (links.select(normalize_url(F.col("_raw")).alias(url_col))
             .distinct())
+    # host extracted ONCE here and threaded to the batcher (robots
+    # gating re-derives internally — its rule join owns that path)
     urls = filter_urls(urls, url_col=url_col,
                        block_domains=block_domains,
-                       out_host_col="_policy_host").drop("_policy_host")
+                       out_host_col="host")
     if robots is not None:
-        gated = robots_filter(urls, robots, agent=agent,
+        gated = robots_filter(urls.drop("host"), robots, agent=agent,
                               url_col=url_col)
         urls = (gated.filter(F.col("allowed"))
-                .select(F.col(url_col)))
+                .select(F.col(url_col),
+                        F.col("url_host").alias("host")))
     if seen is not None:
         urls = urls.join(
             seen.select(normalize_url(F.col(url_col)).alias(url_col))
             .distinct(),
             url_col, "left_anti")
-    return fetch_batches(urls, url_col=url_col, per_host=per_host)
+    return fetch_batches(urls, url_col=url_col, host_col="host",
+                         per_host=per_host)

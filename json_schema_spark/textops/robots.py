@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from json_schema_spark.textops.urls import _HOST_RX, _PATH_RX
+from json_schema_spark.textops.urls import _PATH_RX, host_of
 
 __all__ = ["robots_rules", "robots_filter", "sitemap_urls",
            "crawl_delays", "fetch_batches", "parse_sitemaps"]
@@ -102,7 +102,10 @@ def crawl_delays(df: DataFrame, host_col: str = "host",
     against (batch k fetches no earlier than k * delay). Crawl-delay
     is group-scoped like allow/disallow (de-facto Bing/Yandex
     semantics; not in RFC 9309): within a group the LAST declaration
-    wins, groups naming the agent exactly shadow the '*' groups, and
+    wins; if ANY group names the agent exactly, only those groups
+    apply — a specific group WITHOUT a delay therefore suppresses a
+    '*' delay (same group-selection rule as robots_filter, computed
+    over every group of the host, not just delay-bearing ones);
     across still-applicable groups the MOST restrictive (max) delay
     is kept. Non-numeric values drop; hosts with no applicable delay
     are absent (caller supplies the default interval).
@@ -124,9 +127,15 @@ def crawl_delays(df: DataFrame, host_col: str = "host",
     applies = F.array_contains("agents", a) | \
         F.array_contains("agents", "*")
     specific = F.array_contains("agents", a) & F.lit(a != "*")
+    # shadowing is decided by EVERY group of the host (robots_filter
+    # parity): a MyBot group with only Disallow lines still means
+    # "MyBot's directives are exactly these" — the '*' delay must not
+    # leak through
+    host_spec = (ua.select(
+        "host", (F.array_contains("agents", a) & F.lit(a != "*"))
+        .alias("_s"))
+        .groupBy("host").agg(F.max("_s").alias("_has_spec")))
     d = d.filter(applies).withColumn("_spec", specific)
-    host_spec = (d.groupBy("host")
-                 .agg(F.max("_spec").alias("_has_spec")))
     return (d.join(host_spec, "host")
             .filter(F.col("_spec") | ~F.col("_has_spec"))
             .groupBy("host")
@@ -159,9 +168,7 @@ def robots_filter(urls_df: DataFrame, robots_df: DataFrame,
          # (used only to partition the ranking window — the verdict
          # itself is id-independent, so nondeterministic ids are safe)
          .withColumn("_uid", F.monotonically_increasing_id())
-         .withColumn("_host", F.regexp_replace(
-             F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-             r":[0-9]+$", ""))
+         .withColumn("_host", host_of(F.col(url_col)))
          .withColumn("_path", F.when(
              F.regexp_extract(F.col(url_col), _PATH_RX, 1) == "",
              F.lit("/")).otherwise(
@@ -240,17 +247,26 @@ def fetch_batches(df: DataFrame, url_col: str = "url",
     that hot are real, pre-shard with cap_per_group's salted two-phase
     (rank within (host, md5-shard), offset by shard sizes); for host
     distributions crawls actually see (Zipf with a bounded head after
-    cap_per_domain), the single window is the cheaper plan."""
+    cap_per_domain), the single window is the cheaper plan.
+
+    Every input row gets a batch — URLs whose host cannot be
+    extracted come back with host NULL and batch 0 (no host means no
+    politeness constraint; silently dropping fetches would lose
+    frontier entries). A df that already carries a 'host' column must
+    name it via ``host_col`` — deriving over it would silently
+    clobber the caller's routing."""
     if per_host < 1:
         raise ValueError("per_host must be >= 1")
     from pyspark.sql import Window as W
 
     if host_col is None:
-        from json_schema_spark.textops.urls import _HOST_RX
-        host = F.regexp_replace(
-            F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-            r":[0-9]+$", "")
-        df = df.withColumn("host", host).filter(F.col("host") != "")
+        if "host" in df.columns:
+            raise ValueError(
+                "df already has a 'host' column; pass host_col='host'"
+                " to use it (refusing to clobber it)")
+        from json_schema_spark.textops.urls import host_of
+        host = host_of(F.col(url_col))
+        df = df.withColumn("host", F.when(host != "", host))
         host_col = "host"
     rank = F.row_number().over(
         W.partitionBy(host_col).orderBy(F.md5(F.col(url_col)),
@@ -258,8 +274,11 @@ def fetch_batches(df: DataFrame, url_col: str = "url",
     # integer DIV, not float-divide-then-cast: DuckDB's double->int
     # cast ROUNDS where Spark truncates (repo-wide oracle rule)
     return (df.withColumn("_rk", rank)
-            .withColumn("batch",
-                        F.expr(f"(_rk - 1) DIV {int(per_host)}"))
+            .withColumn(
+                "batch",
+                F.when(F.col(host_col).isNotNull(),
+                       F.expr(f"(_rk - 1) DIV {int(per_host)}"))
+                .otherwise(F.lit(0)))
             .drop("_rk"))
 
 

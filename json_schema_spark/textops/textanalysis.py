@@ -434,11 +434,9 @@ def host_quality(df: DataFrame, url_col: str = "url",
     matches host_profile: constant per-group state, count_distinct
     collapses (host, fingerprint) map-side. NULL-text documents are
     not profiled (analyze drops them), matching quality_filter."""
-    from json_schema_spark.textops.urls import _HOST_RX
+    from json_schema_spark.textops.urls import host_of
 
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     base = (df.filter(F.col(url_col).isNotNull())
             .select(host.alias("_host"), F.col(text_col))
             .filter(F.col("_host") != ""))
@@ -488,11 +486,9 @@ def host_boilerplate_lines(df: DataFrame, url_col: str = "url",
     10^9-host crawl does not. Skew: the (host, line) key subdivides a
     hot host by its distinct lines, and the per-group state is a
     constant-size count, so a 10^7-page host costs merge time only."""
-    from json_schema_spark.textops.urls import _HOST_RX
+    from json_schema_spark.textops.urls import host_of
 
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     base = (df.filter(F.col(url_col).isNotNull()
                       & F.col(text_col).isNotNull())
             .select(host.alias("host"), F.col(id_col).alias("_id"),

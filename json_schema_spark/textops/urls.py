@@ -104,6 +104,16 @@ _HOST_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)"
 _PATH_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 
+def host_of(col: Column) -> Column:
+    """Lowercased host of an absolute URL, port stripped, authority
+    userinfo skipped; '' when no host is extractable. THE single
+    definition of host extraction — every operator keying on host
+    (profiles, gates, rollups, schedules) uses this, so a parsing fix
+    (e.g. IPv6 brackets) lands once."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, _HOST_RX, 1)), r":[0-9]+$", "")
+
+
 def filter_urls(df: DataFrame, url_col: str = "url",
                 allowed_schemes: tuple[str, ...] = ("http", "https"),
                 block_domains: tuple[str, ...] = (),
@@ -130,8 +140,7 @@ def filter_urls(df: DataFrame, url_col: str = "url",
         raise ValueError("allowed_schemes must be non-empty")
     col = F.col(url_col)
     scheme = F.lower(F.regexp_extract(col, _SCHEME_RX, 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(col, _HOST_RX, 1)), r":[0-9]+$", "")
+    host = host_of(col)
     path = F.lower(F.regexp_extract(col, _PATH_RX, 1))
     keep = scheme.isin(*[s.lower() for s in allowed_schemes])
     if block_domains:
@@ -185,9 +194,7 @@ def url_path_templates(df: DataFrame, url_col: str = "url",
     across their templates; a single hot (host, template) cell has
     constant-size aggregate state (counts), so skew costs merge time,
     not memory. Zero Python."""
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     txt = F.coalesce(F.col(text_col), F.lit(""))
     return (df.filter(F.col(url_col).isNotNull())
             .select(host.alias("host"),
@@ -229,9 +236,7 @@ def host_profile(df: DataFrame, url_col: str = "url",
     to the same bucket deliberately (both are "no content");
     dup_frac = round(1 - unique/docs, 6) evaluates in double precision
     identically on any engine."""
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     txt = F.coalesce(F.col(text_col), F.lit(""))
     return (df.filter(F.col(url_col).isNotNull())
             .select(host.alias("host"), F.md5(txt).alias("_d"),
@@ -277,24 +282,40 @@ def registered_domain(host: Column,
     blocklists) keyed on raw hosts over-splits: every subdomain of a
     blog farm would get its own cap.
 
-    Rule: if the last TWO labels form a known multi-label suffix
-    (MULTI_SUFFIXES + extras) keep three labels, else keep two.
-    Lowercases; expects a bare host (no scheme/port — pair with the
-    _HOST_RX extraction filter_urls/host_profile use). Pure string
-    ops (split + element_at + isin), zero shuffle, zero Python; the
-    suffix probe is a constant IN-list the optimizer folds."""
+    Rule: longest known public suffix wins — if the last THREE labels
+    form a known 3-label suffix (extras like 'k12.ma.us') keep four
+    labels; else if the last TWO form a known 2-label suffix
+    (MULTI_SUFFIXES + extras) keep three; else keep two. A bare
+    suffix host passes through unchanged. Suffix entries must have 2
+    or 3 labels (ValueError otherwise — a silently-ignored entry is
+    the worse failure). Lowercases; expects a bare host (no
+    scheme/port — pair with host_of). Pure string ops (split +
+    element_at + isin), zero shuffle, zero Python; the suffix probes
+    are constant IN-lists the optimizer folds."""
     suffixes = [s.lower() for s in
                 tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)]
+    s2 = [s for s in suffixes if s.count(".") == 1]
+    s3 = [s for s in suffixes if s.count(".") == 2]
+    bad = [s for s in suffixes if s.count(".") not in (1, 2)]
+    if bad:
+        raise ValueError(
+            f"suffix entries must have 2 or 3 labels: {bad}")
     h = F.lower(host)
     labels = F.split(h, r"\.")
     n = F.size(labels)
     last2 = F.concat(F.element_at(labels, -2), F.lit("."),
                      F.element_at(labels, -1))
     last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
-    return (F.when(n >= 3, F.when(last2.isin(suffixes), last3)
-                   .otherwise(last2))
-            .when(n == 2, last2)
-            .otherwise(h))
+    out = F.when(n >= 3, F.when(last2.isin(s2), last3)
+                 .otherwise(last2)) \
+        .when(n == 2, last2) \
+        .otherwise(h)
+    if s3:
+        last4 = F.concat(F.element_at(labels, -4), F.lit("."), last3)
+        out = (F.when((n >= 4) & last3.isin(s3), last4)
+               .when((n == 3) & last3.isin(s3), h)
+               .otherwise(out))
+    return out
 
 
 def domain_rollup(df: DataFrame, url_col: str = "url",
@@ -312,9 +333,7 @@ def domain_rollup(df: DataFrame, url_col: str = "url",
     shuffle carries at most one row per distinct (domain, host) /
     (domain, digest) — the same 10^12-row story as host_profile.
     Parity: digest = md5(coalesce(text, '')); dup_frac rounded once."""
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), _HOST_RX, 1)),
-        r":[0-9]+$", "")
+    host = host_of(F.col(url_col))
     txt = F.coalesce(F.col(text_col), F.lit(""))
     return (df.filter(F.col(url_col).isNotNull())
             .select(host.alias("_h"), F.md5(txt).alias("_d"))

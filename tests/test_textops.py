@@ -2816,17 +2816,23 @@ def test_crawl_delays_group_semantics(spark):
     nodelay = "User-agent: *\nDisallow: /x\n"
     twostars = ("User-agent: *\nCrawl-delay: 1\n\n"
                 "User-agent: *\nCrawl-delay: 4\n")
+    # a MyBot group WITHOUT a delay still shadows the '*' delay —
+    # "MyBot's directives are exactly these" (robots_filter parity)
+    shadow_nodelay = ("User-agent: *\nCrawl-delay: 10\n\n"
+                      "User-agent: MyBot\nDisallow: /x\n")
     df = spark.createDataFrame(
         [("a.com", shadowed), ("b.com", lastwins), ("c.com", badval),
-         ("d.com", nodelay), ("e.com", twostars)],
+         ("d.com", nodelay), ("e.com", twostars),
+         ("f.com", shadow_nodelay)],
         "host string, robots_txt string")
     got = {r.host: r.crawl_delay
            for r in crawl_delays(df, agent="MyBot").collect()}
     assert got == {"a.com": 0.5, "b.com": 7.0, "e.com": 4.0}
-    # star agent: no shadowing, a.com keeps the '*' group's 10
+    # star agent: no shadowing, a.com/f.com keep the '*' group's 10
     got_star = {r.host: r.crawl_delay
                 for r in crawl_delays(df).collect()}
     assert got_star["a.com"] == 10.0
+    assert got_star["f.com"] == 10.0
 
 
 def test_fetch_batches_politeness(spark):
@@ -2836,10 +2842,14 @@ def test_fetch_batches_politeness(spark):
     from json_schema_spark.textops.robots import fetch_batches
 
     urls = [(f"https://a.ex.com/{i}",) for i in range(7)] \
-        + [(f"https://b.ex.com/{i}",) for i in range(2)]
+        + [(f"https://b.ex.com/{i}",) for i in range(2)] \
+        + [("not-a-url",)]   # hostless: kept, host NULL, batch 0
     df = spark.createDataFrame(urls, "url string")
     rows = fetch_batches(df, per_host=3).collect()
-    assert len(rows) == 9
+    assert len(rows) == 10
+    hostless = [r for r in rows if r.host is None]
+    assert len(hostless) == 1 and hostless[0].batch == 0
+    rows = [r for r in rows if r.host is not None]
     per = {}
     for r in rows:
         per.setdefault((r.host, r.batch), 0)
@@ -2850,7 +2860,8 @@ def test_fetch_batches_politeness(spark):
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
-        rows2 = fetch_batches(df, per_host=3).collect()
+        rows2 = [r for r in fetch_batches(df, per_host=3).collect()
+                 if r.host is not None]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
@@ -2860,6 +2871,9 @@ def test_fetch_batches_politeness(spark):
     assert sorted(r.batch for r in got) == [0, 1]
     with pytest.raises(ValueError):
         fetch_batches(df, per_host=0)
+    with pytest.raises(ValueError):
+        # pre-existing 'host' column must be named, never clobbered
+        fetch_batches(hosted, per_host=1)
 
 
 def test_soft404_flags(spark):
@@ -2896,6 +2910,8 @@ def test_recrawl_schedule_tiers(spark):
     old = spark.createDataFrame(
         [(f"https://hot.ex.com/{i}", f"v1 {i}") for i in range(4)]
         + [(f"https://warm.ex.com/{i}", f"v1 {i}") for i in range(6)]
+        # refetch-log duplicate: must collapse, not fan the join out
+        + [("https://warm.ex.com/0", "v0 again")]
         + [(f"https://cold.ex.com/{i}", f"v1 {i}") for i in range(3)]
         + [("https://cold.ex.com/gone", "bye")],
         "url string, text string")
@@ -2910,6 +2926,7 @@ def test_recrawl_schedule_tiers(spark):
     assert got["hot.ex.com"].tier == "daily"
     assert got["hot.ex.com"].change_frac == 1.0
     w = got["warm.ex.com"]
+    assert w.n_old == 6  # the duplicate URL collapsed
     assert (w.n_common, w.n_changed, w.tier) == (6, 2, "weekly")
     c = got["cold.ex.com"]
     assert (c.n_old, c.n_new, c.tier) == (4, 3, "stable")
@@ -2996,6 +3013,22 @@ def test_registered_domain_and_rollup(spark):
                           extra_suffixes=("custom.zz",))
         .alias("d")).head().d
     assert got_extra == "y.custom.zz"
+    # 3-label suffixes (PSL has k12.<state>.us etc.)
+    for host, want in {
+        "school.k12.ma.us": "school.k12.ma.us",
+        "www.school.k12.ma.us": "school.k12.ma.us",
+        "k12.ma.us": "k12.ma.us",     # bare suffix passes through
+        "plain.ma.us": "ma.us",       # 3-label probe misses -> 2-label
+    }.items():
+        got3 = one.select(
+            registered_domain(F.lit(host),
+                              extra_suffixes=("k12.ma.us",))
+            .alias("d")).head().d
+        assert got3 == want, host
+    with pytest.raises(ValueError):
+        registered_domain(F.lit("x"), extra_suffixes=("a.b.c.d",))
+    with pytest.raises(ValueError):
+        registered_domain(F.lit("x"), extra_suffixes=("nodots",))
 
 
 def test_hits_fixed_point_semantics(spark):
