@@ -4209,6 +4209,60 @@ GROUP BY host
 """
 
 
+def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-k (round 5): per-vector
+    symmetric quantization (scale = max|v|/127), ranking on the
+    scale-free integer-dot estimate dot(qa,qb)/sqrt(qq_a*qq_b). The
+    oracle replays quantization, the BIGINT dots and the ratio."""
+    from json_schema_spark.textops.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_quantized(emb.filter(F.col("vec_id") < 10),
+                                 emb, k=5)
+
+
+_SQL_ANN_QUANTIZED = """
+WITH qz AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+           THEN list_transform(embedding,
+                  x -> CAST(round(x / (CAST(mx AS DOUBLE) / 127.0), 0)
+                            AS INT))
+           ELSE list_transform(embedding, x -> 0) END AS qvec
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS mx
+        FROM embeddings)
+),
+qn AS (
+  SELECT vec_id, qvec,
+         list_reduce(list_transform(range(1, 65),
+           i -> CAST(qvec[i] AS BIGINT) * qvec[i]),
+           (a, b) -> a + b) AS qq
+  FROM qz
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CASE WHEN q.qq > 0 AND e.qq > 0
+           THEN CAST(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.qvec[i] AS BIGINT) * e.qvec[i]),
+                  (a, b) -> a + b) AS DOUBLE)
+                / sqrt(CAST(q.qq * e.qq AS DOUBLE))
+           ELSE 0.0 END AS sim
+  FROM (SELECT * FROM qn WHERE vec_id < 10) q
+  CROSS JOIN qn e
+  WHERE q.vec_id != e.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def _q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (round 5): appended spam tokens (2
     hits), case-insensitive whole-token match (1 hit), and the
@@ -5915,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _q_degree_stats,
         "clean_unicode": _q_clean_unicode,
         "wordlist_filter": _q_wordlist_filter,
+        "ann_quantized": _q_ann_quantized,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6025,6 +6080,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_stats": _sql_degree_stats(),
         "clean_unicode": _sql_clean_unicode(),
         "wordlist_filter": _sql_wordlist_filter(),
+        "ann_quantized": _SQL_ANN_QUANTIZED,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -2533,6 +2533,58 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_quantized_cosine_tracks_exact(spark):
+    """Int8 quantization: qvec values within [-127, 127], zero vector
+    gets scale 0 and sim 0, and the quantized cosine estimate tracks
+    exact cosine within 1e-2 on deterministic pseudo-random vectors
+    (top-1 neighbor agrees); broadcast guard raises."""
+    import math
+
+    from json_schema_spark.textops.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    def vec(seed, dim=16):
+        out = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}".encode())
+                    .hexdigest()[:6], 16)
+            out.append((h % 2001 - 1000) / 500.0)
+        return out
+
+    rows = [(i, vec(i)) for i in range(30)] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    qz = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert qz[99].scale == 0.0 and set(qz[99].qvec) == {0}
+    assert all(-127 <= v <= 127 for r in qz.values() for v in r.qvec)
+
+    got = cosine_topk_quantized(df.filter(F.col("vec_id") < 3), df,
+                                k=3).collect()
+
+    def exact_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    vecs = dict(rows)
+    for r in got:
+        ref = exact_cos(vecs[r.query_id], vecs[r.neighbor_id])
+        assert abs(r.cosine_sim - ref) < 1e-2, (r, ref)
+    # top-1 agreement with the exact ranking
+    for qid in range(3):
+        best_exact = max(
+            (i for i, _ in rows if i != qid),
+            key=lambda i: exact_cos(vecs[qid], vecs[i]))
+        best_q = next(r.neighbor_id for r in got
+                      if r.query_id == qid and r.rank == 1)
+        assert best_q == best_exact, qid
+    with pytest.raises(ValueError):
+        cosine_topk_quantized(df, df, max_broadcast_queries=5)
+
+
 def test_wordlist_filter(spark):
     """Whole-token matching (no substring false positives),
     case-insensitive, exact hit counts, max_hits budget, custom
