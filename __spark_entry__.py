@@ -895,7 +895,9 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(_docs(spark, sf_dir))
 
 
-def _sql_text_analysis(source: str = "documents") -> str:
+def _sql_lang_case() -> str:
+    """DuckDB replay of textanalysis.language_id over a column named
+    ``text`` — shared by text_analysis and lang_agreement."""
     from json_schema_spark.textops.textanalysis import STOPWORDS
 
     def lit_list(words: list[str]) -> str:
@@ -913,7 +915,20 @@ def _sql_text_analysis(source: str = "documents") -> str:
             if other != lang:
                 conds.append(f"{hits[lang]} >= {hits[other]}")
         case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+    return "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+
+
+def _sql_text_analysis(source: str = "documents") -> str:
+    from json_schema_spark.textops.textanalysis import STOPWORDS
+
+    def lit_list(words: list[str]) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    hits = {
+        lang: ("len(list_filter(string_split_regex(trim(lower(text)), "
+               f"'\\s+'), t -> list_contains({lit_list(words)}, t)))")
+        for lang, words in STOPWORDS.items()}
+    lang_case = _sql_lang_case()
 
     n_tokens = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
                 "len(string_split_regex(trim(text), '\\s+')) END")
@@ -4209,6 +4224,80 @@ GROUP BY host
 """
 
 
+def _q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language agreement (round 5): four page
+    shapes — lang="en" with English text (agree), lang="EN-us" with
+    French text (primary subtag en, detected fr — disagree),
+    lang="fr" with French text (agree), and no lang attribute
+    (undeclared). The oracle replays the lang regex, the shared
+    language-ID CASE and the per-host counter aggregate."""
+    from json_schema_spark.textops.textanalysis import lang_agreement
+
+    i = F.col("doc_id")
+    en = "the cat is in the house and it is for that"
+    fr = "le chat est dans la maison et il est pour que"
+    html = (F.when(i % 4 == 0,
+                   F.lit('<html lang="en"><body>x</body></html>'))
+            .when(i % 4 == 1,
+                  F.lit('<html lang="EN-us"><body>x</body></html>'))
+            .when(i % 4 == 2,
+                  F.lit('<html lang="fr"><body>x</body></html>'))
+            .otherwise(F.lit("<html><body>x</body></html>")))
+    txt = (F.when((i % 4 == 1) | (i % 4 == 2), F.lit(fr))
+           .otherwise(F.lit(en)))
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                 F.lit(".ex.com/p/"), i.cast("string")).alias("url"),
+        html.alias("html"), txt.alias("text"))
+    return lang_agreement(docs)
+
+
+def _sql_lang_agreement() -> str:
+    return rf"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 4
+           WHEN 0 THEN '<html lang="en"><body>x</body></html>'
+           WHEN 1 THEN '<html lang="EN-us"><body>x</body></html>'
+           WHEN 2 THEN '<html lang="fr"><body>x</body></html>'
+           ELSE '<html><body>x</body></html>'
+         END AS html,
+         CASE WHEN doc_id % 4 IN (1, 2)
+           THEN 'le chat est dans la maison et il est pour que'
+           ELSE 'the cat is in the house and it is for that'
+         END AS text
+  FROM documents
+),
+x AS (
+  SELECT regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)),
+           ':[0-9]+$', '') AS host,
+         lower(regexp_extract(html,
+           '(?is)<html[^>]*\slang\s*=\s*"([^"]*)"', 1)) AS decl,
+         {_sql_lang_case()} AS det
+  FROM pages WHERE url IS NOT NULL
+),
+y AS (
+  SELECT host,
+         CASE WHEN decl <> '' THEN 1 ELSE 0 END AS hd,
+         CASE WHEN decl <> ''
+                   AND string_split(decl, '-')[1] = det
+              THEN 1 ELSE 0 END AS ag
+  FROM x WHERE host <> ''
+)
+SELECT host, count(*) AS n_docs,
+       CAST(sum(hd) AS BIGINT) AS n_declared,
+       CAST(sum(ag) AS BIGINT) AS n_agree,
+       CASE WHEN sum(hd) > 0
+            THEN round(CAST(sum(ag) AS DOUBLE)
+                       / CAST(sum(hd) AS DOUBLE), 6) END
+         AS agree_frac
+FROM y GROUP BY host
+"""
+
+
 def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized brute-force cosine top-k (round 5): per-vector
     symmetric quantization (scale = max|v|/127), ranking on the
@@ -5970,6 +6059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_unicode": _q_clean_unicode,
         "wordlist_filter": _q_wordlist_filter,
         "ann_quantized": _q_ann_quantized,
+        "lang_agreement": _q_lang_agreement,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6081,6 +6171,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_unicode": _sql_clean_unicode(),
         "wordlist_filter": _sql_wordlist_filter(),
         "ann_quantized": _SQL_ANN_QUANTIZED,
+        "lang_agreement": _sql_lang_agreement(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -171,6 +171,50 @@ def quality_filter(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), "n_tokens", "quality"))
 
 
+def lang_agreement(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html",
+                   text_col: str = "text") -> DataFrame:
+    """Declared-vs-detected language agreement per host: documents
+    whose <html lang> attribute disagrees with the detected language
+    of their text are the classic machine-translation / scraped-spam
+    / template-misconfiguration signal (a host declaring 'en' while
+    serving detected-'fr' text wholesale is NOT an English corpus
+    source). Per host: n_docs, n_declared (pages carrying a lang
+    attribute), n_agree (declared PRIMARY subtag — 'en-US' -> 'en' —
+    equals language_id(text)), agree_frac =
+    round(n_agree / n_declared, 6) (NULL when nothing declares).
+
+    Plan: one projection (lang regex + stopword-hit language ID, all
+    codegen'd) + ONE host-keyed aggregate of integer counters — the
+    host_quality shape. Zero Python."""
+    from json_schema_spark.textops.html import _HTML_LANG_RX
+    from json_schema_spark.textops.urls import host_of
+
+    declared = F.lower(
+        F.regexp_extract(F.col(html_col), _HTML_LANG_RX, 1))
+    primary = F.element_at(F.split(declared, "-"), 1)
+    staged = (df.filter(F.col(url_col).isNotNull())
+              .select(host_of(F.col(url_col)).alias("host"),
+                      declared.alias("_decl"),
+                      primary.alias("_prim"),
+                      language_id(F.col(text_col)).alias("_det"))
+              .filter(F.col("host") != ""))
+    agg = (staged.select(
+        "host",
+        (F.col("_decl") != "").cast("int").alias("_hd"),
+        ((F.col("_decl") != "") & (F.col("_prim") == F.col("_det")))
+        .cast("int").alias("_ag"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("_hd").alias("n_declared"),
+             F.sum("_ag").alias("n_agree")))
+    return agg.select(
+        "host", "n_docs", "n_declared", "n_agree",
+        F.when(F.col("n_declared") > 0,
+               F.round(F.col("n_agree") / F.col("n_declared"), 6))
+        .alias("agree_frac"))
+
+
 # Unicode hygiene: invisible formatting chars (zero-widths, word
 # joiner, BOM, soft hyphen) and non-whitespace C0 controls + DEL.
 # \x{...} hex classes are the Java/RE2 common subset (no \uXXXX).

@@ -2533,6 +2533,29 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_lang_agreement(spark):
+    """Primary-subtag comparison (en-US -> en), disagreement counted,
+    undeclared pages excluded from the denominator, NULL frac when
+    nothing declares."""
+    from json_schema_spark.textops.textanalysis import lang_agreement
+
+    en = "the cat is in the house and it is for that"
+    fr = "le chat est dans la maison et il est pour que"
+    df = spark.createDataFrame(
+        [("https://a.ex/1", '<html lang="en"><body>x</body></html>', en),
+         ("https://a.ex/2", '<html lang="EN-us"><body></body></html>',
+          fr),                                    # declared en, det fr
+         ("https://a.ex/3", "<html><body>x</body></html>", en),
+         ("https://b.ex/1", "<html><body>x</body></html>", en)],
+        "url string, html string, text string")
+    got = {r.host: r for r in lang_agreement(df).collect()}
+    a = got["a.ex"]
+    assert (a.n_docs, a.n_declared, a.n_agree) == (3, 2, 1)
+    assert a.agree_frac == 0.5
+    b = got["b.ex"]
+    assert b.n_declared == 0 and b.agree_frac is None
+
+
 def test_quantized_cosine_tracks_exact(spark):
     """Int8 quantization: qvec values within [-127, 127], zero vector
     gets scale 0 and sim 0, and the quantized cosine estimate tracks
