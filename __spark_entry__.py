@@ -4224,6 +4224,55 @@ GROUP BY host
 """
 
 
+def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap coverage (round 5): six hosts declaring one URL per
+    doc; 2/3 of them are crawled, some via tracking-param variants
+    that must still count as covered (normalize_url on both sides).
+    The oracle derives canonical forms INDEPENDENTLY (url_dedup
+    precedent) and replays the semi-join + per-host counters."""
+    from json_schema_spark.textops.robots import sitemap_coverage
+
+    i = F.col("doc_id")
+    loc = F.concat(F.lit("https://h"), (i % 6).cast("string"),
+                   F.lit(".ex.com/p/"), i.cast("string"))
+    sm = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 6).cast("string"),
+                 F.lit(".ex.com")).alias("host"),
+        loc.alias("loc"))
+    crawled = (_docs(spark, sf_dir).filter(i % 3 != 0)
+               .select(F.concat(
+                   loc, F.when(i % 5 == 0, F.lit("?utm_source=x"))
+                   .otherwise(F.lit(""))).alias("url")))
+    return sitemap_coverage(sm, crawled)
+
+
+_SQL_SITEMAP_COVERAGE = """
+WITH decl AS (
+  SELECT DISTINCT
+         'h' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com' AS host,
+         'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com/p/'
+         || CAST(doc_id AS VARCHAR) AS u
+  FROM documents
+),
+crawled AS (
+  SELECT DISTINCT
+         'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com/p/'
+         || CAST(doc_id AS VARCHAR) AS u
+  FROM documents WHERE doc_id % 3 <> 0
+),
+hit AS (
+  SELECT host, count(*) AS n_crawled
+  FROM decl WHERE u IN (SELECT u FROM crawled)
+  GROUP BY host
+),
+base AS (SELECT host, count(*) AS n_declared FROM decl GROUP BY host)
+SELECT b.host, n_declared, COALESCE(n_crawled, 0) AS n_crawled,
+       round(COALESCE(n_crawled, 0) / n_declared, 6)
+         AS coverage_frac
+FROM base b LEFT JOIN hit h ON b.host = h.host
+"""
+
+
 def _q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language agreement (round 5): four page
     shapes — lang="en" with English text (agree), lang="EN-us" with
@@ -6060,6 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlist_filter": _q_wordlist_filter,
         "ann_quantized": _q_ann_quantized,
         "lang_agreement": _q_lang_agreement,
+        "sitemap_coverage": _q_sitemap_coverage,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6172,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         "wordlist_filter": _sql_wordlist_filter(),
         "ann_quantized": _SQL_ANN_QUANTIZED,
         "lang_agreement": _sql_lang_agreement(),
+        "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from json_schema_spark.textops.urls import _PATH_RX, host_of
 
 __all__ = ["robots_rules", "robots_filter", "sitemap_urls",
-           "crawl_delays", "fetch_batches", "parse_sitemaps"]
+           "crawl_delays", "fetch_batches", "parse_sitemaps",
+           "sitemap_coverage"]
 
 _DIRECTIVE_RX = r"(?i)^([a-z-]+)\s*:"
 _VALUE_RX = r"(?i)^[a-z-]+\s*:\s*(.*)$"
@@ -222,6 +223,47 @@ def sitemap_urls(df: DataFrame, host_col: str = "host",
             .select("host", resolved.alias("sitemap_url"))
             .filter(F.col("sitemap_url") != "")
             .distinct())
+
+
+def sitemap_coverage(sitemap_df: DataFrame, crawled_df: DataFrame,
+                     host_col: str = "host", loc_col: str = "loc",
+                     url_col: str = "url") -> DataFrame:
+    """Per-host sitemap coverage: of the URLs a host DECLARES in its
+    sitemaps, how many has the crawl actually fetched — (host,
+    n_declared, n_crawled, coverage_frac). The crawl-ops gauge that
+    separates "we chose not to crawl it" (frontier budget) from "we
+    never discovered it" (sitemap pipeline broken); a host with
+    coverage near 0 and high PageRank is a discovery bug, not a
+    policy choice.
+
+    Inputs: parse_sitemaps output (or any (host, loc) table) and any
+    crawled table with a url column. Both sides canonicalize through
+    normalize_url so trailing-slash/tracking-param variants count as
+    covered. Declared URLs dedupe per host first.
+
+    Plan: two projections + one left-semi join on the canonical URL +
+    ONE host aggregate; the join is declared-URL x crawl-log keyed on
+    url — bucket both on url to co-locate at scale."""
+    from json_schema_spark.textops.urls import normalize_url
+
+    declared = (sitemap_df
+                .select(F.col(host_col).alias("host"),
+                        normalize_url(F.col(loc_col)).alias("_u"))
+                .distinct())
+    crawled = (crawled_df.filter(F.col(url_col).isNotNull())
+               .select(normalize_url(F.col(url_col)).alias("_u"))
+               .distinct())
+    hit = (declared.join(crawled, "_u", "left_semi")
+           .groupBy("host").agg(F.count(F.lit(1)).alias("n_crawled")))
+    base = (declared.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_declared")))
+    return (base.join(hit, "host", "left")
+            .select("host", "n_declared",
+                    F.coalesce("n_crawled", F.lit(0))
+                    .alias("n_crawled"),
+                    F.round(F.coalesce(F.col("n_crawled"), F.lit(0))
+                            / F.col("n_declared"), 6)
+                    .alias("coverage_frac")))
 
 
 def fetch_batches(df: DataFrame, url_col: str = "url",

@@ -59,7 +59,7 @@ def test_query_registry_is_pinned():
         "recrawl_schedule", "fetch_batches", "crawl_delays",
         "parse_warc", "mirror_hosts", "canonical_collapse",
         "degree_stats", "clean_unicode", "wordlist_filter",
-        "ann_quantized", "lang_agreement",
+        "ann_quantized", "lang_agreement", "sitemap_coverage",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

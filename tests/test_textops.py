@@ -2533,6 +2533,28 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_sitemap_coverage(spark):
+    """Tracking-param crawl variants still count as covered
+    (normalize_url both sides); per-host declared dedupe; hosts with
+    nothing crawled get 0/0.0."""
+    from json_schema_spark.textops.robots import sitemap_coverage
+
+    sm = spark.createDataFrame(
+        [("a.ex", "https://a.ex/p1"), ("a.ex", "https://a.ex/p2"),
+         ("a.ex", "https://a.ex/p1"),       # duplicate declaration
+         ("b.ex", "https://b.ex/q1")],
+        "host string, loc string")
+    crawled = spark.createDataFrame(
+        [("https://a.ex/p1?utm_source=x",),   # normalizes to p1
+         ("https://other.ex/z",)],
+        "url string")
+    got = {r.host: r for r in sitemap_coverage(sm, crawled).collect()}
+    a = got["a.ex"]
+    assert (a.n_declared, a.n_crawled, a.coverage_frac) == (2, 1, 0.5)
+    b = got["b.ex"]
+    assert (b.n_declared, b.n_crawled, b.coverage_frac) == (1, 0, 0.0)
+
+
 def test_lang_agreement(spark):
     """Primary-subtag comparison (en-US -> en), disagreement counted,
     undeclared pages excluded from the denominator, NULL frac when
