@@ -4224,6 +4224,44 @@ GROUP BY host
 """
 
 
+def _q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding mean-pooling (round 5): vectors pooled per
+    vec_id%25 group via ORDER-INDEPENDENT scaled-integer sums (a
+    naive double avg() is partition-order-dependent and can never be
+    value-identical across engines). The result vector is exploded to
+    (group_id, n_vecs, pos, m) scalar rows for the gate; the oracle
+    replays the scaled sums per (group, position)."""
+    from json_schema_spark.textops.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.col("vec_id") % 25).alias("group_id"), "embedding")
+    pooled = mean_pool_embeddings(emb, group_col="group_id")
+    return pooled.select(
+        "group_id", "n_vecs",
+        F.posexplode(F.col("embedding")).alias("pos", "m"))
+
+
+_SQL_MEAN_POOL = """
+WITH ex AS (
+  SELECT vec_id % 25 AS g, t.i - 1 AS p,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)
+              AS BIGINT) AS sv
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+  WHERE embedding IS NOT NULL
+),
+sums AS (
+  SELECT g, p, CAST(sum(sv) AS BIGINT) AS s, count(*) AS n
+  FROM ex GROUP BY g, p
+),
+counts AS (SELECT g, max(n) AS n_vecs FROM sums GROUP BY g)
+SELECT s.g AS group_id, c.n_vecs, s.p AS pos,
+       round(CAST(round(s.s / s.n, 0) AS BIGINT) / 1000000, 6) AS m
+FROM sums s JOIN counts c ON s.g = c.g
+"""
+
+
 def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap coverage (round 5): six hosts declaring one URL per
     doc; 2/3 of them are crawled, some via tracking-param variants
@@ -6110,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "lang_agreement": _q_lang_agreement,
         "sitemap_coverage": _q_sitemap_coverage,
+        "mean_pool": _q_mean_pool,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6223,6 +6262,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _SQL_ANN_QUANTIZED,
         "lang_agreement": _sql_lang_agreement(),
         "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
+        "mean_pool": _SQL_MEAN_POOL,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -198,6 +198,63 @@ def cosine_topk_quantized(queries: DataFrame, corpus: DataFrame,
                     .alias("cosine_sim")))
 
 
+def mean_pool_embeddings(df: DataFrame, group_col: str = "doc_id",
+                         vec_col: str = "embedding",
+                         scale: int = 1_000_000) -> DataFrame:
+    """Element-wise mean of vectors per group — chunk embeddings
+    pooled back to a document vector (the standard RAG/doc-retrieval
+    reduction), or per-cluster centroids outside Lloyd iterations.
+    Returns (group, embedding, n_vecs).
+
+    Determinism design: a naive avg() of doubles is ORDER-DEPENDENT —
+    distributed float sums disagree across partitionings/engines in
+    the last ulps, which breaks value-identical oracles (repo-wide
+    rule). Values are instead scaled to integers
+    (round(v * scale) -> BIGINT), summed EXACTLY, and divided back
+    once per position — bit-identical anywhere, with quantization
+    error 1/(2*scale) ~ 5e-7 at the default, far below any retrieval
+    effect. Same per-dimension posexplode shape as the vectorized
+    IVF Lloyd update (constant aggregate expressions at ANY dim — no
+    per-dimension column fan-out).
+
+    Plan: posexplode -> ONE (group, pos)-keyed integer sum ->
+    per-group ordered reassembly aggregate. Two shuffles, both keyed
+    to subdivide hot groups by position. Overflow: |v|*scale*n_vecs
+    must stay < 2^63 — unit vectors pool 9e12 chunks at the default
+    scale."""
+    g = F.col(group_col)
+    exploded = (df.filter(F.col(vec_col).isNotNull())
+                .select(g.alias("_g"),
+                        F.posexplode(F.col(vec_col))
+                        .alias("_p", "_v"))
+                .select("_g", "_p",
+                        # widen float->double BEFORE scaling: a FLOAT
+                        # multiply rounds engine-specifically at 1e6
+                        # magnitude (24-bit mantissa), flipping border
+                        # elements and desyncing the integer sums
+                        F.round(F.col("_v").cast("double") * scale, 0)
+                        .cast("bigint").alias("_sv")))
+    sums = (exploded.groupBy("_g", "_p")
+            .agg(F.sum("_sv").alias("_s"),
+                 F.count(F.lit(1)).alias("_n")))
+    # round in INTEGER space first: s/n can land exactly on a .5 tie,
+    # which IS representable as a double (k/2), so ties-away rounding
+    # agrees across engines — dividing by `scale` first would put the
+    # tie at the 7th decimal where binary representation error makes
+    # Spark's shortest-repr round and DuckDB's binary round disagree
+    # in the last digit
+    m_scaled = F.round(F.col("_s") / F.col("_n"), 0).cast("bigint")
+    mean = F.round(m_scaled / F.lit(scale), 6)
+    return (sums.select("_g", "_p", mean.alias("_m"), "_n")
+            .groupBy("_g")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_p"), F.col("_m")))),
+                lambda s: s["_m"]).alias(vec_col),
+                F.max("_n").alias("n_vecs"))
+            .select(F.col("_g").alias(group_col), vec_col, "n_vecs"))
+
+
 def auto_n_planes(n_rows: int, target_bucket_size: int = 256,
                   min_planes: int = 4, max_planes: int = 24) -> int:
     """Size the hyperplane count from the corpus: 2^n_planes buckets with

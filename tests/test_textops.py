@@ -2533,6 +2533,34 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_mean_pool_embeddings(spark):
+    """Element-wise mean per group matches the hand computation to
+    the 1/scale quantization; identical across shuffle partitionings
+    (scaled-integer sums are order-independent); NULL vectors drop;
+    n_vecs counts pooled members."""
+    from json_schema_spark.textops.similarity import (
+        mean_pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, -3.0]), (1, [2.0, 4.0, 5.0]),
+         (2, [0.5, 0.25, 0.125]), (2, None)],
+        "doc_id long, embedding array<double>")
+    got = {r.doc_id: r for r in mean_pool_embeddings(df).collect()}
+    assert got[1].embedding == [1.5, 3.0, 1.0]
+    assert got[1].n_vecs == 2
+    assert got[2].embedding == [0.5, 0.25, 0.125]
+    assert got[2].n_vecs == 1
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        got2 = {r.doc_id: r.embedding
+                for r in mean_pool_embeddings(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert got2 == {k: r.embedding for k, r in got.items()}
+
+
 def test_sitemap_coverage(spark):
     """Tracking-param crawl variants still count as covered
     (normalize_url both sides); per-host declared dedupe; hosts with
