@@ -5351,8 +5351,16 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     IGNORE NULLS), group shadowing, and longest-prefix ranking."""
     from json_schema_spark.textops.robots import robots_filter
 
+    robots = _robots_corpus(spark, sf_dir)
+    urls = _robots_urls(spark, sf_dir)
+    return robots_filter(urls, robots, agent="mybot")
+
+
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (host, robots_txt) table shared by the
+    robots_gate and robots_compliance queries."""
     k = F.col("k")
-    robots = (
+    return (
         _docs(spark, sf_dir)
         .select((F.col("doc_id") % 7).alias("k")).distinct()
         .select(
@@ -5372,6 +5380,11 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k.cast("string"), F.lit("/ok\n")))
                 .otherwise(F.lit("")),
                 F.lit("# end")).alias("robots_txt")))
+
+
+def _robots_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic frontier-url table shared by the robots_gate
+    and robots_compliance queries."""
     i = F.col("doc_id")
     path = (F.when(i % 5 == 0, F.concat(F.lit("/p/x"),
                                         i.cast("string")))
@@ -5385,10 +5398,22 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.lit("/ok/w"),
                                        i.cast("string")))
             .otherwise(F.concat(F.lit("/open/"), i.cast("string"))))
-    urls = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         F.concat(F.lit("https://h"), (i % 7).cast("string"),
                  F.lit(".example.com"), path).alias("url"))
-    return robots_filter(urls, robots, agent="mybot")
+
+
+def _q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots compliance audit (round 5) over the same
+    corpus as robots_gate, treating the url table as an ALREADY-
+    FETCHED crawl log: fraction of fetched urls the host's robots
+    disallows for agent 'mybot'. The oracle nests the full
+    robots_gate pipeline and aggregates its verdicts."""
+    from json_schema_spark.textops.robots import robots_compliance
+
+    return robots_compliance(_robots_urls(spark, sf_dir),
+                             _robots_corpus(spark, sf_dir),
+                             agent="mybot")
 
 
 _SQL_ROBOTS_GATE = r"""
@@ -5509,6 +5534,18 @@ SELECT url, uh AS url_host,
        CASE WHEN hit THEN rule END AS matched_rule,
        CASE WHEN hit THEN path END AS matched_path
 FROM best WHERE rn = 1
+"""
+
+
+def _sql_robots_compliance() -> str:
+    return f"""
+WITH gate AS ({_SQL_ROBOTS_GATE})
+SELECT url_host AS host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_disallowed,
+       round(CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS violation_frac
+FROM gate WHERE url_host <> '' GROUP BY url_host
 """
 
 
@@ -6149,6 +6186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": _q_lang_agreement,
         "sitemap_coverage": _q_sitemap_coverage,
         "mean_pool": _q_mean_pool,
+        "robots_compliance": _q_robots_compliance,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6263,6 +6301,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_agreement": _sql_lang_agreement(),
         "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "mean_pool": _SQL_MEAN_POOL,
+        "robots_compliance": _sql_robots_compliance(),
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

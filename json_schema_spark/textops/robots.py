@@ -38,7 +38,7 @@ from json_schema_spark.textops.urls import _PATH_RX, host_of
 
 __all__ = ["robots_rules", "robots_filter", "sitemap_urls",
            "crawl_delays", "fetch_batches", "parse_sitemaps",
-           "sitemap_coverage"]
+           "sitemap_coverage", "robots_compliance"]
 
 _DIRECTIVE_RX = r"(?i)^([a-z-]+)\s*:"
 _VALUE_RX = r"(?i)^[a-z-]+\s*:\s*(.*)$"
@@ -223,6 +223,33 @@ def sitemap_urls(df: DataFrame, host_col: str = "host",
             .select("host", resolved.alias("sitemap_url"))
             .filter(F.col("sitemap_url") != "")
             .distinct())
+
+
+def robots_compliance(urls_df: DataFrame, robots_df: DataFrame,
+                      agent: str = "*", url_col: str = "url",
+                      host_col: str = "host",
+                      robots_col: str = "robots_txt") -> DataFrame:
+    """Per-host robots compliance audit over a crawl LOG: (host,
+    n_urls, n_disallowed, violation_frac) — the fraction of already-
+    fetched URLs the host's robots.txt disallows for ``agent``. A
+    nonzero fraction is a crawler bug (gate skipped, stale robots
+    cache, redirect past the gate) or a robots file that changed
+    since fetch; either way it is the metric a polite crawl operator
+    alarms on.
+
+    One robots_filter pass + ONE host-keyed counter aggregate."""
+    gated = robots_filter(urls_df, robots_df, agent, url_col,
+                          host_col, robots_col)
+    return (gated.select(F.col("url_host").alias("host"),
+                         (~F.col("allowed")).cast("int")
+                         .alias("_viol"))
+            .filter(F.col("host") != "")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum("_viol").alias("n_disallowed"))
+            .withColumn("violation_frac",
+                        F.round(F.col("n_disallowed")
+                                / F.col("n_urls"), 6)))
 
 
 def sitemap_coverage(sitemap_df: DataFrame, crawled_df: DataFrame,

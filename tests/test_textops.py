@@ -2533,6 +2533,30 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_robots_compliance(spark):
+    """Violation fractions per host: disallowed fetches counted,
+    allow carve-outs and unmatched paths are compliant, hosts with no
+    rules are fully compliant."""
+    from json_schema_spark.textops.robots import robots_compliance
+
+    robots = spark.createDataFrame(
+        [("a.ex", "User-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/ok\n"),
+         ("b.ex", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.ex/private/x",), ("https://a.ex/private/ok/y",),
+         ("https://a.ex/open",), ("https://a.ex/private/z",),
+         ("https://b.ex/anything",), ("https://c.ex/no-robots",)],
+        "url string")
+    got = {r.host: r for r in
+           robots_compliance(urls, robots).collect()}
+    a = got["a.ex"]
+    assert (a.n_urls, a.n_disallowed, a.violation_frac) == (4, 2, 0.5)
+    assert got["b.ex"].n_disallowed == 0
+    assert got["c.ex"].violation_frac == 0.0
+
+
 def test_mean_pool_embeddings(spark):
     """Element-wise mean per group matches the hand computation to
     the 1/scale quantization; identical across shuffle partitionings
