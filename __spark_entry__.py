@@ -895,19 +895,25 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(_docs(spark, sf_dir))
 
 
+def _sql_stopword_hits(lang: str) -> str:
+    """DuckDB replay of textanalysis.stopword_hits for one language
+    over a column named ``text`` — the single source for every
+    stopword-hit expression (language CASE, stop_ratio), so a
+    tokenizer change cannot silently desync them."""
+    from json_schema_spark.textops.textanalysis import STOPWORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return ("len(list_filter(string_split_regex(trim(lower(text)), "
+            f"'\\s+'), t -> list_contains({words}, t)))")
+
+
 def _sql_lang_case() -> str:
     """DuckDB replay of textanalysis.language_id over a column named
     ``text`` — shared by text_analysis and lang_agreement."""
     from json_schema_spark.textops.textanalysis import STOPWORDS
 
-    def lit_list(words: list[str]) -> str:
-        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-    hits = {
-        lang: ("len(list_filter(string_split_regex(trim(lower(text)), "
-               f"'\\s+'), t -> list_contains({lit_list(words)}, t)))")
-        for lang, words in STOPWORDS.items()}
     langs = list(STOPWORDS.keys())
+    hits = {lang: _sql_stopword_hits(lang) for lang in langs}
     case_parts = []
     for lang in langs:
         conds = [f"{hits[lang]} > 0"]
@@ -919,15 +925,7 @@ def _sql_lang_case() -> str:
 
 
 def _sql_text_analysis(source: str = "documents") -> str:
-    from json_schema_spark.textops.textanalysis import STOPWORDS
-
-    def lit_list(words: list[str]) -> str:
-        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-    hits = {
-        lang: ("len(list_filter(string_split_regex(trim(lower(text)), "
-               f"'\\s+'), t -> list_contains({lit_list(words)}, t)))")
-        for lang, words in STOPWORDS.items()}
+    hits = {"en": _sql_stopword_hits("en")}
     lang_case = _sql_lang_case()
 
     n_tokens = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
@@ -4249,7 +4247,10 @@ WITH ex AS (
          CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)
               AS BIGINT) AS sv
   FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
-  WHERE embedding IS NOT NULL
+  -- the length guard matches posexplode semantics: a short/ragged
+  -- array must not inflate count(*) with NULL sv rows (the sums
+  -- would skip them but the divisor would not)
+  WHERE embedding IS NOT NULL AND t.i <= len(embedding)
 ),
 sums AS (
   SELECT g, p, CAST(sum(sv) AS BIGINT) AS s, count(*) AS n

@@ -274,6 +274,9 @@ def sitemap_coverage(sitemap_df: DataFrame, crawled_df: DataFrame,
     from json_schema_spark.textops.urls import normalize_url
 
     declared = (sitemap_df
+                .filter(F.col(loc_col).isNotNull()
+                        & F.col(host_col).isNotNull()
+                        & (F.col(host_col) != ""))
                 .select(F.col(host_col).alias("host"),
                         normalize_url(F.col(loc_col)).alias("_u"))
                 .distinct())

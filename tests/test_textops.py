@@ -2594,6 +2594,8 @@ def test_sitemap_coverage(spark):
     sm = spark.createDataFrame(
         [("a.ex", "https://a.ex/p1"), ("a.ex", "https://a.ex/p2"),
          ("a.ex", "https://a.ex/p1"),       # duplicate declaration
+         ("a.ex", None),                    # NULL loc must not count
+         (None, "https://x.ex/n"),          # NULL host drops
          ("b.ex", "https://b.ex/q1")],
         "host string, loc string")
     crawled = spark.createDataFrame(
