@@ -4222,6 +4222,43 @@ GROUP BY host
 """
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring (round 5) over the raw documents corpus:
+    add-one-smoothed -ln P(w|v) against the corpus-derived model.
+    The oracle replays tokenization, the per-doc adjacent-pair
+    construction, both count models and the smoothed log mean."""
+    from json_schema_spark.textops.textanalysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+_SQL_BIGRAM_LOGPROB = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toks AS (SELECT doc_id, unnest(words) AS t FROM w0),
+b0 AS (
+  SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w0
+),
+bg AS (SELECT doc_id, words[i] AS v, words[i + 1] AS w FROM b0),
+ugm AS (SELECT t AS v, count(*) AS c_v FROM toks GROUP BY t),
+bgm AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY v, w),
+vtot AS (SELECT count(*) AS n_vocab FROM ugm)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(CAST(bgm.c_vw + 1 AS DOUBLE)
+                     / CAST(ugm.c_v + vtot.n_vocab AS DOUBLE))), 6)
+         AS avg_neg_logprob
+FROM bg
+JOIN bgm ON bg.v = bgm.v AND bg.w = bgm.w
+JOIN ugm ON bg.v = ugm.v
+CROSS JOIN vtot
+GROUP BY bg.doc_id
+"""
+
+
 def _q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding mean-pooling (round 5): vectors pooled per
     vec_id%25 group via ORDER-INDEPENDENT scaled-integer sums (a
@@ -6188,6 +6225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": _q_sitemap_coverage,
         "mean_pool": _q_mean_pool,
         "robots_compliance": _q_robots_compliance,
+        "bigram_logprob": _q_bigram_logprob,
         # --- driver-verified green in round 4, stable code ---
         "validate_documents": _q_validate_documents,
         "stats_by_lang": _q_stats_by_lang,
@@ -6303,6 +6341,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "mean_pool": _SQL_MEAN_POOL,
         "robots_compliance": _sql_robots_compliance(),
+        "bigram_logprob": _SQL_BIGRAM_LOGPROB,
         "rate_anomalies": _SQL_RATE_ANOMALIES,
         "repetition_features": _SQL_REPETITION,
         "quality_filter": _sql_quality_filter(),

@@ -885,6 +885,62 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob")))
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Conditional bigram LM score per document: mean
+    -ln P(w | v) over token transitions, with add-one smoothing
+    P(w|v) = (c(v,w) + 1) / (c(v) + V) against the corpus-derived
+    model (V = unigram vocab size). The unigram proxy
+    (unigram_logprob) scores WHAT words a page uses; this scores
+    whether they follow each other like language — word-salad spam
+    and keyword stuffing pass unigram filters (common words!) and
+    fail here. Returns (id, n_bigrams, avg_neg_logprob); documents
+    with fewer than two tokens have no transitions and are absent.
+
+    Plan: one token explode persisted (feeds the unigram model AND
+    the bigram builder), bigrams via a doc-partitioned lead() window
+    (the repetition_features shape), one (v, w) model aggregate, and
+    scoring joins that carry counts — not text. The bigram model is
+    corpus-derived and size-unknown, so its join is left unhinted
+    (AQE decides); V rides a one-row broadcast crossJoin."""
+    from json_schema_spark.cache import register_cache
+
+    toks = register_cache(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.posexplode(tokens(F.lower(F.col(text_col))))
+                .alias("pos", "t")))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    bg = register_cache(
+        toks.withColumn("_w", F.lead("t").over(w))
+        .filter(F.col("_w").isNotNull())
+        .select(F.col(id_col), F.col("t").alias("v"),
+                F.col("_w").alias("w")))
+    ugm = register_cache(
+        toks.groupBy(F.col("t").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_v")))
+    bgm = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    # "n_vocab", not "V": Spark resolves columns case-
+    # insensitively by default, so "V" would collide with the
+    # bigram token column "v"
+    totals = ugm.agg(F.count(F.lit(1)).alias("n_vocab"))
+    # crossJoin the one-row totals BEFORE joining the model tables —
+    # joining ugm first and then crossJoining ugm.agg() trips
+    # AMBIGUOUS_REFERENCE on the shared lineage (repo gotcha; same
+    # ordering as unigram_logprob)
+    scored = (bg.crossJoin(F.broadcast(totals))
+              .join(bgm, ["v", "w"])
+              .join(ugm, "v")
+              .withColumn("_nlp", -F.log(
+                  (F.col("c_vw") + 1).cast("double")
+                  / (F.col("c_v") + F.col("n_vocab")).cast("double"))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob")))
+
+
 def dsir_weights(df: DataFrame, target_df: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  target_text_col: str | None = None) -> DataFrame:

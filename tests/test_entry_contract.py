@@ -60,7 +60,7 @@ def test_query_registry_is_pinned():
         "parse_warc", "mirror_hosts", "canonical_collapse",
         "degree_stats", "clean_unicode", "wordlist_filter",
         "ann_quantized", "lang_agreement", "sitemap_coverage",
-        "mean_pool", "robots_compliance",
+        "mean_pool", "robots_compliance", "bigram_logprob",
     }
     assert set(entry.queries()) == expected
     assert len(entry.queries()) == len(expected)

@@ -2533,6 +2533,36 @@ def test_pagerank_fixed_point_semantics(spark):
         release_caches()
 
 
+def test_bigram_logprob_word_salad(spark):
+    """Repeated natural transitions score LOWER (more probable) than
+    shuffled word salad over the same vocabulary; single-token and
+    NULL docs absent; hand-checked value on a tiny corpus."""
+    import math
+
+    from json_schema_spark.cache import release_caches
+    from json_schema_spark.textops.textanalysis import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "sat the cat"),
+         (4, "solo"), (5, None)],
+        "doc_id long, text string")
+    try:
+        got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    finally:
+        release_caches()
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_bigrams == 2
+    # corpus: tokens the x3, cat x3, sat x3, solo x1 -> V=4.
+    # c(the,cat)=3 (docs 1,2 AND 3), c(cat,sat)=2; c_v(the)=3,
+    # c_v(cat)=3 -> doc1 mean = (ln(7/4) + ln(7/3)) / 2
+    want = round((math.log(7.0 / 4.0) + math.log(7.0 / 3.0)) / 2, 6)
+    assert abs(got[1].avg_neg_logprob - want) < 1e-6
+    assert got[1].avg_neg_logprob == got[2].avg_neg_logprob
+    # salad doc 3: (sat,the) c=1, (the,cat) c=2 -> mixes a rarer
+    # transition -> scores HIGHER than the repeated natural order
+    assert got[3].avg_neg_logprob > got[1].avg_neg_logprob
+
+
 def test_robots_compliance(spark):
     """Violation fractions per host: disallowed fetches counted,
     allow carve-outs and unmatched paths are compliant, hosts with no
